@@ -1,13 +1,384 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Context
+import graft.processors.Processors
+import graft.query.QueryCompiler
+import graft.query.QueryCompiler.{Catalog, SetDim}
+import graft.series.Series
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry is one operator from SURVEY.md §2, instantiated over the
+  * driver test tables (TESTDATA.md), with a DuckDB oracle in
+  * [[oracleSql]]. The `events` table plays the access-log role
+  * (ts ≈ datestamp, user_id ≈ eprintid, event_type ≈ metric value);
+  * TPC-H tables play fact/dimension roles for the join shapes.
+  *
+  * Determinism rules (hash-compared against DuckDB):
+  *  - every query ends in a total ORDER BY (ties pinned — SURVEY §7.4.2);
+  *  - SUMs of monetary doubles go through DECIMAL(18,2) then back to
+  *    DOUBLE (associative, engine-order-independent);
+  *  - SUMs of longs are CAST(... AS BIGINT) in SQL (DuckDB's SUM(BIGINT)
+  *    is HUGEINT otherwise);
+  *  - timestamps are only compared at second/day granularity (the
+  *    parquet files carry nanos; Spark reads micros).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** The shared daily fact (A1) as a DuckDB CTE — mirror of
+    * [[Processors.dailyFact]]. */
+  private val factCte =
+    """fact AS (
+      |  SELECT CAST(ts AS DATE) AS date, user_id AS id,
+      |         event_type AS value, COUNT(*) AS count
+      |  FROM events GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  private def fact(s: SparkSession, d: String): DataFrame =
+    Processors.dailyFact(ev(s, d))
+
+  private def catalog(s: SparkSession, d: String): Catalog =
+    Catalog(facts = Map("events" -> fact(s, d)))
+
+  /** Monetary-exact sum: double → decimal(18,2) → sum → double.  */
+  private def moneySum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  // ===========================================================
+  // Flagship: monthly event volume, densified (the reference's
+  // "monthly downloads for one item" Graph, z_irstats2.pl:325-332).
+  // ===========================================================
+  def entry(spark: SparkSession): DataFrame = {
+    val f = fact(spark, "/root/testdata/sf0.001")
+    val daily = f.groupBy(col("date").as("d")).agg(sum("count").as("cnt"))
+    Series.densify(daily).orderBy("d")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A1: ETL pre-aggregation (grain day × id × value) ----
+    "a1_daily_fact" -> ((s, d) =>
+      fact(s, d).orderBy("date", "id", "value")),
+
+    // ---- A2: the core SUM(count) group-by over the fact table ----
+    "a2_sum_groupby" -> ((s, d) =>
+      fact(s, d).groupBy("value").agg(sum("count").as("count"))
+        .orderBy(col("count").desc, col("value"))),
+
+    // ---- F7+F8: datafilter + date-range predicates via the compiler ----
+    "f7_datafilter_range" -> ((s, d) =>
+      QueryCompiler.compile(
+        Context(datatype = "events", datafilter = Some("purchase"),
+          from = Some(java.time.LocalDate.parse("2024-01-05")),
+          to = Some(java.time.LocalDate.parse("2024-01-20")),
+          fields = Seq("date"), orderBy = Some("date"), orderDesc = false),
+        catalog(s, d))),
+
+    // ---- O3: top-N (order by SUM DESC, limit, pinned ties) ----
+    "o3_topn" -> ((s, d) =>
+      QueryCompiler.compile(
+        Context(datatype = "events", fields = Seq("id"), limit = Some(10)),
+        catalog(s, d))),
+
+    // ---- J1: fact ⋈ set dim (broadcast), group by set_value ----
+    "j1_set_join" -> ((s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("set_value"))
+        .agg(count(lit(1)).as("cnt"), moneySum("o_totalprice").as("total"))
+        .orderBy("set_value")
+    }),
+
+    // ---- J2: grouping join (fact ⋈ dim ⋈ dim, two-level group) ----
+    "j2_grouping_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("set_value"),
+          col("l_returnflag").as("grouping_value"))
+        .agg(moneySum("l_quantity").as("qty"), count(lit(1)).as("cnt"))
+        .orderBy("set_value", "grouping_value")
+    }),
+
+    // ---- J3/F6: archive-only semi-join ----
+    "j3_semi_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val live = e.filter(col("event_type") === "signup").select("user_id")
+      e.join(broadcast(live), Seq("user_id"), "left_semi")
+        .groupBy(col("event_type").as("value"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy("value")
+    }),
+
+    // ---- W1: calendar densification (zero-filled day series) ----
+    "w1_densify" -> ((s, d) => {
+      val daily = fact(s, d).filter(col("value") === "error")
+        .groupBy(col("date").as("d")).agg(sum("count").as("cnt"))
+      Series.densify(daily).orderBy("d")
+    }),
+
+    // ---- W2: temporal regroup day → month (7y of lineitem shipdates) ----
+    "w2_regroup_month" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      Series.regroup(daily, "month").orderBy("d")
+    }),
+
+    // ---- W2b: temporal regroup day → year ----
+    "w2_regroup_year" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      Series.regroup(daily, "year").orderBy("d")
+    }),
+
+    // ---- A10: cumulative sum over the monthly series ----
+    "a10_cumulative" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      Series.cumulative(Series.regroup(daily, "month")).orderBy("d")
+    }),
+
+    // ---- A9: running average floor(cumsum/i) ----
+    "a9_running_avg" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      Series.runningAverage(Series.regroup(daily, "month")).orderBy("d")
+    }),
+
+    // ---- A6: dataset min/max boundaries ----
+    "a6_minmax" -> ((s, d) =>
+      ev(s, d).agg(min(to_date(col("ts"))).as("oldest"),
+        max(to_date(col("ts"))).as("newest"))),
+
+    // ---- A7: COUNT(*) dataset size ----
+    "a7_count" -> ((s, d) => ev(s, d).agg(count(lit(1)).as("n"))),
+
+    // ---- A8: DISTINCT set values, ordered ----
+    "a8_distinct" -> ((s, d) =>
+      ev(s, d).select(col("event_type").as("set_value"))
+        .distinct().orderBy("set_value")),
+
+    // ---- A3: grand total (sum_all) ----
+    "a3_grand_total" -> ((s, d) =>
+      fact(s, d).agg(sum("count").as("total"))),
+
+    // ---- A4: KeyFigures ratio metric round(100*m1/m2) ----
+    "a4_ratio_metric" -> ((s, d) => {
+      val f = fact(s, d)
+      val p = f.filter(col("value") === "purchase").agg(sum("count")).first().getLong(0)
+      val v = f.filter(col("value") === "view").agg(sum("count")).first().getLong(0)
+      val spark = s; import spark.implicits._
+      Seq((p, v)).toDF("purchases", "views")
+        .withColumn("pct", round(col("purchases") * 100 / col("views"), 0).cast("long"))
+    }),
+
+    // ---- F9: per-id go-live clamp greatest(from, first_seen) ----
+    "f9_live_clamp" -> ((s, d) => {
+      val e = ev(s, d).withColumn("date", to_date(col("ts")))
+      val golive = e.groupBy("user_id").agg(min("date").as("live"))
+      e.join(broadcast(golive), Seq("user_id"))
+        .filter(col("date") >= greatest(lit(java.sql.Date.valueOf("2024-01-15")), col("live")))
+        .groupBy(col("user_id").as("id")).agg(count(lit(1)).as("count"))
+        .orderBy("id")
+    }),
+
+    // ---- O2: LIMIT/OFFSET paging ----
+    "o2_limit_offset" -> ((s, d) =>
+      ev(s, d).select(col("event_id"), col("event_type").as("value"))
+        .orderBy("event_id").offset(50).limit(100)),
+
+    // ---- F3 (lag variant): repeat/double-click filter ----
+    "f3_repeat_lag" -> ((s, d) => {
+      val e = ev(s, d).withColumn("sec", unix_timestamp(col("ts")))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("sec"), col("event_id"))
+      e.withColumn("prev", lag("sec", 1).over(w))
+        .filter(col("prev").isNull || col("sec") - col("prev") > 3600)
+        .groupBy(col("user_id").as("id"), col("event_type").as("value"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy("id", "value")
+    }),
+
+    // ---- S6: value truncation (>767 bytes → 191 chars) ----
+    "s6_truncate" -> ((s, d) =>
+      Processors.truncateValue(
+        Tables.documents(s, d).select(col("doc_id"), col("text").as("value")))
+        .select(col("doc_id"), length(col("value")).as("len"))
+        .orderBy("doc_id")),
+
+    // ---- TPC-H-style headliners (bench anchors) ----
+    "h1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          moneySum("l_quantity").as("sum_qty"),
+          moneySum("l_extendedprice").as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "h3_top_orders" -> ((s, d) => {
+      val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"), col("revenue"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_daily_fact" ->
+      s"""WITH $factCte SELECT date, id, value, count FROM fact
+         |ORDER BY date, id, value""".stripMargin,
+
+    "a2_sum_groupby" ->
+      s"""WITH $factCte
+         |SELECT value, CAST(SUM(count) AS BIGINT) AS count
+         |FROM fact GROUP BY value ORDER BY count DESC, value""".stripMargin,
+
+    "f7_datafilter_range" ->
+      s"""WITH $factCte
+         |SELECT date, CAST(SUM(count) AS BIGINT) AS count FROM fact
+         |WHERE value = 'purchase' AND date BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+         |GROUP BY date ORDER BY date""".stripMargin,
+
+    "o3_topn" ->
+      s"""WITH $factCte
+         |SELECT id, CAST(SUM(count) AS BIGINT) AS count
+         |FROM fact GROUP BY id ORDER BY count DESC, id LIMIT 10""".stripMargin,
+
+    "j1_set_join" ->
+      """SELECT c_mktsegment AS set_value, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY set_value""".stripMargin,
+
+    "j2_grouping_join" ->
+      """SELECT c_mktsegment AS set_value, l_returnflag AS grouping_value,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY set_value, grouping_value""".stripMargin,
+
+    "j3_semi_join" ->
+      """SELECT event_type AS value, COUNT(*) AS count FROM events
+        |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'signup')
+        |GROUP BY 1 ORDER BY value""".stripMargin,
+
+    "w1_densify" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events
+        |  WHERE event_type = 'error' GROUP BY 1),
+        |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM s),
+        |cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b)
+        |SELECT cal.d AS d, CAST(COALESCE(s.cnt, 0) AS BIGINT) AS cnt
+        |FROM cal LEFT JOIN s ON cal.d = s.d ORDER BY d""".stripMargin,
+
+    "w2_regroup_month" ->
+      """SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS d,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY d""".stripMargin,
+
+    "w2_regroup_year" ->
+      """SELECT CAST(date_trunc('year', CAST(l_shipdate AS DATE)) AS DATE) AS d,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY d""".stripMargin,
+
+    "a10_cumulative" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS d,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT d, cnt, CAST(SUM(cnt) OVER (ORDER BY d
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative
+        |FROM m ORDER BY d""".stripMargin,
+
+    "a9_running_avg" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS d,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT d, cnt, CAST(FLOOR(
+        |  (SUM(cnt) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |  / (ROW_NUMBER() OVER (ORDER BY d))) AS BIGINT) AS running_avg
+        |FROM m ORDER BY d""".stripMargin,
+
+    "a6_minmax" ->
+      "SELECT CAST(MIN(ts) AS DATE) AS oldest, CAST(MAX(ts) AS DATE) AS newest FROM events",
+
+    "a7_count" -> "SELECT COUNT(*) AS n FROM events",
+
+    "a8_distinct" ->
+      "SELECT DISTINCT event_type AS set_value FROM events ORDER BY set_value",
+
+    "a3_grand_total" ->
+      s"WITH $factCte SELECT CAST(SUM(count) AS BIGINT) AS total FROM fact",
+
+    "a4_ratio_metric" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM events WHERE event_type = 'purchase') AS purchases,
+        |  (SELECT COUNT(*) FROM events WHERE event_type = 'view') AS views,
+        |  CAST(ROUND(100 * (SELECT COUNT(*) FROM events WHERE event_type = 'purchase')
+        |    / (SELECT COUNT(*) FROM events WHERE event_type = 'view'), 0) AS BIGINT) AS pct""".stripMargin,
+
+    "f9_live_clamp" ->
+      """WITH g AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS live FROM events GROUP BY 1)
+        |SELECT e.user_id AS id, COUNT(*) AS count
+        |FROM events e JOIN g USING (user_id)
+        |WHERE CAST(ts AS DATE) >= GREATEST(DATE '2024-01-15', live)
+        |GROUP BY 1 ORDER BY id""".stripMargin,
+
+    "o2_limit_offset" ->
+      """SELECT event_id, event_type AS value FROM events
+        |ORDER BY event_id LIMIT 100 OFFSET 50""".stripMargin,
+
+    "f3_repeat_lag" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id,
+        |         LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS prev
+        |  FROM events)
+        |SELECT user_id AS id, event_type AS value, COUNT(*) AS count
+        |FROM x WHERE prev IS NULL OR sec - prev > 3600
+        |GROUP BY 1, 2 ORDER BY id, value""".stripMargin,
+
+    "s6_truncate" ->
+      """SELECT doc_id,
+        |  CAST(length(CASE WHEN octet_length(encode(text)) > 767
+        |    THEN substr(text, 1, 191) ELSE text END) AS INTEGER) AS len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "h1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "h3_top_orders" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+  )
 }

@@ -1,0 +1,81 @@
+package graft.series
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series post-processing — the reference's view-layer dataflow
+  * (SURVEY.md §2.7), expressed as DataFrame transforms so it runs
+  * distributed instead of in the render loop.
+  */
+object Series {
+
+  /** W1 calendar densification (ref `Utils.pm:135-215` get_dates,
+    * consumed by `View/Google/Graph.pm:81-131`): generate the complete
+    * day sequence [from..to] and left-join the series so gaps become
+    * zero-count points.
+    *
+    * Scale: the calendar side is tiny (≤ 20 years = ~7.3k rows — the
+    * reference caps ranges at 20y, `Utils.pm:227-230`); the series side
+    * is already aggregated. Build the calendar with `sequence()` +
+    * `explode` and broadcast-join the *series* onto it (calendar is the
+    * left/preserved side).
+    */
+  def densify(series: DataFrame, dateCol: String = "d",
+      countCol: String = "cnt"): DataFrame = {
+    val spark = series.sparkSession
+    val bounds = series.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+    val calendar = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as(dateCol))
+    calendar.join(series, Seq(dateCol), "left")
+      .select(col(dateCol), coalesce(col(countCol), lit(0L)).as(countCol))
+  }
+
+  /** W2 temporal regroup — day→month/year tumbling windows
+    * (ref `Graph.pm:44-131`, `Context.pm:137-166` date_resolution). */
+  def regroup(series: DataFrame, resolution: String, dateCol: String = "d",
+      countCol: String = "cnt"): DataFrame = {
+    val bucket = resolution match {
+      case "day"   => col(dateCol)
+      case "month" => trunc(col(dateCol), "month")
+      case "year"  => trunc(col(dateCol), "year")
+      case r => throw new IllegalArgumentException(s"resolution $r")
+    }
+    series.groupBy(bucket.as(dateCol)).agg(sum(col(countCol)).as(countCol))
+  }
+
+  /** A10 cumulative sum over the (densified) series
+    * (ref `Graph.pm:176-186`). Single unpartitioned window — fine: by
+    * this point the series is ≤ calendar-length (bounded, small). */
+  def cumulative(series: DataFrame, dateCol: String = "d",
+      countCol: String = "cnt"): DataFrame = {
+    val w = Window.orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.withColumn("cumulative", sum(col(countCol)).over(w))
+  }
+
+  /** A9 running average: `avg_i = floor(cumsum_i / i)`
+    * (ref `Graph.pm:94-160` show_average). */
+  def runningAverage(series: DataFrame, dateCol: String = "d",
+      countCol: String = "cnt"): DataFrame = {
+    val w = Window.orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.withColumn("running_avg",
+      floor(sum(col(countCol)).over(w) / row_number().over(Window.orderBy(col(dateCol))))
+        .cast("long"))
+  }
+
+  /** W5 sparkline: collapse duplicate dates, drop leading zero-count
+    * rows, ascending order (ref `View/Google/Spark.pm:16-82`). */
+  def sparkline(series: DataFrame, dateCol: String = "d",
+      countCol: String = "cnt"): DataFrame = {
+    val collapsed = series.groupBy(col(dateCol))
+      .agg(sum(col(countCol)).as(countCol))
+    val firstNonZero = collapsed.filter(col(countCol) > 0)
+      .agg(min(col(dateCol)).as("first_nz"))
+    collapsed.join(broadcast(firstNonZero))
+      .filter(col(dateCol) >= col("first_nz"))
+      .select(col(dateCol), col(countCol))
+      .orderBy(col(dateCol))
+  }
+}
