@@ -4,11 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
+import graft.functions.Text
 import graft.model.Context
+import graft.multimodal.Multimodal
 import graft.processors.Processors
 import graft.query.QueryCompiler
 import graft.query.QueryCompiler.{Catalog, SetDim}
 import graft.series.Series
+import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,7 +64,10 @@ object SparkEntry {
     Series.densify(daily).orderBy("d")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ pipelineQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- A1: ETL pre-aggregation (grain day × id × value) ----
     "a1_daily_fact" -> ((s, d) =>
@@ -240,7 +247,85 @@ object SparkEntry {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  // ===========================================================
+  // Training-data-pipeline operators (dedup / similarity / text /
+  // multimodal) over the documents + embeddings tables.
+  // All externally-compared outputs are integers or strings —
+  // thresholds use exact integer cross-multiplication, never floats.
+  // ===========================================================
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- T: text analysis ----
+    "t1_token_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tok"),
+        Text.subwordCount(col("text")).as("n_subword"),
+        Text.stopwordPermille(col("text")).as("stop_pm"),
+        Text.meanTokenLenX100(col("text")).as("mean_len_x100"))
+        .orderBy("doc_id")),
+
+    "t3_language_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "t4_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "t5_top_terms" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(20)),
+
+    // ---- D: deduplication ----
+    // exact dedup over a doubled corpus (every doc duplicated once)
+    "d1_exact_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.exact(docs.unionByName(docs)).orderBy("canonical")
+    }),
+
+    "d2_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashNearDup(Tables.documents(s, d), num = 19, den = 20)
+        .orderBy("a", "b")),
+
+    "d3_simhash" -> ((s, d) =>
+      Dedup.simhashNearDup(Tables.documents(s, d), maxDist = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("a", "b")),
+
+    "d4_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardNearDup(
+        Tables.documents(s, d).filter(Text.tokenCount(col("text")) >= 3),
+        num = 1, den = 2).orderBy("a", "b")),
+
+    // ---- V: similarity search over embeddings ----
+    "v1_ann_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annBruteForce(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "v2_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDup(Tables.embeddings(s, d), threshold = 0.46)
+        .orderBy("a", "b")),
+
+    "v3_lsh_buckets" -> ((s, d) =>
+      Similarity.hyperplaneBuckets(Tables.embeddings(s, d), planes = 8)
+        .orderBy("id")),
+
+    // ---- M: multimodal binary-column plumbing (stubbed decode) ----
+    "m1_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+        Multimodal.asMediaTable(Tables.documents(s, d)))
+        .orderBy("media_id")),
+  )
+
+  def oracleSql: Map[String, String] = coreOracles ++ pipelineOracles
+
+  private def coreOracles: Map[String, String] = Map(
     "a1_daily_fact" ->
       s"""WITH $factCte SELECT date, id, value, count FROM fact
          |ORDER BY date, id, value""".stripMargin,
@@ -380,5 +465,160 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+  )
+
+  /** DuckDB mirror of [[Text.hash60]]: hex-prefix cast of md5. */
+  private def hex60(x: String): String =
+    s"CAST('0x'||substr(md5($x),1,15) AS BIGINT)"
+
+  private val stopList = Text.stopwords.map(s => s"'$s'").mkString(",")
+
+  private def markerFilter(markers: Seq[String]): String =
+    s"len(list_filter(toks, x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
+
+  /** SimHash in SQL: 60 per-bit SUMs then a CASE-summed bitmask —
+    * the same single-pass shape as [[Dedup.simhash]]. */
+  private val simhashSql: String = {
+    val bitSums = (0 until 60).map(j => s"SUM((h >> $j) & 1) AS b$j").mkString(", ")
+    val bits = (0 until 60).map(j =>
+      s"(CASE WHEN 2*b$j >= n THEN (1::BIGINT << $j) ELSE 0::BIGINT END)").mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${hex60("tok")} AS h FROM toks),
+       |ag AS (SELECT doc_id, COUNT(*) AS n, $bitSums FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $bits AS simhash FROM ag)""".stripMargin
+  }
+
+  private def pipelineOracles: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks, text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tok,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_subword,
+         |  CAST((1000 * len(list_filter(toks, x -> x IN ($stopList)))) // len(toks) AS BIGINT) AS stop_pm,
+         |  CAST((100 * list_sum(list_transform(toks, x -> length(x)))) // len(toks) AS BIGINT) AS mean_len_x100
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t3_language_id" -> {
+      val cases = Text.langMarkers.map { case (lang, m) =>
+        (lang, markerFilter(m))
+      }
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, ${cases.map { case (l, e) => s"$e AS c_$l" }.mkString(", ")} FROM t)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(${cases.map("c_" + _._1).mkString(",")}) = 0 THEN 'und'
+         |  WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |  WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |  WHEN c_es >= c_fr THEN 'es'
+         |  ELSE 'fr' END AS lang_pred
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "t4_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS toks FROM documents)
+         |SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+         |    list_min(list_transform(generate_series(1, len(toks) - 2),
+         |      i -> ${hex60("array_to_string(list_slice(toks, i, i + 2), ' ')")}))
+         |  ELSE ${hex60("lt")} END AS fp
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t5_top_terms" ->
+      """SELECT term, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """WITH u AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |SELECT md5(lower(text)) AS key, COUNT(*) AS copies,
+        |       MIN(doc_id) AS canonical
+        |FROM u GROUP BY 1 ORDER BY canonical""".stripMargin,
+
+    "d2_minhash_lsh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+         |  FROM documents),
+         |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+         |sig AS (
+         |  SELECT doc_id, seed, MIN(${hex60("seed || '|' || tok")}) AS m
+         |  FROM toks CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, seed // 4 AS band,
+         |         md5(string_agg(m::VARCHAR, ',' ORDER BY seed)) AS bkey
+         |  FROM sig GROUP BY doc_id, seed // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts FROM documents)
+         |SELECT a, b FROM cand
+         |JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
+         |WHERE 20 * len(list_intersect(sa.ts, sb.ts))
+         |      >= 19 * (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)))
+         |ORDER BY a, b""".stripMargin,
+
+    "d3_simhash" ->
+      s"""WITH $simhashSql
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |  WHERE len(string_split(lower(text), ' ')) >= 3),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> ${hex60("array_to_string(list_slice(toks, i, i + 2), ' ')")}))) AS s
+         |  FROM t),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b FROM inter
+         |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE i * 2 >= (sa.nsh + sb.nsh - i) * 1
+         |ORDER BY a, b""".stripMargin,
+
+    "v1_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT qid, vec_id AS nid, list_cosine_similarity(qv, embedding) AS c
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+        |r AS (SELECT qid, nid,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+        |      FROM s)
+        |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
+        |FROM r WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "v2_cosine_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.46
+        |ORDER BY a, b""".stripMargin,
+
+    "v3_lsh_buckets" ->
+      s"""WITH planes AS (
+         |  SELECT p, j, ((${hex60("p || '|' || j")} % 2001) - 1000) / 1000.0 AS w
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS p)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)),
+         |d AS (
+         |  SELECT e.vec_id, pl.p, SUM(e.embedding[pl.j + 1] * pl.w) AS dot
+         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+         |b AS (
+         |  SELECT vec_id, SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+         |  FROM d GROUP BY 1)
+         |SELECT vec_id AS id, CAST(bucket AS BIGINT) AS bucket FROM b ORDER BY id""".stripMargin,
+
+    "m1_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 193 AS INTEGER) AS width,
+        |  CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for the training-data pipeline:
+  * tokenization, quality scoring, language-ID, fingerprinting.
+  *
+  * Design rules:
+  *  - everything is a Catalyst `Column` expression (codegen'd,
+  *    whole-stage-compatible) — no Scala UDFs in the hot path;
+  *  - scores are INTEGER (permille / x100) so results are exactly
+  *    reproducible across engines (no float rounding drift);
+  *  - hashes are md5-derived 60-bit longs (`hash60`) so an external
+  *    SQL engine can reproduce them bit-for-bit (unlike murmur3
+  *    variants, md5 is universally available).
+  */
+object Text {
+
+  /** Deterministic 60-bit positive hash: first 15 hex chars of md5.
+    * 60 bits keeps the value positive in a signed 64-bit long in any
+    * engine. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokenization after lowercasing. */
+  def tokens(text: Column): Column =
+    split(lower(text), "\\s+")
+
+  /** Distinct token set (for set-similarity ops). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and isolated
+    * non-space symbols each count as one token — a cheap, deterministic
+    * proxy for byte-pair-encoding token counts. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** English stopword list (reference ships a 30-word builtin list for
+    * search-term normalization, `SearchTerms.pm:14-40`; this is the
+    * analog for quality scoring). */
+  val stopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
+    "to", "was", "were", "will", "with")
+
+  /** Count of stopword occurrences among tokens. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*)))
+
+  /** Exact integer division (Spark's `/` on longs returns double). */
+  private def intDiv(a: Column, b: Column): Column =
+    floor(a.cast("double") / b.cast("double")).cast("long")
+
+  /** Stopword ratio in integer permille: (1000 * stop) div tokens. */
+  def stopwordPermille(text: Column): Column =
+    intDiv(stopwordCount(text) * 1000L, tokenCount(text))
+
+  /** Mean token length x100, integer: (100 * sum(len)) div tokens. */
+  def meanTokenLenX100(text: Column): Column = {
+    val totalLen = aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+    intDiv(totalLen * 100L, tokenCount(text))
+  }
+
+  /** Marker-word lists for the n-gram/marker language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "des", "est", "et"))
+
+  /** Language-ID: argmax of marker-word hit counts; ties break to the
+    * lexicographically-first language; zero hits ⇒ 'und'. Deterministic
+    * and exactly reproducible in ANSI SQL. */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = langMarkers.map { case (lang, markers) =>
+      (lang, size(filter(toks, t => t.isin(markers.map(lit(_)): _*))))
+    }
+    // argmax, keeping the earlier (lexicographically-first) language on ties
+    val (l0, c0) = counts.head
+    val (langCol, cntCol) = counts.tail.foldLeft((lit(l0), c0)) {
+      case ((bl, bc), (lang, c)) =>
+        (when(c > bc, lit(lang)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }
+    when(cntCol > 0, langCol).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: minimum 60-bit hash over the document's
+    * 3-token shingles (w-shingling; the rolling-hash fingerprint of
+    * the pipeline). Documents under 3 tokens hash the whole text. */
+  def fingerprint(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val shingles = transform(sequence(lit(1), n - 2),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    when(n >= 3, array_min(transform(shingles, s => hash60(s))))
+      .otherwise(hash60(lower(text)))
+  }
+}

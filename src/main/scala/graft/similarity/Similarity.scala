@@ -1,0 +1,110 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Scale posture (100 TB):
+  *  - brute-force top-k broadcasts the (small) query set and computes
+  *    dot products in a single codegen'd pass over the corpus — the
+  *    corpus never shuffles; per-query top-k is a
+  *    TakeOrderedAndProject-style window over q partitions;
+  *  - the LSH path buckets vectors by random-hyperplane sign bits so
+  *    candidate joins stay within buckets (n^2 -> n^2 / 2^p expected);
+  *    hyperplanes are derived from md5 ([[Text.hash60]]) so bucketing
+  *    is deterministic and engine-reproducible;
+  *  - all externally-compared outputs are INTEGERS (ids, ranks,
+  *    buckets); cosine floats stay internal so cross-engine float
+  *    noise can't flip a verified result (thresholds sit in measured
+  *    gaps of the data distribution).
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double> columns: ordered
+    * left-to-right summation (deterministic per engine). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val na = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+    val nb = aggregate(b, lit(0.0), (acc, x) => acc + x * x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force ANN: for each query vector, the top-k nearest
+    * corpus vectors by cosine (excluding self), rank ties broken by
+    * neighbor id. Output: (query_id, rank, neighbor) — integers. */
+  def annBruteForce(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor"))
+  }
+
+  /** Cosine near-dup: all pairs (a < b) with cosine >= threshold.
+    * The self-join is blocked by nothing at small scale; at 100 TB the
+    * caller routes through [[hyperplaneBuckets]] first and joins
+    * within buckets. */
+  def cosineNearDup(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val x = v.select(col("id").as("a"), col("v").as("va"))
+    val y = v.select(col("id").as("b"), col("v").as("vb"))
+    x.join(y, col("a") < col("b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("a"), col("b"))
+  }
+
+  /** Deterministic random-hyperplane components: w[p][j] in
+    * [-1, 1] step 1/1000, derived from hash60("p|j"). */
+  private def planeComponent(p: Column, j: Column): Column =
+    (Text.hash60(concat(p.cast("string"), lit("|"), j.cast("string"))) % 2001 - 1000)
+      .cast("double") / 1000.0
+
+  /** LSH bucket id per vector: p sign bits of hyperplane dot products.
+    * bucket = sum over p of (dot(v, w_p) >= 0) << p. */
+  def hyperplaneBuckets(corpus: DataFrame, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val dim = size(v)
+    val bucketBits = (0 until planes).map { p =>
+      // dot(v, w_p): ordered sum over j of v[j] * w[p][j]
+      val dot = aggregate(sequence(lit(0), dim - 1), lit(0.0),
+        (acc, j) => acc + element_at(v, j + 1) * planeComponent(lit(p), j))
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    corpus.select(col(idCol).as("id"), bucketBits.reduce(_ + _).as("bucket"))
+  }
+
+  /** Bucketed ANN: same contract as [[annBruteForce]] but candidates
+    * are restricted to the query's hyperplane bucket — the scale path.
+    * Recall < 1 by construction; pair with multiple tables for recall
+    * (the standard LSH trade-off). */
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      planes: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = hyperplaneBuckets(corpus, planes, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+      .join(buckets.withColumnRenamed("id", "nid"), "nid")
+    val q = corpus.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .join(buckets.withColumnRenamed("id", "qid"), "qid")
+      .join(queries.select(col(idCol).as("qid")), "qid")
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor"))
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.functions.Text
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+
+/** Unit specs for the training-data pipeline operators, on tiny
+  * hand-computed fixtures (the DuckDB oracle gate covers the driver
+  * tables; these pin the semantics with known answers). */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("pipeline-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokenCount / stopwordPermille / meanTokenLenX100") {
+    val d = docs((1L, "the cat sat on the mat"))
+    val r = d.select(
+      Text.tokenCount(col("text")).as("n"),
+      Text.stopwordPermille(col("text")).as("sp"),
+      Text.meanTokenLenX100(col("text")).as("ml")).head()
+    assert(r.getInt(0) == 6)
+    // stopwords: the, on, the = 3 of 6 -> 500 permille
+    assert(r.getLong(1) == 500L)
+    // lengths 3+3+3+2+3+3 = 17 -> 1700/6 = 283
+    assert(r.getLong(2) == 283L)
+  }
+
+  test("subwordCount splits alpha/digit/symbol runs") {
+    val d = docs((1L, "ab12 cd-ef!"))
+    // ab, 12, cd, -, ef, ! -> 6
+    assert(d.select(Text.subwordCount(col("text"))).head().getInt(0) == 6)
+  }
+
+  test("languageId argmax with tie to lexicographic first") {
+    val d = docs(
+      (1L, "the cat of doom"),     // en markers: the, of = 2
+      (2L, "der hund und die"),    // de markers: 3
+      (3L, "xyz qrs"),             // none -> und
+      (4L, "the der"))             // tie 1-1 -> de (lex first)
+    val r = d.select(col("doc_id"), Text.languageId(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(r.toSeq == Seq("en", "de", "und", "de"))
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val d = docs((1L, "Hello World"), (2L, "hello world"), (3L, "other"))
+    val r = Dedup.exact(d).orderBy("canonical").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("canonical") == 1L && r(0).getAs[Long]("copies") == 2L)
+    assert(r(1).getAs[Long]("canonical") == 3L && r(1).getAs[Long]("copies") == 1L)
+  }
+
+  test("minhash LSH finds identical and near-identical docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docs(
+      (1L, base),
+      (2L, base),                      // identical -> jaccard 1
+      (3L, "completely different words here nothing shared at all extra"))
+    val pairs = Dedup.minhashNearDup(d, num = 19, den = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs at hamming 0; blocking finds them") {
+    val d = docs(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "nine ten eleven twelve thirteen fourteen"))
+    val r = Dedup.simhashNearDup(d, maxDist = 3).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 2L)))
+    assert(r.head.getInt(2) == 0)
+  }
+
+  test("ngram jaccard: shifted copy shares most shingles") {
+    val d = docs(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h i"),   // shingle sets differ by 1
+      (3L, "z y x w v u t s"))
+    val pairs = Dedup.ngramJaccardNearDup(d, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("cosine and brute-force ANN ranks") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.annBruteForce(e, e.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("neighbor")).toSeq == Seq(1L, 2L))
+  }
+
+  test("cosineNearDup threshold with integer pair output") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDup(e, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L)))
+  }
+
+  test("hyperplane buckets put identical vectors together") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-5.0f, 1.0f, -2.0f))).toDF("vec_id", "embedding")
+    val b = Similarity.hyperplaneBuckets(e, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b(0L) == b(1L))
+  }
+
+  test("multimodal decode: deterministic fake dims from bytes") {
+    val d = docs((7L, "abcd"))
+    val r = Multimodal.decodeFeatures(Multimodal.asMediaTable(d)).head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getInt(1) == 4)                      // n_bytes
+    assert(r.getInt(2) == 64 + 4 % 193)           // width
+    assert(r.getInt(3) == 64 + ('a'.toInt % 64))  // height
+  }
+
+  test("fingerprint equals min shingle hash and is stable") {
+    val d = docs((1L, "a b c d"), (2L, "a b c d"))
+    val fps = d.select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+  }
+}
