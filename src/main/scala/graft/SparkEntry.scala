@@ -65,7 +65,7 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ pipelineQueries
+    coreQueries ++ pipelineQueries ++ etlQueries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -323,7 +323,116 @@ object SparkEntry {
         .orderBy("media_id")),
   )
 
-  def oracleSql: Map[String, String] = coreOracles ++ pipelineOracles
+  /** Deterministic UA / referrer strings per event_type — the driver
+    * tables carry no UA/URL columns, so classifier queries synthesize
+    * them, then run the REAL classifier cascade over the column. */
+  private def syntheticUa = {
+    val t = col("event_type")
+    when(t === "view", "Mozilla/5.0 (X11; Linux) Chrome/99.0 Safari/537")
+      .when(t === "click", "Mozilla/5.0 (Windows) Firefox/115.0")
+      .when(t === "purchase", "Opera/9.80 (Macintosh)")
+      .when(t === "signup", "Mozilla/4.0 (compatible; MSIE 6.0)")
+      .otherwise("curl/7.88")
+  }
+
+  private def syntheticReferrer = {
+    val t = col("event_type")
+    when(t === "view", "https://www.google.com/search?q=spark+sql+engine")
+      .when(t === "click", "https://myrepo.org/123")
+      .when(t === "purchase", "https://search.yahoo.com/search?p=fast%20query%20plans")
+      .when(t === "signup", "")
+      .otherwise("partner.example.com/docs")
+  }
+
+  private def etlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- C2 + F1: browser classification after robot filtering ----
+    "c2_browser" -> ((s, d) => {
+      val e = ev(s, d).withColumn("ua", syntheticUa)
+      e.filter(!graft.filters.Robots.isRobotUa(col("ua")))
+        .select(graft.classify.Classify.browser(col("ua")).as("browser"))
+        .groupBy("browser").agg(count(lit(1)).as("cnt"))
+        .orderBy("browser")
+    }),
+
+    // ---- C5: referrer classification cascade ----
+    "c5_referrer" -> ((s, d) =>
+      ev(s, d).withColumn("ref", syntheticReferrer)
+        .select(graft.classify.Classify.referrer(col("ref"), "myrepo.org").as("label"))
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+        .orderBy("label")),
+
+    // ---- C6: search-term extraction (UDTF-style explode) ----
+    "c6_search_terms" -> ((s, d) => {
+      val e = ev(s, d).withColumn("ref", syntheticReferrer)
+      e.select(explode(
+          graft.classify.Classify.searchTerms(
+            graft.classify.Classify.searchQuery(col("ref")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy("term")
+    }),
+
+    // ---- F3 faithful sequential repeat filter ("since last KEPT") ----
+    "f3_repeat_seq" -> ((s, d) => {
+      val e = ev(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select("user_id", "event_type", "sec", "event_id")
+      graft.filters.Repeat.sequential(e,
+          keyCols = Seq("user_id", "event_type"), secCol = "sec",
+          timeout = 3600L, tieBreakCol = "event_id")
+        .groupBy(col("user_id").as("id"), col("event_type").as("value"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy("id", "value")
+    }),
+
+    // ---- A4 registry: all KPIs in ONE fact-table pass + ratio ----
+    "kf_metrics" -> ((s, d) => {
+      import graft.views.KeyFigures
+      import graft.views.KeyFigures.Metric
+      val f = fact(s, d)
+      val m = KeyFigures.compute(f, Seq(
+        Metric("purchases", col("value") === "purchase"),
+        Metric("views", col("value") === "view"),
+        Metric("clicks", col("value") === "click"),
+        Metric("errors", col("value") === "error"),
+        Metric("signups", col("value") === "signup")))
+      KeyFigures.withRatio(m, "purchase_pct", "purchases", "views")
+    }),
+
+    // ---- W5 sparkline: leading zero-count rows dropped ----
+    "w5_sparkline" -> ((s, d) => {
+      val spark = s; import spark.implicits._
+      val daily = fact(s, d).filter(col("value") === "error")
+        .groupBy(col("date").as("d")).agg(sum("count").as("cnt"))
+      val zeros = Seq("2023-12-20", "2023-12-21")
+        .map(x => (java.sql.Date.valueOf(x), 0L)).toDF("d", "cnt")
+      Series.sparkline(daily.unionByName(zeros))
+    }),
+
+    // ---- W6 year-over-year compare (single-pass pivot) ----
+    "w6_compare_years" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      Series.compareYears(daily).orderBy("year", "month")
+    }),
+
+    // ---- Sets: ancestor closure (nation -> region hierarchy) ----
+    "set_closure" -> ((s, d) => {
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val asn = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(n("n_name").as("set_value"), c("c_custkey").as("id"))
+      val tree = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(n("n_name").as("child"), r("r_name").as("parent"))
+      graft.sets.Sets.ancestorClosure(asn, tree)
+        .groupBy("set_value").agg(count(lit(1)).as("cnt"))
+        .orderBy("set_value")
+    }),
+  )
+
+  def oracleSql: Map[String, String] =
+    coreOracles ++ pipelineOracles ++ etlOracles
 
   private def coreOracles: Map[String, String] = Map(
     "a1_daily_fact" ->
@@ -620,5 +729,89 @@ object SparkEntry {
         |  CAST(64 + octet_length(encode(text)) % 193 AS INTEGER) AS width,
         |  CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+  )
+
+  /** Golden oracles for the classifier queries: the synthetic UA /
+    * referrer per event_type has a known classification, so the oracle
+    * pins the expected label directly — a golden test of the real
+    * cascade, not a re-implementation. */
+  private def etlOracles: Map[String, String] = Map(
+    "c2_browser" ->
+      """SELECT CASE event_type
+        |    WHEN 'view' THEN 'Chrome' WHEN 'click' THEN 'Firefox'
+        |    WHEN 'purchase' THEN 'Opera' WHEN 'signup' THEN 'IE' END AS browser,
+        |  COUNT(*) AS cnt
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY browser""".stripMargin,
+
+    "c5_referrer" ->
+      """SELECT CASE event_type
+        |    WHEN 'view' THEN 'Google'
+        |    WHEN 'click' THEN 'Internal (Abstract page)'
+        |    WHEN 'purchase' THEN 'Yahoo'
+        |    WHEN 'signup' THEN 'Direct'
+        |    ELSE 'partner.example.com' END AS label,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "c6_search_terms" ->
+      """WITH terms AS (
+        |  SELECT unnest(CASE event_type
+        |    WHEN 'view' THEN ['spark', 'sql', 'engine']
+        |    WHEN 'purchase' THEN ['fast', 'query', 'plans']
+        |    ELSE [] END) AS term
+        |  FROM events)
+        |SELECT term, COUNT(*) AS cnt FROM terms
+        |GROUP BY term ORDER BY term""".stripMargin,
+
+    "f3_repeat_seq" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS rn
+        |  FROM events),
+        |keep AS (
+        |  SELECT user_id, event_type, sec, rn, sec AS last_kept, TRUE AS kept
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.sec, e.rn,
+        |         CASE WHEN e.sec - k.last_kept > 3600 THEN e.sec ELSE k.last_kept END,
+        |         e.sec - k.last_kept > 3600
+        |  FROM ev e JOIN keep k ON e.user_id = k.user_id
+        |    AND e.event_type = k.event_type AND e.rn = k.rn + 1)
+        |SELECT user_id AS id, event_type AS value, COUNT(*) AS count
+        |FROM keep WHERE kept GROUP BY 1, 2 ORDER BY id, value""".stripMargin,
+
+    "kf_metrics" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+        |  CAST(ROUND(100.0 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    / SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0) AS BIGINT) AS purchase_pct
+        |FROM events""".stripMargin,
+
+    "w5_sparkline" ->
+      """SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events
+        |WHERE event_type = 'error' GROUP BY 1 ORDER BY d""".stripMargin,
+
+    "w6_compare_years" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+        |       CAST(month(l_shipdate) AS INTEGER) AS month,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
+
+    "set_closure" ->
+      """WITH asn AS (
+        |  SELECT n_name AS set_value, c_custkey AS id
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION
+        |  SELECT r_name AS set_value, c_custkey AS id
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey)
+        |SELECT set_value, COUNT(*) AS cnt FROM asn
+        |GROUP BY 1 ORDER BY set_value""".stripMargin,
   )
 }

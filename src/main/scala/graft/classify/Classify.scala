@@ -1,0 +1,112 @@
+package graft.classify
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-row classification functions for access-log enrichment
+  * (SURVEY.md §2.3): browser family, URL parsing, referrer labeling,
+  * search-term extraction. All are Catalyst Column expressions
+  * (codegen'd `when`-cascades and regexes — no UDFs), so they inline
+  * into the ingest scan's whole-stage codegen.
+  *
+  * Semantics follow the reference's observable behavior:
+  *  - browser: ordered first-match over substring signatures
+  *    (ref `Processor/Access/Browsers.pm:12-25,44-72` iterates
+  *    signatures in sorted key order — order is part of the contract);
+  *  - referrer: a fixed cascade from most-specific to least
+  *    (ref `Processor/Access/Referrer.pm:39-116`);
+  *  - search terms: engine-specific query-param extraction, split,
+  *    normalize, stopword/length filter
+  *    (ref `Processor/Access/SearchTerms.pm:14-198`).
+  */
+object Classify {
+
+  /** Ordered browser signatures: first match wins. Iteration order is
+    * the sorted key order the reference uses (deterministic output).
+    * (ref `Browsers.pm:12-25`: 12 substring signatures.) */
+  val browserSignatures: Seq[(String, String)] = Seq(
+    "Chrome" -> "chrome/",
+    "Edge" -> "edg",
+    "Firefox" -> "firefox/",
+    "IE" -> "msie",
+    "Konqueror" -> "konqueror",
+    "Mozilla" -> "mozilla/5",
+    "Netscape" -> "mozilla/4",
+    "Opera" -> "opera",
+    "Safari" -> "safari",
+    "Wget" -> "wget").sortBy(_._1)
+
+  /** UA string -> browser family, ordered first-match, else "Other". */
+  def browser(ua: Column): Column = {
+    val lua = lower(ua)
+    browserSignatures.foldRight(lit("Other"): Column) {
+      case ((name, sig), elseCol) =>
+        when(lua.contains(sig), lit(name)).otherwise(elseCol)
+    }
+  }
+
+  /** URL -> (protocol, host, path) struct.
+    * Quirks kept from the reference (`Utils.pm:489-509`): a purely
+    * numeric referrer means an internal abstract page
+    * (-> `http://localhost/<n>`); a protocol-less string is forced
+    * to `http://`. */
+  def parseUrl(url: Column): Column = {
+    val fixed = when(url.rlike("^[0-9]+$"), concat(lit("http://localhost/"), url))
+      .when(!url.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), concat(lit("http://"), url))
+      .otherwise(url)
+    struct(
+      regexp_extract(fixed, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1).as("protocol"),
+      regexp_extract(fixed, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1).as("host"),
+      regexp_extract(fixed, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1).as("path"))
+  }
+
+  /** %XX percent-decoding (ref `Referrer.pm:50`). */
+  def percentDecode(c: Column): Column = url_decode(c)
+
+  /** Referrer classification cascade (ref `Referrer.pm:39-116`).
+    * `localHost` is the repository's own hostname. */
+  def referrer(url: Column, localHost: String): Column = {
+    val u = parseUrl(url)
+    val host = lower(u.getField("host"))
+    val path = u.getField("path")
+    when(url.isNull || url === "", lit("Direct"))
+      .when(url.rlike("^[0-9]+$") || host === "localhost", lit("Internal (Abstract page)"))
+      .when(url.startsWith("info:oai"), lit("Internal (OAI-PMH)"))
+      .when(host === localHost && path.rlike("^/[0-9]+"), lit("Internal (Abstract page)"))
+      .when(host === localHost && path.startsWith("/cgi/search"), lit("Internal (Search)"))
+      .when(host === localHost && path.startsWith("/view/"), lit("Internal (Browse view)"))
+      .when(host === localHost && path.startsWith("/cgi/latest"), lit("Internal (Latest Additions)"))
+      .when(host === localHost, lit("Internal"))
+      .when(host.rlike("(^|\\.)google\\."), lit("Google"))
+      .when(host.rlike("(^|\\.)yahoo\\."), lit("Yahoo"))
+      .when(host.rlike("(^|\\.)(msn|bing)\\."), lit("Bing"))
+      .when(host.rlike("(^|\\.)facebook\\."), lit("Facebook"))
+      .otherwise(host)
+  }
+
+  /** Extract the raw search query from a referrer URL: `q=` for
+    * internal/google/bing, `p=` for yahoo (ref `SearchTerms.pm:41-90`). */
+  def searchQuery(url: Column): Column = {
+    val u = parseUrl(url)
+    val host = lower(u.getField("host"))
+    val q = try_parse_url(when(url.rlike("^[a-zA-Z]+://"), url)
+      .otherwise(concat(lit("http://"), url)), lit("QUERY"), lit("q"))
+    val p = try_parse_url(when(url.rlike("^[a-zA-Z]+://"), url)
+      .otherwise(concat(lit("http://"), url)), lit("QUERY"), lit("p"))
+    when(host.rlike("(^|\\.)yahoo\\."), p).otherwise(q)
+  }
+
+  /** Search-term explosion: decode, split on `+` and whitespace,
+    * strip quotes/punctuation, lowercase, drop stopwords and short
+    * words (ref `SearchTerms.pm:91-198`; builtin stopword list). */
+  def searchTerms(rawQuery: Column, minLen: Int = 2): Column = {
+    val words = split(lower(percentDecode(rawQuery)), "[+\\s]+")
+    val cleaned = transform(words, w => regexp_replace(w, "[\"'.,;:!?()\\[\\]]", ""))
+    filter(cleaned, w =>
+      length(w) >= minLen &&
+        !w.isin(graft.functions.Text.stopwords.map(lit(_)): _*))
+  }
+
+  /** MD5 anonymization of a set value (ref `Sets.pm:341-360`). */
+  def anonymize(c: Column): Column = md5(c.cast("string"))
+}

@@ -1,0 +1,70 @@
+package graft.classify
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Name casing for display values (ref `Sets.pm:487-577`, which ports
+  * Lingua::EN::NameCase). Own implementation of the documented rules:
+  * capitalize word-initials; Mc/Mac prefixes re-capitalize the stem
+  * (with the standard exception list of names where "Mac" is part of
+  * the word); lowercase particles (van, von, de, della, ...); Roman
+  * numerals fully uppercased.
+  *
+  * Used only during set materialization (ETL, small dimension data),
+  * so a Scala UDF is acceptable here — it never sits in the 100 TB
+  * event path. */
+object NameCase {
+
+  private val particles = Set(
+    "al", "ap", "ben", "da", "dai", "dal", "de", "del", "della", "dei",
+    "der", "di", "du", "la", "le", "lo", "van", "von", "und", "the")
+
+  /** Names where "Mac" is lexical, not a patronymic prefix — the stem
+    * must NOT be re-capitalized. */
+  private val macExceptions = Set(
+    "macedo", "macevicius", "machado", "machar", "machin", "machlin",
+    "macias", "maciulis", "mackie", "macklin", "mackmin", "macquarie",
+    "macomber", "macin", "macintosh", "macarthur")
+
+  private val roman = "^(?i)(m{0,3})(cm|cd|d?c{0,3})(xc|xl|l?x{0,3})(ix|iv|v?i{0,3})$".r
+
+  private def caseWord(word: String, isFirst: Boolean): String = {
+    val lower = word.toLowerCase
+    if (lower.isEmpty) return word
+    if (roman.pattern.matcher(lower).matches() && lower.exists(_.isLetter)
+        && lower.length > 1) return lower.toUpperCase
+    if (!isFirst && particles.contains(lower)) return lower
+    val capped = lower.head.toUpper + lower.tail
+    if (lower.startsWith("mac") && lower.length > 5 && !macExceptions.contains(lower))
+      "Mac" + lower.drop(3).head.toUpper + lower.drop(4)
+    else if (lower.startsWith("mc") && lower.length > 2)
+      "Mc" + lower.drop(2).head.toUpper + lower.drop(3)
+    else capped
+  }
+
+  /** Case one full name; hyphen/apostrophe sub-parts are cased too. */
+  def nameCase(name: String): String = {
+    if (name == null) return null
+    val words = name.split(" ", -1)
+    words.zipWithIndex.map { case (w, i) =>
+      w.split("-", -1).map { part =>
+        part.split("'", -1) match {
+          case Array(single) => caseWord(single, i == 0)
+          case parts => parts.zipWithIndex.map { case (p, j) =>
+            // O'Brien: capitalize both sides of the apostrophe
+            if (j == 0 && p.length <= 1) p.toUpperCase else caseWord(p, i == 0 || j > 0)
+          }.mkString("'")
+        }
+      }.mkString("-")
+    }.mkString(" ")
+  }
+
+  val nameCaseUdf = udf(nameCase _)
+
+  def apply(c: Column): Column = nameCaseUdf(c)
+
+  /** "family, given" display form (ref `Sets.pm:378-392`). */
+  def displayName(family: Column, given: Column): Column =
+    org.apache.spark.sql.functions.concat_ws(", ",
+      nameCaseUdf(family), nameCaseUdf(given))
+}

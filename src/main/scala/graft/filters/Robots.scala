@@ -1,0 +1,54 @@
+package graft.filters
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robot filtering (SURVEY.md §2.2 F1/F2; ref
+  * `Filter/Robots.pm:13-150` with 826 UA patterns + 613 IP prefixes).
+  *
+  * Scale posture: both filters compile to a single predicate evaluated
+  * inside the scan's whole-stage codegen:
+  *  - UA: one `rlike` against an alternation regex (the JVM compiles
+  *    it once per task, not per row);
+  *  - IP: prefix match against a literal alternation anchored at `^`.
+  * Neither shuffles; both are null-safe (null UA/IP is NOT a robot,
+  * matching the reference's substring semantics).
+  *
+  * Lists are configurable at construction — production ships the full
+  * public robots lists as resources; defaults here are a representative
+  * built-in set.
+  */
+object Robots {
+
+  /** Built-in UA substrings (lowercase) flagged as robots. */
+  val defaultUaPatterns: Seq[String] = Seq(
+    "bot", "crawl", "spider", "slurp", "archiver", "harvester",
+    "scraper", "wget", "curl", "httpclient", "libwww", "python-requests",
+    "java/", "feedfetcher", "mediapartners", "facebookexternalhit",
+    "semrush", "ahrefs", "mj12", "dotbot", "petalbot", "bytespider")
+
+  /** Built-in robot IP prefixes (class-C style). */
+  val defaultIpPrefixes: Seq[String] = Seq(
+    "66.249.", "40.77.", "157.55.", "207.46.", "180.76.", "220.181.",
+    "123.125.", "17.241.", "114.119.")
+
+  private def quote(s: String): String = java.util.regex.Pattern.quote(s)
+
+  /** True iff the UA matches any robot pattern (case-insensitive). */
+  def isRobotUa(ua: Column, patterns: Seq[String] = defaultUaPatterns): Column =
+    coalesce(lower(ua).rlike(patterns.map(quote).mkString("|")), lit(false))
+
+  /** True iff the IP starts with any robot prefix. */
+  def isRobotIp(ip: Column, prefixes: Seq[String] = defaultIpPrefixes): Column =
+    coalesce(ip.rlike("^(" + prefixes.map(quote).mkString("|") + ")"), lit(false))
+
+  /** Drop robot hits by UA and IP — the standard pre-filter applied
+    * before any metric processor (ref filter priority ordering,
+    * `Handler.pm:1064-1071`). */
+  def filterRobots(events: DataFrame, uaCol: String = "requester_user_agent",
+      ipCol: String = "requester_id",
+      uaPatterns: Seq[String] = defaultUaPatterns,
+      ipPrefixes: Seq[String] = defaultIpPrefixes): DataFrame =
+    events.filter(!isRobotUa(col(uaCol), uaPatterns) &&
+      !isRobotIp(col(ipCol), ipPrefixes))
+}

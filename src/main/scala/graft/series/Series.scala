@@ -65,6 +65,16 @@ object Series {
         .cast("long"))
   }
 
+  /** W6 year-over-year compare (ref `View/Compare.pm:21-93`): one
+    * (year, month, count) row per month — the long form of the
+    * reference's per-year series fan-out, computed in ONE pass
+    * instead of a query per year. */
+  def compareYears(series: DataFrame, dateCol: String = "d",
+      countCol: String = "cnt"): DataFrame =
+    series.groupBy(
+      year(col(dateCol)).as("year"), month(col(dateCol)).as("month"))
+      .agg(sum(col(countCol)).as(countCol))
+
   /** W5 sparkline: collapse duplicate dates, drop leading zero-count
     * rows, ascending order (ref `View/Google/Spark.pm:16-82`). */
   def sparkline(series: DataFrame, dateCol: String = "d",

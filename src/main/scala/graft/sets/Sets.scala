@@ -1,0 +1,94 @@
+package graft.sets
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.classify.{Classify, NameCase}
+
+/** Dimension ("set") materialization (SURVEY.md §1.1, §2.10; ref
+  * `Sets.pm:34-164,222-336`): turn repository metadata into
+  * (set_value, id) dimension tables, with multi-value explosion,
+  * name normalization, optional anonymization, blacklisting, subject
+  * ancestor closure, and grouping bridge tables.
+  *
+  * Scale posture: set tables are small relative to facts (one row per
+  * item x value). They are built once per ETL run with explode +
+  * joins, then BROADCAST at query time (QueryCompiler J1/J2). The
+  * ancestor closure is an iterative self-join bounded by tree depth —
+  * each iteration is a broadcast join against the (tiny) subject tree.
+  */
+object Sets {
+
+  /** Declarative set definition.
+    * @param name        set name (dim table key)
+    * @param source      metadata column holding the value(s)
+    * @param multiple    explode an array column
+    * @param isName      apply NameCase "family, given" normalization
+    * @param anonymize   md5 the value (ref `Sets.pm:341-360`)
+    * @param blacklist   values to drop */
+  final case class SetDef(
+      name: String,
+      source: String,
+      multiple: Boolean = false,
+      isName: Boolean = false,
+      anonymize: Boolean = false,
+      blacklist: Set[String] = Set.empty)
+
+  /** Materialize one set dim: (set_value, id). */
+  def materialize(meta: DataFrame, d: SetDef, idCol: String = "id"): DataFrame = {
+    val exploded =
+      if (d.multiple) meta.select(col(idCol).as("id"), explode(col(d.source)).as("v"))
+      else meta.select(col(idCol).as("id"), col(d.source).as("v"))
+    val normalized = if (d.isName) exploded.withColumn("v", NameCase(col("v"))) else exploded
+    val anon = if (d.anonymize) normalized.withColumn("v", Classify.anonymize(col("v")))
+      else normalized
+    val cleaned = anon.filter(col("v").isNotNull && col("v") =!= "")
+    val listed =
+      if (d.blacklist.nonEmpty) cleaned.filter(!col("v").isin(d.blacklist.toSeq: _*))
+      else cleaned
+    listed.select(col("v").as("set_value"), col("id")).distinct()
+  }
+
+  /** Subject ancestor closure (ref `Sets.pm:402-424,461-485`): an
+    * item tagged with a subject also counts toward every ancestor.
+    * `tree` is (child, parent); iterated to `maxDepth` (tree height),
+    * stopping early when a pass adds nothing. */
+  def ancestorClosure(assignments: DataFrame, tree: DataFrame,
+      maxDepth: Int = 12): DataFrame = {
+    // assignments: (set_value, id); tree: (child, parent)
+    val t = broadcast(tree.select(col("child"), col("parent")).distinct())
+    var acc = assignments.select("set_value", "id").distinct()
+    var frontier = acc
+    var depth = 0
+    var growing = true
+    while (growing && depth < maxDepth) {
+      val parents = frontier
+        .join(t, frontier("set_value") === t("child"))
+        .select(col("parent").as("set_value"), col("id"))
+        .distinct()
+      val added = parents.except(acc)
+      if (added.isEmpty) growing = false
+      else {
+        acc = acc.unionByName(added).distinct()
+        frontier = added
+      }
+      depth += 1
+    }
+    acc
+  }
+
+  /** Grouping bridge (ref `Handler.pm:942-977`): pre-joined pairs of
+    * set membership x grouping membership per item, so "top G within
+    * set S=v" is one join at query time. */
+  def groupingBridge(setDim: DataFrame, groupingDim: DataFrame): DataFrame =
+    setDim.select(col("set_value"), col("id"))
+      .join(groupingDim.select(col("set_value").as("grouping_value"), col("id")), "id")
+      .select("set_value", "id", "grouping_value")
+
+  /** Rendered display values (ref `Handler.pm:980-1006`): set_value ->
+    * display string; identity unless a render map is supplied. */
+  def renderedValues(setDim: DataFrame,
+      render: Option[Column => Column] = None): DataFrame = {
+    val v = col("set_value")
+    setDim.select(v, render.map(f => f(v)).getOrElse(v).as("rendered")).distinct()
+  }
+}

@@ -1,0 +1,54 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Fact-table storage (SURVEY.md §2.1 S6/S7, §2.9 St2/St3):
+  * date-partitioned parquet per datatype, idempotent backfill, and a
+  * tiny checkpoint file for incremental runs.
+  *
+  * Scale posture:
+  *  - facts are partitioned by `date` — every query's F8 date-range
+  *    predicate becomes partition pruning (no I/O outside the range),
+  *    and daily ingest appends exactly one partition;
+  *  - reprocessing a window (`--from-date` semantics, ref
+  *    `Handler.pm:756-771` DELETE + re-scan) maps to DYNAMIC partition
+  *    overwrite: only the recomputed day partitions are replaced,
+  *    atomically per partition — the idempotent-backfill pattern;
+  *  - the checkpoint is driver-side metadata (a few bytes), never a
+  *    Spark job.
+  */
+object FactStore {
+
+  /** Append daily fact rows (date, id, value, count) partitioned by date. */
+  def append(fact: DataFrame, path: String): Unit =
+    fact.write.mode("append").partitionBy("date").parquet(path)
+
+  /** St3 idempotent backfill: replace exactly the day partitions
+    * present in `fact`, leave all others untouched. */
+  def overwritePartitions(fact: DataFrame, path: String): Unit =
+    fact.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic") match {
+      case _ =>
+        fact.write.mode("overwrite").partitionBy("date").parquet(path)
+    }
+
+  /** Read a fact table; date-range filters prune partitions. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** St2 checkpoint: last fully-processed position (e.g. day or id),
+    * stored as a one-line file — the analog of the reference's
+    * `current_<key>` internal rows (ref `Handler.pm:80-124`). */
+  def saveCheckpoint(dir: String, key: String, value: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, s"$key.ckpt"), value.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  def loadCheckpoint(dir: String, key: String): Option[String] = {
+    val p = Paths.get(dir, s"$key.ckpt")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.AccessEvent
+
+/** Structured-Streaming ingest (SURVEY.md §2.9): the streaming analog
+  * of the batch daily-fact pipeline.
+  *
+  *  - St1 day-watermark: the reference skips today's live file; here
+  *    a 1-day event-time watermark bounds state and admits the same
+  *    late data window;
+  *  - St2 checkpointing comes from the streaming checkpoint dir;
+  *  - St5 sessionized repeat-filtering is `flatMapGroupsWithState`
+  *    with per-key "last kept" state and event-time timeout = the
+  *    repeat window, so state for idle keys is dropped exactly when
+  *    it can no longer suppress anything.
+  */
+object Streaming {
+
+  /** File-source stream of access events (one day file at a time). */
+  def readAccessStream(spark: SparkSession, root: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .option("sep", "\t")
+      .option("mode", "DROPMALFORMED")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(AccessEvent.schema)
+      .csv(root)
+      .withColumn("ts", try_to_timestamp(col("datestamp"), lit("yyyy-MM-dd'T'HH:mm:ssX")))
+      .filter(col("ts").isNotNull)
+
+  /** Streaming daily fact: 1-day tumbling windows with a 1-day
+    * watermark; append mode emits a day only once it is complete —
+    * the St1 "closed days only" semantics. */
+  def dailyFactStream(events: DataFrame, idCol: String = "referent_id",
+      valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col(idCol).as("id"), col(valueCol).as("value"))
+      .agg(count(lit(1)).as("count"))
+      .select(to_date(col("window.start")).as("date"),
+        col("id"), col("value"), col("count"))
+
+  /** One keyed click event for the streaming repeat filter. */
+  case class Keyed(key: String, sec: Long)
+  /** Kept (non-repeat) click. */
+  case class Kept(key: String, sec: Long)
+
+  /** Streaming F3 with faithful "since last KEPT" semantics: per-key
+    * state holds the last kept epoch; events within `timeoutSec` of it
+    * are suppressed. State expires `timeoutSec` after the last kept
+    * hit (it can no longer suppress anything beyond that horizon).
+    *
+    * Note: within a micro-batch the group iterator is processed in
+    * ascending `sec` order to make the sequential semantics
+    * deterministic regardless of source ordering. */
+  def repeatFilterStream(events: Dataset[Keyed], timeoutSec: Long,
+      stateTimeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())(
+      implicit spark: SparkSession): Dataset[Kept] = {
+    import spark.implicits._
+    val usesTimeout = stateTimeout != GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, Kept](
+        OutputMode.Append(), stateTimeout) {
+        case (key, it, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var lastKept = state.getOption.getOrElse(Long.MinValue)
+            val kept = scala.collection.mutable.ArrayBuffer.empty[Kept]
+            for (e <- it.toSeq.sortBy(_.sec)) {
+              if (lastKept == Long.MinValue || e.sec - lastKept > timeoutSec) {
+                kept += Kept(key, e.sec)
+                lastKept = e.sec
+              }
+            }
+            if (lastKept != Long.MinValue) {
+              state.update(lastKept)
+              if (usesTimeout) state.setTimeoutDuration(timeoutSec * 1000)
+            }
+            kept.iterator
+          }
+      }
+  }
+}

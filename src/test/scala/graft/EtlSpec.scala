@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.classify.{Classify, NameCase}
+import graft.filters.{Repeat, Robots}
+import graft.ingest.AccessLog
+import graft.sets.Sets
+import graft.store.FactStore
+import graft.views.KeyFigures
+
+/** ETL-layer specs: ingest, filters, classifiers, sets, store —
+  * driven by a deterministic generated access-log fixture in the
+  * reference's TSV day-file format (SURVEY.md §1.2). */
+class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("etl-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val logDir: String = {
+    val dir = Files.createTempDirectory("access").toFile
+    val day1 = new java.io.File(dir, "2024/2024-03-01.log.gz")
+    day1.getParentFile.mkdirs()
+    val lines = Seq(
+      // ts, ip, ua, referrer, service, epid, docid
+      "2024-03-01T10:00:00Z\t1.2.3.4\tMozilla/5.0 Chrome/99\thttps://www.google.com/search?q=dark+matter\t?fulltext=yes\t12\t7",
+      "2024-03-01T10:10:00Z\t1.2.3.4\tMozilla/5.0 Chrome/99\t\t?abstract=yes\t12\t",
+      "2024-03-01T11:00:00Z\t5.6.7.8\tGooglebot/2.1\thttps://x.com\t?fulltext=yes\t12\t7",
+      "2024-03-01T12:00:00Z\t9.9.9.9\tOpera/9.80\t123\t?abstract=yes\t99\t",
+      "malformed line without tabs",
+      "2024-03-01T12:30:00Z\t9.9.9.9\tOpera/9.80\t123\t?abstract=yes\t99\t")
+    val out = new GZIPOutputStream(new java.io.FileOutputStream(day1))
+    out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    dir.getAbsolutePath
+  }
+
+  test("S1/S3: gzip TSV day-file scan drops malformed lines") {
+    val df = AccessLog.read(spark, logDir + "/*/*.log.gz")
+    assert(df.count() == 5) // 6 lines - 1 malformed
+    assert(df.select("file_date").distinct().count() == 1)
+  }
+
+  test("F1: robot UA filtering removes the Googlebot hit") {
+    val df = AccessLog.read(spark, logDir + "/*/*.log.gz")
+    val clean = Robots.filterRobots(df)
+    assert(clean.count() == 4)
+    assert(clean.filter(lower(col("requester_user_agent")).contains("bot")).count() == 0)
+  }
+
+  test("F5+A1: downloads/views split and daily fact grain") {
+    val df = Robots.filterRobots(AccessLog.read(spark, logDir + "/*/*.log.gz"))
+    val fact = graft.processors.Processors.dailyFact(
+      AccessLog.withDownloadFlag(df),
+      tsCol = "ts", idCol = "referent_id", valueCol = "value")
+    val rows = fact.collect().map(r =>
+      (r.getAs[java.sql.Date]("date").toString, r.getAs[Long]("id"),
+        r.getAs[String]("value"), r.getAs[Long]("count"))).toSet
+    assert(rows == Set(
+      ("2024-03-01", 12L, "downloads", 1L),
+      ("2024-03-01", 12L, "views", 1L),
+      ("2024-03-01", 99L, "views", 2L)))
+  }
+
+  test("F3 sequential vs lag: chain spanning timeout differs") {
+    val s = spark; import s.implicits._
+    // hits at t=0, 3000, 5000s; timeout 3600: sequential keeps 0 and
+    // 5000 (5000-0>3600); lag keeps only 0 (3000-0<=3600, 5000-3000<=3600)
+    val df = Seq((1L, 0L, 1L), (1L, 3000L, 2L), (1L, 5000L, 3L))
+      .toDF("key", "sec", "event_id")
+    val seq = Repeat.sequential(df, Seq("key"), "sec", 3600L, "event_id")
+      .select("sec").collect().map(_.getLong(0)).toSet
+    val lag = Repeat.lagApprox(df, Seq("key"), "sec", 3600L, "event_id")
+      .select("sec").collect().map(_.getLong(0)).toSet
+    assert(seq == Set(0L, 5000L))
+    assert(lag == Set(0L))
+  }
+
+  test("C2: browser classification first-match order") {
+    val s = spark; import s.implicits._
+    val r = Seq("Mozilla/5.0 Chrome/99 Safari/537", "Mozilla/5.0 Safari/537",
+      "UNKNOWN-UA", "wget/1.21")
+      .toDF("ua").select(Classify.browser(col("ua"))).collect().map(_.getString(0))
+    // Chrome wins over Safari and Mozilla (first match in sorted order)
+    assert(r.toSeq == Seq("Chrome", "Mozilla", "Other", "Wget"))
+  }
+
+  test("C3/C5: URL parse quirks and referrer cascade") {
+    val s = spark; import s.implicits._
+    val df = Seq("42", "www.google.com/search?q=x", "https://myrepo.org/cgi/search/foo",
+      "https://myrepo.org/view/year/", "info:oai:myrepo", "https://other.site/page")
+      .toDF("url")
+    val r = df.select(Classify.referrer(col("url"), "myrepo.org")).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("Internal (Abstract page)", "Google", "Internal (Search)",
+      "Internal (Browse view)", "Internal (OAI-PMH)", "other.site"))
+  }
+
+  test("C6: search-term extraction with stopword and length filters") {
+    val s = spark; import s.implicits._
+    val df = Seq("https://www.google.com/search?q=the+dark+%22matter%22+a+of")
+      .toDF("url")
+    val terms = df.select(Classify.searchTerms(Classify.searchQuery(col("url"))))
+      .head().getSeq[String](0)
+    // 'the', 'a', 'of' are stopwords; quotes stripped from "matter"
+    assert(terms == Seq("dark", "matter"))
+  }
+
+  test("C8: NameCase covers Mc/Mac, particles, Roman numerals") {
+    assert(NameCase.nameCase("JOHN MCDONALD") == "John McDonald")
+    assert(NameCase.nameCase("ludwig van beethoven") == "Ludwig van Beethoven")
+    assert(NameCase.nameCase("henry viii") == "Henry VIII")
+    assert(NameCase.nameCase("keith o'brien") == "Keith O'Brien")
+    assert(NameCase.nameCase("pedro machado") == "Pedro Machado") // Mac exception
+  }
+
+  test("Sets: explode + anonymize + blacklist materialization") {
+    val s = spark; import s.implicits._
+    val meta = Seq(
+      (1L, Seq("physics", "maths")),
+      (2L, Seq("physics", "secret"))).toDF("id", "subjects")
+    val dim = Sets.materialize(meta,
+      Sets.SetDef("subjects", "subjects", multiple = true, blacklist = Set("secret")))
+    val rows = dim.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("physics", 1L), ("maths", 1L), ("physics", 2L)))
+    val anon = Sets.materialize(meta,
+      Sets.SetDef("subjects", "subjects", multiple = true, anonymize = true))
+    assert(anon.select("set_value").head().getString(0).matches("[0-9a-f]{32}"))
+  }
+
+  test("Sets: ancestor closure climbs a 3-level tree") {
+    val s = spark; import s.implicits._
+    val asn = Seq(("c", 1L)).toDF("set_value", "id")
+    val tree = Seq(("c", "b"), ("b", "a")).toDF("child", "parent")
+    val closure = Sets.ancestorClosure(asn, tree)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(closure == Set(("c", 1L), ("b", 1L), ("a", 1L)))
+  }
+
+  test("FactStore: partitioned append + dynamic partition overwrite") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("facts").toString
+    val d1 = java.sql.Date.valueOf("2024-03-01")
+    val d2 = java.sql.Date.valueOf("2024-03-02")
+    FactStore.append(Seq((d1, 1L, "downloads", 5L), (d2, 1L, "downloads", 7L))
+      .toDF("date", "id", "value", "count"), dir)
+    // backfill day 2 only; day 1 must survive untouched
+    FactStore.overwritePartitions(Seq((d2, 1L, "downloads", 9L))
+      .toDF("date", "id", "value", "count"), dir)
+    val rows = FactStore.read(spark, dir)
+      .collect().map(r => (r.getAs[java.sql.Date]("date").toString, r.getAs[Long]("count"))).toSet
+    assert(rows == Set(("2024-03-01", 5L), ("2024-03-02", 9L)))
+  }
+
+  test("FactStore: checkpoint save/load roundtrip") {
+    val dir = Files.createTempDirectory("ckpt").toString
+    assert(FactStore.loadCheckpoint(dir, "access").isEmpty)
+    FactStore.saveCheckpoint(dir, "access", "2024-03-01")
+    assert(FactStore.loadCheckpoint(dir, "access").contains("2024-03-01"))
+  }
+
+  test("KeyFigures: one-pass metrics + ratio") {
+    val s = spark; import s.implicits._
+    val fact = Seq(("downloads", 30L), ("views", 60L), ("downloads", 30L))
+      .toDF("value", "count")
+    val m = KeyFigures.withRatio(
+      KeyFigures.compute(fact, Seq(
+        KeyFigures.Metric("downloads", col("value") === "downloads"),
+        KeyFigures.Metric("views", col("value") === "views"),
+        KeyFigures.Metric("none", col("value") === "zzz"))),
+      "pct", "downloads", "views")
+    val r = m.head()
+    assert(r.getAs[Long]("downloads") == 60L)
+    assert(r.getAs[Long]("views") == 60L)
+    assert(r.getAs[Long]("none") == 0L)
+    assert(r.getAs[Long]("pct") == 100L)
+  }
+}

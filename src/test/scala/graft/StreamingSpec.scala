@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Keyed, Kept}
+
+/** Structured-Streaming specs (SURVEY.md §2.9): sessionized repeat
+  * filtering with state, via MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("streaming-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("St5: streaming repeat filter keeps state across micro-batches") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Keyed]
+    // NoTimeout in the test: ProcessingTimeTimeout schedules continuous
+    // empty batches (state-expiry checks), which never settle under
+    // processAllAvailable.
+    val q = Streaming.repeatFilterStream(input.toDS(), timeoutSec = 3600,
+        stateTimeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("kept").outputMode("append").start()
+
+    // batch 1: t=0 kept, t=1000 suppressed (within 3600 of t=0)
+    input.addData(Keyed("k1", 0L), Keyed("k1", 1000L))
+    q.processAllAvailable()
+    // batch 2: t=2000 still suppressed BY STATE from batch 1; t=5000 kept
+    input.addData(Keyed("k1", 2000L), Keyed("k1", 5000L))
+    q.processAllAvailable()
+
+    val kept = spark.table("kept").as[Kept].collect().map(_.sec).sorted
+    q.stop()
+    assert(kept.toSeq == Seq(0L, 5000L))
+  }
+
+  test("streaming daily fact emits closed days under watermark") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Int, String)]
+    val events = input.toDS()
+      .toDF("ts", "referent_id", "value")
+    val q = Streaming.dailyFactStream(events)
+      .writeStream.format("memory").queryName("fact").outputMode("append").start()
+
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    input.addData((ts("2024-03-01 10:00:00"), 1, "downloads"),
+      (ts("2024-03-01 11:00:00"), 1, "downloads"))
+    q.processAllAvailable()
+    // advance watermark past day 1: new event two days later
+    input.addData((ts("2024-03-03 01:00:00"), 2, "views"))
+    q.processAllAvailable()
+    input.addData((ts("2024-03-05 01:00:00"), 3, "views"))
+    q.processAllAvailable()
+
+    val rows = spark.table("fact").collect()
+      .map(r => (r.getAs[java.sql.Date]("date").toString,
+        r.getAs[Int]("id"), r.getAs[String]("value"), r.getAs[Long]("count")))
+    q.stop()
+    assert(rows.contains(("2024-03-01", 1, "downloads", 2L)))
+  }
+}
