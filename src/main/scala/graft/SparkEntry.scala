@@ -270,8 +270,8 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "t4_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      Dedup.fingerprints(Tables.documents(s, d))
+        .select(col("id").as("doc_id"), col("fp"))
         .orderBy("doc_id")),
 
     "t5_top_terms" -> ((s, d) =>
@@ -288,7 +288,7 @@ object SparkEntry {
     }),
 
     "d2_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashNearDup(Tables.documents(s, d), num = 19, den = 20)
+      Dedup.minhashNearDup(Tables.documents(s, d), num = 1, den = 2)
         .orderBy("a", "b")),
 
     "d3_simhash" -> ((s, d) =>
@@ -643,28 +643,39 @@ object SparkEntry {
         |       MIN(doc_id) AS canonical
         |FROM u GROUP BY 1 ORDER BY canonical""".stripMargin,
 
-    "d2_minhash_lsh" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-         |  FROM documents),
-         |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
-         |sig AS (
-         |  SELECT doc_id, seed, MIN(${hex60("seed || '|' || tok")}) AS m
-         |  FROM toks CROSS JOIN seeds GROUP BY doc_id, seed),
+    "d2_minhash_lsh" -> {
+      val masks = graft.dedup.Dedup.minhashMasks(16)
+      val minAggs = masks.zipWithIndex
+        .map { case (m, i) => s"MIN(xor(h, ${m}::BIGINT)) AS m$i" }.mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        val ms = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($ms) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |  WHERE len(string_split(lower(text), ' ')) >= 3),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> ${hex60("array_to_string(list_slice(toks, i, i + 2), ' ')")}))) AS h
+         |  FROM t),
+         |sig AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, seed // 4 AS band,
-         |         md5(string_agg(m::VARCHAR, ',' ORDER BY seed)) AS bkey
-         |  FROM sig GROUP BY doc_id, seed // 4),
+         |  $bandRows),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts FROM documents)
-         |SELECT a, b FROM cand
-         |JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b
-         |WHERE 20 * len(list_intersect(sa.ts, sb.ts))
-         |      >= 19 * (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)))
-         |ORDER BY a, b""".stripMargin,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a, c.b, COUNT(*) AS i
+         |  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND x.h = y.h
+         |  GROUP BY 1, 2)
+         |SELECT a, b FROM inter
+         |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE i * 2 >= (sa.n + sb.n - i) * 1
+         |ORDER BY a, b""".stripMargin
+    },
 
     "d3_simhash" ->
       s"""WITH $simhashSql

@@ -23,6 +23,22 @@ object Text {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Same hash computed driver-side (for deterministic literal seeds
+    * shared with external oracles). */
+  def hash60Literal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** 3-token shingle strings (HOF over the token array — cheap string
+    * concat; hash AFTER exploding so md5 stays in codegen). */
+  def shingleStrings(text: Column): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+  }
+
   /** Whitespace tokenization after lowercasing. */
   def tokens(text: Column): Column =
     split(lower(text), "\\s+")
