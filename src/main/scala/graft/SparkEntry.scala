@@ -417,6 +417,30 @@ object SparkEntry {
       Series.compareYears(daily).orderBy("year", "month")
     }),
 
+    // ---- C1: GeoIP range-join classification ----
+    "c1_geo_country" -> ((s, d) => {
+      import graft.classify.Geo
+      // deterministic synthetic IP per event from user_id/event_id
+      val e = ev(s, d).withColumn("requester_id",
+        concat_ws(".",
+          (col("user_id") % 223 + 1).cast("int"),
+          (col("event_id") % 256).cast("int"),
+          lit(0), lit(1)))
+      Geo.classify(e, Geo.demoRanges(s))
+        .groupBy("country").agg(count(lit(1)).as("cnt"))
+        .orderBy("country")
+    }),
+
+    // ---- A5: lifetime-totals MV substitution (no-date-bounds query) ----
+    "a5_lifetime_mv" -> ((s, d) => {
+      val f = fact(s, d)
+      val mv = f.groupBy("id", "value").agg(sum("count").as("count"))
+      QueryCompiler.compile(
+        Context(datatype = "events", fields = Seq("value"),
+          orderBy = Some("value"), orderDesc = false),
+        catalog(s, d).copy(lifetime = Map("events" -> mv)))
+    }),
+
     // ---- Sets: ancestor closure (nation -> region hierarchy) ----
     "set_closure" -> ((s, d) => {
       val c = Tables.customer(s, d); val n = Tables.nation(s, d)
@@ -813,6 +837,18 @@ object SparkEntry {
         |       CAST(month(l_shipdate) AS INTEGER) AS month,
         |       COUNT(*) AS cnt
         |FROM lineitem GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
+
+    "c1_geo_country" ->
+      """SELECT CASE WHEN (event_id % 256) <= 127
+        |    THEN (['US','DE','GB','FR','JP','CN','BR','IN'])[CAST((user_id % 223) % 8 AS INTEGER) + 1]
+        |    ELSE NULL END AS country,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY country""".stripMargin,
+
+    "a5_lifetime_mv" ->
+      s"""WITH $factCte
+         |SELECT value, CAST(SUM(count) AS BIGINT) AS count
+         |FROM fact GROUP BY value ORDER BY value""".stripMargin,
 
     "set_closure" ->
       """WITH asn AS (

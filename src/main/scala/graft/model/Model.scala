@@ -81,6 +81,28 @@ final case class Context(
 object DateUtils {
   import java.time.LocalDate
 
+  /** F12 multi-format date parsing (ref `Utils.pm:52-110`,
+    * `Context.pm:438-554`): YYYYMMDD, YYYY-MM-DD, YYYY/MM/DD, or a
+    * bare YYYY (meaning Jan 1). Invalid -> None. */
+  def parseDate(s: String): Option[LocalDate] = {
+    val Compact = """(\d{4})(\d{2})(\d{2})""".r
+    val Dashed = """(\d{4})-(\d{2})-(\d{2})""".r
+    val Slashed = """(\d{4})/(\d{2})/(\d{2})""".r
+    val YearOnly = """(\d{4})""".r
+    try s.trim match {
+      case Compact(y, m, d) => Some(LocalDate.of(y.toInt, m.toInt, d.toInt))
+      case Dashed(y, m, d) => Some(LocalDate.of(y.toInt, m.toInt, d.toInt))
+      case Slashed(y, m, d) => Some(LocalDate.of(y.toInt, m.toInt, d.toInt))
+      case YearOnly(y) => Some(LocalDate.of(y.toInt, 1, 1))
+      case _ => None
+    } catch { case _: java.time.DateTimeException => None }
+  }
+
+  /** F12 param sanitization (ref `Utils.pm:52-110`): strip the
+    * characters the reference rejects in non-context params. */
+  def sanitizeParam(s: String): String =
+    s.replaceAll("[<>/\\\\;=&?%']", "").replaceAll("[\\p{Cntrl}]", "")
+
   /** `'Nd'|'Nm'|'Ny'` offsets, a literal year `'YYYY'`, or `'_ALL_'`.
     * Ref `Utils.pm:217-331`: to = yesterday; from = to - offset + 1 unit;
     * cap 20 years ("no stats before the invention of the web"). */

@@ -36,11 +36,24 @@ object QueryCompiler {
   final case class Catalog(
       facts: Map[String, DataFrame],              // datatype → fact(date,id,value,count)
       sets: Map[String, SetDim] = Map.empty,      // set_name → dim
-      liveFilter: Option[DataFrame] = None)       // F6 archive-only ids (one col "id")
+      liveFilter: Option[DataFrame] = None,       // F6 archive-only ids (one col "id")
+      lifetime: Map[String, DataFrame] = Map.empty) // A5 MV: datatype → (id,value,count)
+
+  /** A5 cache-table substitution (ref `Data.pm:128-139`): an all-time
+    * query (no date bounds, datestamp unselected) is answered from the
+    * lifetime-totals materialized view instead of scanning every fact
+    * partition. The reference does this swap in its query layer too —
+    * it is a semantic rewrite the optimizer can't infer. */
+  private def substituteLifetime(ctx: Context, cat: Catalog): Option[DataFrame] =
+    if (ctx.from.isEmpty && ctx.to.isEmpty && ctx.range.isEmpty &&
+        !ctx.fields.contains("date"))
+      cat.lifetime.get(ctx.datatype)
+    else None
 
   def compile(ctx: Context, cat: Catalog): DataFrame = {
-    var df = cat.facts.getOrElse(ctx.datatype,
-      throw new IllegalArgumentException(s"unknown datatype ${ctx.datatype}"))
+    var df = substituteLifetime(ctx, cat)
+      .orElse(cat.facts.get(ctx.datatype))
+      .getOrElse(throw new IllegalArgumentException(s"unknown datatype ${ctx.datatype}"))
 
     // F8 date-range predicate (ref Handler.pm:325-340): from==to ⇒ equality
     (ctx.from, ctx.to) match {

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Report
+import graft.classify.Geo
+import graft.export.Export
+import graft.model.{Context, DateUtils}
+import graft.query.QueryCompiler
+import graft.query.QueryCompiler.Catalog
+
+/** Specs for the API layer: report fan-out, exporters, geo range
+  * join, context validation, MV substitution. */
+class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("api-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fact() = {
+    val s = spark; import s.implicits._
+    Seq(
+      (java.sql.Date.valueOf("2024-03-01"), 1L, "downloads", 5L),
+      (java.sql.Date.valueOf("2024-03-02"), 1L, "downloads", 3L),
+      (java.sql.Date.valueOf("2024-03-02"), 2L, "views", 7L))
+      .toDF("date", "id", "value", "count")
+  }
+
+  test("date parsing accepts all reference formats") {
+    assert(DateUtils.parseDate("20240301").contains(java.time.LocalDate.of(2024, 3, 1)))
+    assert(DateUtils.parseDate("2024-03-01").contains(java.time.LocalDate.of(2024, 3, 1)))
+    assert(DateUtils.parseDate("2024/03/01").contains(java.time.LocalDate.of(2024, 3, 1)))
+    assert(DateUtils.parseDate("2024").contains(java.time.LocalDate.of(2024, 1, 1)))
+    assert(DateUtils.parseDate("20241301").isEmpty)  // month 13
+    assert(DateUtils.parseDate("garbage").isEmpty)
+  }
+
+  test("param sanitization strips rejected characters") {
+    assert(DateUtils.sanitizeParam("a<b>c/d;e=f&g?h%i'j\\k") == "abcdefghijk")
+    assert(DateUtils.sanitizeParam("ok_value-1.2") == "ok_value-1.2")
+  }
+
+  test("range resolution: to defaults to yesterday; year literal; _ALL_") {
+    val today = java.time.LocalDate.of(2024, 6, 15)
+    val (f1, t1) = DateUtils.resolveRange("1m", today)
+    assert(t1.contains(java.time.LocalDate.of(2024, 6, 14)))
+    assert(f1.contains(java.time.LocalDate.of(2024, 5, 15)))
+    val (f2, t2) = DateUtils.resolveRange("2023", today)
+    assert(f2.contains(java.time.LocalDate.of(2023, 1, 1)))
+    assert(t2.contains(java.time.LocalDate.of(2023, 12, 31)))
+    assert(DateUtils.resolveRange("_ALL_", today) == (None, None))
+  }
+
+  test("report fan-out applies per-item overrides to a shared base") {
+    val cat = Catalog(facts = Map("downloads" -> fact(), "views" -> fact()))
+    val spec = Report.Spec("item-page",
+      base = Context(datatype = "downloads", fields = Seq("value")),
+      items = Seq(
+        Report.Item("counter"),
+        Report.Item("table", _.copy(datafilter = Some("views"), fields = Seq("id")))))
+    val out = Report.compile(spec, cat, java.time.LocalDate.of(2024, 6, 15)).toMap
+    assert(out("counter").columns.toSeq == Seq("value", "count"))
+    val tbl = out("table").collect()
+    assert(tbl.map(_.getLong(0)).toSeq == Seq(2L)) // only id 2 has 'views'
+  }
+
+  test("lifetime MV substitution answers dateless queries from the MV") {
+    val mv = fact().groupBy("id", "value").agg(sum("count").as("count"))
+      .withColumn("count", col("count") * 1000) // poisoned: proves MV was used
+    val cat = Catalog(facts = Map("downloads" -> fact()),
+      lifetime = Map("downloads" -> mv))
+    val dateless = QueryCompiler.compile(
+      Context(datatype = "downloads", fields = Seq("value")), cat)
+    assert(dateless.filter(col("value") === "downloads").head().getAs[Long]("count") == 8000L)
+    val dated = QueryCompiler.compile(
+      Context(datatype = "downloads", fields = Seq("value"),
+        from = Some(java.time.LocalDate.of(2024, 3, 1)),
+        to = Some(java.time.LocalDate.of(2024, 3, 1))), cat)
+    assert(dated.filter(col("value") === "downloads").head().getAs[Long]("count") == 5L)
+  }
+
+  test("geo range join classifies and leaves unmatched IPs null") {
+    val s = spark; import s.implicits._
+    val e = Seq("1.5.0.1", "1.200.0.1", "9.1.2.3").toDF("requester_id")
+    val out = Geo.classify(e, Geo.demoRanges(spark))
+      .select("requester_id", "country").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("1.5.0.1") == "US")    // octet 1, low half
+    assert(out("1.200.0.1") == null)  // high half: no range
+    assert(out("9.1.2.3") == "US")    // octet 9 -> (9-1)%8=0 -> US
+  }
+
+  test("exporters: csv quoting, json envelope, xml escaping") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a,b", 1L), ("<tag>", 2L)).toDF("name", "count")
+    val csv = Export.toCsv(df)
+    assert(csv.startsWith("name,count"))
+    assert(csv.contains("\"a,b\",1"))
+    val json = Export.toJson(df, Map("datatype" -> "downloads"))
+    assert(json.contains("\"context\": {\"datatype\": \"downloads\"}"))
+    assert(json.contains("\"name\": \"a,b\", \"count\": 1"))
+    val xml = Export.toXml(df)
+    assert(xml.contains("<name>&lt;tag&gt;</name>"))
+  }
+}
