@@ -1,0 +1,28 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Engine extensions, installed via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`): registers the native
+  * functions the composable API can't express efficiently.
+  *
+  * Registered functions:
+  *  - `cosine_sim(array<double>, array<double>) -> double`
+  *    ([[CosineSimilarity]], codegen'd fused loop).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim takes exactly 2 arguments")
+        val Seq(a, b) = children.map(Cast(_, ArrayType(DoubleType)))
+        CosineSimilarity(a, b)
+      }))
+  }
+}

@@ -33,6 +33,15 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Cosine column: the native codegen'd `cosine_sim` expression when
+    * [[graft.plans.GraftExtensions]] is installed, else the HOF
+    * formulation. Bit-identical results (same index-ordered double
+    * accumulation). */
+  private def cosineCol(df: DataFrame, a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("cosine_sim"))
+      call_function("cosine_sim", a, b)
+    else cosine(a, b)
+
   /** Brute-force ANN: for each query vector, the top-k nearest
     * corpus vectors by cosine (excluding self), rank ties broken by
     * neighbor id. Output: (query_id, rank, neighbor) — integers. */
@@ -43,7 +52,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .select(col("qid"), col("nid"), cosineCol(corpus, col("qv"), col("nv")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -60,7 +69,7 @@ object Similarity {
     val x = v.select(col("id").as("a"), col("v").as("va"))
     val y = v.select(col("id").as("b"), col("v").as("vb"))
     x.join(y, col("a") < col("b"))
-      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .filter(cosineCol(corpus, col("va"), col("vb")) >= threshold)
       .select(col("a"), col("b"))
   }
 
@@ -101,7 +110,7 @@ object Similarity {
       .join(queries.select(col(idCol).as("qid")), "qid")
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .select(col("qid"), col("nid"), cosineCol(corpus, col("qv"), col("nv")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

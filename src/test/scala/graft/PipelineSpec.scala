@@ -19,6 +19,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .appName("pipeline-spec")
     .getOrCreate()
@@ -132,6 +133,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = Similarity.hyperplaneBuckets(e, planes = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(b(0L) == b(1L))
+  }
+
+  test("native cosine_sim expression matches the HOF formulation bit-for-bit") {
+    val s = spark; import s.implicits._
+    assert(spark.catalog.functionExists("cosine_sim"))
+    val df = Seq((Array(0.3f, -1.2f, 2.7f, 0.0f), Array(1.1f, 0.4f, -0.9f, 2.2f)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+    val native = df.select(call_function("cosine_sim", col("a"), col("b"))).head().getDouble(0)
+    val hof = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(native == hof)
+    // length mismatch -> null, not an exception
+    val bad = Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(call_function("cosine_sim", col("a"), col("b")))
+    assert(bad.head().isNullAt(0))
   }
 
   test("multimodal decode: deterministic fake dims from bytes") {
