@@ -22,9 +22,17 @@ object Series {
     * left/preserved side).
     */
   def densify(series: DataFrame, dateCol: String = "d",
-      countCol: String = "cnt"): DataFrame = {
-    val spark = series.sparkSession
-    val bounds = series.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+      countCol: String = "cnt",
+      from: Option[java.time.LocalDate] = None,
+      to: Option[java.time.LocalDate] = None): DataFrame = {
+    // Bounds come from the REQUESTED range when given (the reference
+    // densifies over the context's from..to, `Utils.pm:135-215`),
+    // falling back to the data extent.
+    val bounds = series.agg(
+      from.map(d => lit(java.sql.Date.valueOf(d)))
+        .getOrElse(min(col(dateCol))).as("lo"),
+      to.map(d => lit(java.sql.Date.valueOf(d)))
+        .getOrElse(max(col(dateCol))).as("hi"))
     val calendar = bounds.select(
       explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as(dateCol))
     calendar.join(series, Seq(dateCol), "left")
