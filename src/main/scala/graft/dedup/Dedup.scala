@@ -186,11 +186,23 @@ object Dedup {
     * distinct mirrors the oracle's distinct-over-hashes exactly even
     * under (improbable) hash collisions. */
   def shingleHashes(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id"): DataFrame = {
+    // posexplode + lead windows: every step (split, explode, lead,
+    // concat, md5) is codegen'd; the alternative — building shingle
+    // strings inside a transform() lambda — evaluates interpreted per
+    // element. The per-doc window sort rides the same shuffle the
+    // downstream per-doc aggregate needs anyway.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
     docs.select(col(idCol).as("id"),
-      explode(Text.shingleStrings(col(textCol))).as("ss"))
-      .select(col("id"), Text.hash60(col("ss")).as("sh"))
+        posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("id"),
+        Text.hash60(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("sh"))
       .distinct()
+  }
 
   /** Document fingerprints, bulk form (same math as
     * [[Text.fingerprint]] but explode-then-hash, codegen-friendly):
@@ -199,10 +211,10 @@ object Dedup {
   def fingerprints(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val n = Text.tokenCount(col(textCol))
-    val long = docs.filter(n >= 3)
-      .select(col(idCol).as("id"), explode(Text.shingleStrings(col(textCol))).as("ss"))
-      .select(col("id"), Text.hash60(col("ss")).as("h"))
-      .groupBy("id").agg(min("h").as("fp"))
+    // min over the shingle SET equals min over the multiset, so the
+    // shared (deduped) shingle pipeline serves here too.
+    val long = shingleHashes(docs.filter(n >= 3), textCol, idCol)
+      .groupBy("id").agg(min("sh").as("fp"))
     val short = docs.filter(n < 3)
       .select(col(idCol).as("id"), Text.hash60(lower(col(textCol))).as("fp"))
     long.unionByName(short)

@@ -46,6 +46,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq == Seq(0L, 5000L))
   }
 
+  test("file-source stream ingests TSV day files end-to-end") {
+    import java.util.zip.GZIPOutputStream
+    val dir = java.nio.file.Files.createTempDirectory("stream-access").toFile
+    val day = new java.io.File(dir, "2024/2024-03-01.log.gz")
+    day.getParentFile.mkdirs()
+    val out = new GZIPOutputStream(new java.io.FileOutputStream(day))
+    out.write(("2024-03-01T10:00:00Z\t1.2.3.4\tUA\tref\tsvc\t12\t7\n" +
+      "not a valid line\n" +
+      "2024-03-01T11:00:00Z\t1.2.3.4\tUA\tref\tsvc\t12\t\n").getBytes("UTF-8"))
+    out.close()
+    val q = Streaming.readAccessStream(spark, dir.getAbsolutePath + "/*/*.log.gz")
+      .writeStream.format("memory").queryName("ingested").outputMode("append").start()
+    q.processAllAvailable()
+    val rows = spark.table("ingested").collect()
+    q.stop()
+    assert(rows.length == 2) // malformed line dropped
+    assert(rows.forall(_.getAs[java.sql.Timestamp]("ts") != null))
+  }
+
   test("streaming daily fact emits closed days under watermark") {
     implicit val s: SparkSession = spark
     import s.implicits._
