@@ -132,8 +132,11 @@ object Dedup {
     * pairs token-level vs 256 shingle-level on the same 5k docs). */
   def minhashNearDup(docs: DataFrame, num: Int = 1, den: Int = 2,
       k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // The feature table feeds both the signature build and the verify
+    // join — persist it so the shingle pipeline runs once, not twice.
     val features = shingleHashes(docs)
       .select(col("id"), col("sh").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(lshBands(minhashSignaturesFrom(features, k), rowsPerBand))
     verifyJaccardOn(cands, features, num, den)
   }
@@ -222,7 +225,10 @@ object Dedup {
 
   def ngramJaccardNearDup(docs: DataFrame, num: Int = 1, den: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // Consumed three times (sizes + both sides of the inverted-index
+    // self-join) — persist to compute the shingle pipeline once.
     val shingles = shingleHashes(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingles.groupBy("id").agg(count(lit(1)).as("nsh"))
     val x = shingles.as("x"); val y = shingles.as("y")
     val inter = x.join(y, col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))

@@ -78,6 +78,33 @@ final case class Context(
     }
 }
 
+object Context {
+  /** Build a validated Context from request parameters — the analog
+    * of the reference's `Context::from_request` (`Context.pm:44-128`):
+    * context fields are parsed/validated per type; everything else is
+    * the caller's concern (validated via `DateUtils.sanitizeParam`).
+    * Unknown datatype etc. surface at compile time, not here. */
+  def fromParams(params: Map[String, String]): Context = {
+    def clean(k: String): Option[String] =
+      params.get(k).map(DateUtils.sanitizeParam).filter(_.nonEmpty)
+    Context(
+      datatype = clean("datatype").getOrElse("downloads"),
+      datafilter = clean("datafilter"),
+      setName = clean("set_name"),
+      setValue = clean("set_value"),
+      grouping = clean("grouping"),
+      from = params.get("from").flatMap(DateUtils.parseDate),
+      to = params.get("to").flatMap(DateUtils.parseDate),
+      range = clean("range").filter(r =>
+        r == "_ALL_" || r.matches("\\d+[dmy]") || r.matches("\\d{4}")),
+      fields = clean("fields").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),
+      orderBy = clean("order_by"),
+      orderDesc = !params.get("order_desc").contains("0"),
+      limit = params.get("limit").filter(_.matches("\\d+")).map(_.toInt),
+      offset = params.get("offset").filter(_.matches("\\d+")).map(_.toInt))
+  }
+}
+
 object DateUtils {
   import java.time.LocalDate
 

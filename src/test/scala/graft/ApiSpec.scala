@@ -99,6 +99,23 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("9.1.2.3") == "US")    // octet 9 -> (9-1)%8=0 -> US
   }
 
+  test("Context.fromParams validates and sanitizes request params") {
+    val ctx = Context.fromParams(Map(
+      "datatype" -> "downloads", "set_value" -> "<script>phys;ics",
+      "from" -> "20240301", "to" -> "garbage", "range" -> "6m",
+      "fields" -> "value,id", "limit" -> "10", "offset" -> "abc",
+      "order_desc" -> "0"))
+    assert(ctx.setValue.contains("scriptphysics"))
+    assert(ctx.from.contains(java.time.LocalDate.of(2024, 3, 1)))
+    assert(ctx.to.isEmpty)
+    assert(ctx.range.contains("6m"))
+    assert(ctx.fields == Seq("value", "id"))
+    assert(ctx.limit.contains(10) && ctx.offset.isEmpty)
+    assert(!ctx.orderDesc)
+    // bad range rejected
+    assert(Context.fromParams(Map("range" -> "DROP TABLE")).range.isEmpty)
+  }
+
   test("exporters: csv quoting, json envelope, xml escaping") {
     val s = spark; import s.implicits._
     val df = Seq(("a,b", 1L), ("<tag>", 2L)).toDF("name", "count")
