@@ -164,7 +164,10 @@ object Dedup {
     * distance <= 3 shares at least one exact block. Pairs are joined
     * per block and deduped, never the full n^2. */
   def simhashNearDup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    // One row per doc — persist so the token explode + 60-sum agg
+    // runs once instead of once per self-join side.
     val sh = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
