@@ -417,6 +417,19 @@ object SparkEntry {
       Series.compareYears(daily).orderBy("year", "month")
     }),
 
+    // ---- O4: collation-aware ordering (case-insensitive) + limit ----
+    "o4_collated_order" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(lower(col("c_name")), col("c_custkey"))
+        .limit(20)),
+
+    // ---- O5: data_min result filter on aggregated counts ----
+    "o5_data_min" -> ((s, d) =>
+      fact(s, d).groupBy("id").agg(sum("count").as("count"))
+        .filter(col("count") >= 67)
+        .orderBy(col("count").desc, col("id"))),
+
     // ---- C1: GeoIP range-join classification ----
     "c1_geo_country" -> ((s, d) => {
       import graft.classify.Geo
@@ -837,6 +850,16 @@ object SparkEntry {
         |       CAST(month(l_shipdate) AS INTEGER) AS month,
         |       COUNT(*) AS cnt
         |FROM lineitem GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
+
+    "o4_collated_order" ->
+      """SELECT c_custkey, c_name FROM customer
+        |ORDER BY lower(c_name), c_custkey LIMIT 20""".stripMargin,
+
+    "o5_data_min" ->
+      s"""WITH $factCte
+         |SELECT id, CAST(SUM(count) AS BIGINT) AS count FROM fact
+         |GROUP BY id HAVING SUM(count) >= 67
+         |ORDER BY count DESC, id""".stripMargin,
 
     "c1_geo_country" ->
       """SELECT CASE WHEN (event_id % 256) <= 127

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.filters.Repeat
+import graft.series.Series
+
+/** Property tests for the invariants SURVEY.md §5 calls out:
+  * densification length, count conservation under regroup and
+  * date-range partitioning, repeat-filter idempotence. */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("property-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Drive a Gen by fixed seeds (no scalatest-scalacheck bridge in
+    * the offline dependency set). */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))
+        .foreach(body)
+    }
+
+  private val seriesGen: Gen[List[(Int, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    days <- Gen.listOfN(n, Gen.choose(0, 364))
+    counts <- Gen.listOfN(n, Gen.choose(0L, 50L))
+  } yield days.distinct.zip(counts)
+
+  private def toDf(s: List[(Int, Long)]) = {
+    val sp = spark; import sp.implicits._
+    s.map { case (d, c) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)), c)
+    }.toDF("d", "cnt")
+  }
+
+  test("densify: length == calendar span, sum preserved, gaps are zero") {
+    forAllSeeded(seriesGen) { s =>
+      if (s.nonEmpty) {
+        val df = toDf(s)
+        val out = Series.densify(df).collect()
+        val span = s.map(_._1).max - s.map(_._1).min + 1
+        assert(out.length == span)
+        assert(out.map(_.getLong(1)).sum == s.map(_._2).sum)
+      }
+    }
+  }
+
+  test("regroup day->month->year conserves the total") {
+    forAllSeeded(seriesGen) { s =>
+      if (s.nonEmpty) {
+        val df = toDf(s)
+        val m = Series.regroup(df, "month")
+        val y = Series.regroup(m, "year")
+        val total = s.map(_._2).sum
+        assert(m.agg(sum("cnt")).head().getLong(0) == total)
+        assert(y.agg(sum("cnt")).head().getLong(0) == total)
+      }
+    }
+  }
+
+  test("date-range partition sums equal the unpartitioned total") {
+    forAllSeeded(seriesGen.flatMap(s => Gen.choose(1, 363).map((s, _)))) { case (s, split) =>
+      if (s.nonEmpty) {
+        val df = toDf(s)
+        val cut = java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(split))
+        val lo = df.filter(col("d") < cut).agg(coalesce(sum("cnt"), lit(0L)))
+          .head().getLong(0)
+        val hi = df.filter(col("d") >= cut).agg(coalesce(sum("cnt"), lit(0L)))
+          .head().getLong(0)
+        assert(lo + hi == s.map(_._2).sum)
+      }
+    }
+  }
+
+  private val clicksGen: Gen[List[Long]] =
+    Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 20000L)))
+
+  test("sequential repeat filter is idempotent and output gaps exceed timeout") {
+    forAllSeeded(clicksGen) { secs =>
+      if (secs.nonEmpty) {
+        val sp = spark; import sp.implicits._
+        val df = secs.zipWithIndex
+          .map { case (s, i) => (1L, s, i.toLong) }.toDF("key", "sec", "tie")
+        val once = Repeat.sequential(df, Seq("key"), "sec", 3600L, "tie")
+        val twice = Repeat.sequential(once, Seq("key"), "sec", 3600L, "tie")
+        val a = once.select("sec").collect().map(_.getLong(0)).sorted
+        val b = twice.select("sec").collect().map(_.getLong(0)).sorted
+        assert(a.toSeq == b.toSeq)              // idempotent
+        a.sliding(2).foreach {                   // all kept gaps > timeout
+          case Array(x, y) => assert(y - x > 3600L)
+          case _ =>
+        }
+      }
+    }
+  }
+}
