@@ -37,8 +37,10 @@ object Bench {
     // Per-query warmup run (unmeasured): measures steady-state operator
     // throughput, not one-off plan compilation / codegen / parquet
     // footer reads — the costs that amortize away on a long-lived
-    // cluster. JVM-wide warmup first.
-    SparkEntry.entry(spark).collect()
+    // cluster. JVM-wide warmup first (guarded: entry reads a fixed
+    // smoke path that may not exist on every bench host).
+    try SparkEntry.entry(spark).collect()
+    catch { case _: Throwable => () }
     names.foreach { name =>
       try qs(name)(spark, sfDir).collect()
       catch { case _: Throwable => () }
@@ -46,14 +48,19 @@ object Bench {
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).collect() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { qs(name)(spark, sfDir).collect(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // -1 marks a failed query so its time-to-failure can't pass as a
+      // plausible fast result in the contract line
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }

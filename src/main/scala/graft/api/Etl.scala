@@ -33,7 +33,11 @@ object Etl {
       repeatTimeoutSec: Long = 3600L,
       uaPatterns: Seq[String] = Robots.defaultUaPatterns,
       ipPrefixes: Seq[String] = Robots.defaultIpPrefixes,
-      fromDate: Option[java.time.LocalDate] = None)
+      fromDate: Option[java.time.LocalDate] = None,
+      /** Day files with this date or newer are considered still live
+        * and skipped (St1 — the reference never ingests today's file,
+        * `Access.pm:166-171`). Overridable for tests / backfills. */
+      today: java.time.LocalDate = java.time.LocalDate.now())
 
   /** One batch run; returns (datatype -> rows written). */
   def run(spark: SparkSession, cfg: Config): Map[String, Long] = {
@@ -43,6 +47,16 @@ object Etl {
         .map(_.plusDays(1)))
 
     val raw = AccessLog.dedupLines(AccessLog.read(spark, cfg.logGlob, from))
+      // St1 day watermark: a file dated today may still be growing —
+      // skipping it (not checkpointing past it) is what makes the
+      // checkpoint safe to advance.
+      .filter(col("file_date") < lit(java.sql.Date.valueOf(cfg.today)))
+      // Partition-safety clamp: facts are partitioned by EVENT date but
+      // pruning is by FILE date; a late event spilling into a day
+      // before `from` would otherwise make dynamic partition overwrite
+      // replace that complete partition with just the spillover rows.
+      .filter(from.map(d => to_date(col("ts")) >= lit(java.sql.Date.valueOf(d)))
+        .getOrElse(lit(true)))
     val filtered = Repeat.sequential(
       Robots.filterRobots(raw, uaPatterns = cfg.uaPatterns,
           ipPrefixes = cfg.ipPrefixes)
@@ -64,7 +78,9 @@ object Etl {
       Seq(p.provides.head -> n)
     }.toMap
 
-    val maxDay = filtered.agg(max(to_date(col("ts")))).head().getDate(0)
+    // Checkpoint the newest fully-ingested FILE day (live days were
+    // excluded above, so advancing to this point cannot skip data).
+    val maxDay = filtered.agg(max(col("file_date"))).head().getDate(0)
     if (maxDay != null)
       FactStore.saveCheckpoint(cfg.checkpointDir, "access", maxDay.toString)
     filtered.unpersist()

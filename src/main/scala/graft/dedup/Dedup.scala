@@ -134,6 +134,11 @@ object Dedup {
       k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     // The feature table feeds both the signature build and the verify
     // join — persist it so the shingle pipeline runs once, not twice.
+    // Lifecycle note: the cache lives until LRU eviction (the caller
+    // holds no handle to unpersist after materializing the lazy
+    // result); dedup passes are batch jobs in practice, where the
+    // session ends with the run. Long-lived sessions doing repeated
+    // dedup should wrap calls with their own persist management.
     val features = shingleHashes(docs)
       .select(col("id"), col("sh").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -96,12 +96,14 @@ object Context {
       from = params.get("from").flatMap(DateUtils.parseDate),
       to = params.get("to").flatMap(DateUtils.parseDate),
       range = clean("range").filter(r =>
-        r == "_ALL_" || r.matches("\\d+[dmy]") || r.matches("\\d{4}")),
+        // bounded digit counts: anything longer would overflow the
+        // numeric parse downstream (and is capped at 20y anyway)
+        r == "_ALL_" || r.matches("\\d{1,6}[dmy]") || r.matches("\\d{4}")),
       fields = clean("fields").map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty),
       orderBy = clean("order_by"),
       orderDesc = !params.get("order_desc").contains("0"),
-      limit = params.get("limit").filter(_.matches("\\d+")).map(_.toInt),
-      offset = params.get("offset").filter(_.matches("\\d+")).map(_.toInt))
+      limit = params.get("limit").filter(_.matches("\\d{1,9}")).map(_.toInt),
+      offset = params.get("offset").filter(_.matches("\\d{1,9}")).map(_.toInt))
   }
 }
 
@@ -136,7 +138,9 @@ object DateUtils {
   def resolveRange(range: String, today: LocalDate)
       : (Option[LocalDate], Option[LocalDate]) = {
     val yesterday = today.minusDays(1)
-    val NumUnit = """(\d+)([dmy])""".r
+    // bounded digits: the 20-year cap makes longer counts meaningless,
+    // and an unbounded \d+ would overflow toLong on adversarial input
+    val NumUnit = """(\d{1,6})([dmy])""".r
     val Year = """(\d{4})""".r
     range match {
       case "_ALL_" => (None, None)

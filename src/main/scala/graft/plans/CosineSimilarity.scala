@@ -27,6 +27,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // array<double> here (ExpectsInputTypes is private[sql] in Spark 4).
   override def dataType: DataType = DoubleType
 
+  // Length mismatch yields null even when both children are
+  // non-nullable — without this override codegen would emit an
+  // assignment to a constant-folded isNull (uncompilable) and the
+  // schema would wrongly promise nullable=false.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

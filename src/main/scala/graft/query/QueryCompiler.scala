@@ -93,8 +93,15 @@ object QueryCompiler {
             if (ctx.setValue.isDefined) ctx.fields else Seq("set_value")
         }
       case _ =>
-        // eprint path: optional point filter on id
-        ctx.setValue.foreach(v => df = df.filter(col("id") === v.toLong))
+        // eprint path: optional point filter on id; a non-numeric set
+        // value matches nothing (the reference's empty-result posture)
+        // rather than throwing NumberFormatException mid-compile.
+        ctx.setValue.foreach { v =>
+          df = scala.util.Try(v.toLong).toOption match {
+            case Some(id) => df.filter(col("id") === id)
+            case None => df.filter(lit(false))
+          }
+        }
         ctx.fields
     }
 

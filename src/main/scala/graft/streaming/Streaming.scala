@@ -60,7 +60,6 @@ object Streaming {
       stateTimeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())(
       implicit spark: SparkSession): Dataset[Kept] = {
     import spark.implicits._
-    val usesTimeout = stateTimeout != GroupStateTimeout.NoTimeout()
     events.groupByKey(_.key)
       .flatMapGroupsWithState[Long, Kept](
         OutputMode.Append(), stateTimeout) {
@@ -79,7 +78,12 @@ object Streaming {
             }
             if (lastKept != Long.MinValue) {
               state.update(lastKept)
-              if (usesTimeout) state.setTimeoutDuration(timeoutSec * 1000)
+              // The timeout API is mode-specific: duration for
+              // processing time, absolute timestamp for event time.
+              if (stateTimeout == GroupStateTimeout.ProcessingTimeTimeout())
+                state.setTimeoutDuration(timeoutSec * 1000)
+              else if (stateTimeout == GroupStateTimeout.EventTimeTimeout())
+                state.setTimeoutTimestamp((lastKept + timeoutSec) * 1000)
             }
             kept.iterator
           }

@@ -55,7 +55,8 @@ class EtlEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       factRoot = facts, checkpointDir = ckpt,
       processors = Seq(DownloadsViews, DocDownloads,
         Countries(Geo.demoRanges(spark)), Browsers,
-        Referrer("myrepo.org"), SearchTerms))
+        Referrer("myrepo.org"), SearchTerms),
+      today = java.time.LocalDate.of(2024, 3, 4))
 
     val written = Etl.run(spark, cfg)
     assert(written("downloads") > 0)
@@ -89,12 +90,17 @@ class EtlEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.store.FactStore.loadCheckpoint(ckpt, "access")
       .contains("2024-03-02"))
 
-    // incremental rerun with a new day file only processes the new day
+    // incremental rerun with a new day file only processes the new day;
+    // a file dated `today` is still live and must be SKIPPED (St1)
     writeDay(logs, "2024-03-03", Seq(
       "2024-03-03T09:00:00Z\t3.5.0.1\tMozilla/5.0 Chrome/99\t\tsvc\t12\t9"))
+    writeDay(logs, "2024-03-04", Seq(
+      "2024-03-04T09:00:00Z\t3.5.0.1\tMozilla/5.0 Chrome/99\t\tsvc\t12\t9"))
     val written2 = Etl.run(spark, cfg)
-    assert(written2("downloads") == 1L) // only the new day's rows
+    assert(written2("downloads") == 1L) // only the new CLOSED day's rows
     val dv2 = spark.read.parquet(s"$facts/downloads")
-    assert(dv2.count() == 4) // previous days intact + new day
+    assert(dv2.count() == 4) // previous days intact + day 3; day 4 skipped
+    assert(graft.store.FactStore.loadCheckpoint(ckpt, "access")
+      .contains("2024-03-03")) // checkpoint NOT advanced past the live day
   }
 }
