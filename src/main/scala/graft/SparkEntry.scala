@@ -417,6 +417,15 @@ object SparkEntry {
       Series.compareYears(daily).orderBy("year", "month")
     }),
 
+    // ---- P1: metadata processor — deposits per day by status ----
+    "p1_deposits" -> ((s, d) =>
+      graft.processors.MetadataProcessors
+        .Deposits("o_orderdate", "o_custkey", "o_orderstatus")
+        .process(Tables.orders(s, d))
+        .groupBy(col("date"), col("value"))
+        .agg(sum("count").as("count"))
+        .orderBy("date", "value")),
+
     // ---- O4: collation-aware ordering (case-insensitive) + limit ----
     "o4_collated_order" -> ((s, d) =>
       Tables.customer(s, d)
@@ -850,6 +859,11 @@ object SparkEntry {
         |       CAST(month(l_shipdate) AS INTEGER) AS month,
         |       COUNT(*) AS cnt
         |FROM lineitem GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
+
+    "p1_deposits" ->
+      """SELECT CAST(o_orderdate AS DATE) AS date, o_orderstatus AS value,
+        |       COUNT(*) AS count
+        |FROM orders GROUP BY 1, 2 ORDER BY date, value""".stripMargin,
 
     "o4_collated_order" ->
       """SELECT c_custkey, c_name FROM customer
