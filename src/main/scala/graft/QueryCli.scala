@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.export.Export
+import graft.model.Context
+import graft.query.QueryCompiler
+import graft.query.QueryCompiler.Catalog
+import graft.store.FactStore
+
+/** Query entry point — the `GET /cgi/stats/get` equivalent
+  * (SURVEY.md §3 entry 1): request params -> validated Context ->
+  * compiled DataFrame over the stored fact tables -> JSON envelope.
+  *
+  * Usage: `runMain graft.QueryCli <factRoot> key=value...`
+  * where factRoot holds per-datatype date-partitioned fact tables as
+  * written by [[graft.api.Etl]]. Example:
+  * {{{
+  * runMain graft.QueryCli /data/facts datatype=downloads range=6m \
+  *   fields=date order_by=date order_desc=0
+  * }}}
+  */
+object QueryCli {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: QueryCli <factRoot> key=value...")
+    val factRoot = args.head
+    val params = args.tail.flatMap { a =>
+      a.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ctx = Context.fromParams(params)
+      .resolved(java.time.LocalDate.now())
+    val datatypes = new java.io.File(factRoot).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    val catalog = Catalog(facts = datatypes.map(dt =>
+      dt -> FactStore.read(spark, s"$factRoot/$dt")).toMap)
+
+    val result = QueryCompiler.compile(ctx, catalog)
+    println(Export.toJson(result,
+      context = params + ("datatype" -> ctx.datatype)))
+    spark.stop()
+  }
+}

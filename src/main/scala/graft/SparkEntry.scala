@@ -316,6 +316,13 @@ object SparkEntry {
       Similarity.hyperplaneBuckets(Tables.embeddings(s, d), planes = 8)
         .orderBy("id")),
 
+    // ---- V4: LSH-bucketed ANN end-to-end (the scale path of v1) ----
+    "v4_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annLsh(e, e.filter(col("vec_id") < 10), k = 5, planes = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- M: multimodal binary-column plumbing (stubbed decode) ----
     "m1_multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFeatures(
@@ -779,6 +786,32 @@ object SparkEntry {
          |  SELECT vec_id, SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
          |  FROM d GROUP BY 1)
          |SELECT vec_id AS id, CAST(bucket AS BIGINT) AS bucket FROM b ORDER BY id""".stripMargin,
+
+    "v4_ann_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT p, j, ((${hex60("p || '|' || j")} % 2001) - 1000) / 1000.0 AS w
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS p)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p, SUM(e.embedding[pl.j + 1] * pl.w) AS dot
+         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT vec_id, SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+         |  FROM dots GROUP BY 1),
+         |q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10),
+         |s AS (
+         |  SELECT x.qid, e2.vec_id AS nid,
+         |         list_cosine_similarity(e1.embedding, e2.embedding) AS c
+         |  FROM q x
+         |  JOIN embeddings e1 ON e1.vec_id = x.qid
+         |  JOIN bk bq ON bq.vec_id = x.qid
+         |  JOIN bk bn ON bn.bucket = bq.bucket
+         |  JOIN embeddings e2 ON e2.vec_id = bn.vec_id AND e2.vec_id <> x.qid),
+         |r AS (SELECT qid, nid,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+         |      FROM s)
+         |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
+         |FROM r WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
     "m1_multimodal_decode" ->
       """SELECT doc_id AS media_id,
