@@ -43,10 +43,16 @@ object QueryCli {
 
     val ctx = Context.fromParams(params)
       .resolved(java.time.LocalDate.now())
-    val datatypes = new java.io.File(factRoot).listFiles()
-      .filter(_.isDirectory).map(_.getName)
-    val catalog = Catalog(facts = datatypes.map(dt =>
-      dt -> FactStore.read(spark, s"$factRoot/$dt")).toMap)
+    // Load ONLY the requested datatype: opening every fact table would
+    // pay schema inference per table and make one broken/empty table
+    // fail unrelated queries.
+    val dir = new java.io.File(s"$factRoot/${ctx.datatype}")
+    require(dir.isDirectory,
+      s"no fact table for datatype '${ctx.datatype}' under $factRoot " +
+        s"(available: ${Option(new java.io.File(factRoot).listFiles).toSeq.flatten
+          .filter(_.isDirectory).map(_.getName).sorted.mkString(", ")})")
+    val catalog = Catalog(facts =
+      Map(ctx.datatype -> FactStore.read(spark, dir.getAbsolutePath)))
 
     val result = QueryCompiler.compile(ctx, catalog)
     println(Export.toJson(result,

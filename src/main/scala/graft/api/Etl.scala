@@ -57,9 +57,14 @@ object Etl {
       // replace that complete partition with just the spillover rows.
       .filter(from.map(d => to_date(col("ts")) >= lit(java.sql.Date.valueOf(d)))
         .getOrElse(lit(true)))
+    val rawPersisted = raw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered = Repeat.sequential(
-      Robots.filterRobots(raw, uaPatterns = cfg.uaPatterns,
+      Robots.filterRobots(rawPersisted, uaPatterns = cfg.uaPatterns,
           ipPrefixes = cfg.ipPrefixes)
+        // the reference never counts hits without an item id
+        // ("return unless defined $epid")
+        .filter(col("referent_id").isNotNull)
         .withColumn("sec", unix_timestamp(col("ts")))
         .withColumn("key_doc", coalesce(col("referent_docid"), lit(-1)))
         .withColumn("tie", monotonically_increasing_id()),
@@ -70,20 +75,32 @@ object Etl {
     val written = cfg.processors.flatMap { p =>
       val fact = p.process(filtered)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = fact.count()
-      // provides.head names the fact table; multi-datatype processors
-      // encode the datatype in `value` (downloads/views)
-      FactStore.overwritePartitions(fact, s"${cfg.factRoot}/${p.provides.head}")
+      // A multi-datatype processor (downloads/views) tags rows by
+      // datatype in `value`; each datatype gets its OWN fact table —
+      // the reference stores them as separate datasets too, and mixing
+      // them would double-count undifferentiated queries.
+      val outputs =
+        if (p.provides.size == 1) Seq(p.provides.head -> fact)
+        else p.provides.map(dt => dt -> fact.filter(col("value") === dt))
+      val counts = outputs.map { case (dt, df) =>
+        val n = df.count()
+        // skip empty writes: a parquet dir with no data files breaks
+        // schema inference for later readers
+        if (n > 0) FactStore.overwritePartitions(df, s"${cfg.factRoot}/$dt")
+        dt -> n
+      }
       fact.unpersist()
-      Seq(p.provides.head -> n)
+      counts
     }.toMap
 
-    // Checkpoint the newest fully-ingested FILE day (live days were
-    // excluded above, so advancing to this point cannot skip data).
-    val maxDay = filtered.agg(max(col("file_date"))).head().getDate(0)
+    // Checkpoint the newest fully-ingested FILE day, taken from the
+    // PRE-filter scan: a closed day whose hits are all robots must
+    // still advance the watermark or it would be re-ingested forever.
+    val maxDay = rawPersisted.agg(max(col("file_date"))).head().getDate(0)
     if (maxDay != null)
       FactStore.saveCheckpoint(cfg.checkpointDir, "access", maxDay.toString)
     filtered.unpersist()
+    rawPersisted.unpersist()
     written
   }
 }

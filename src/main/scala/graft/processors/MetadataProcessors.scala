@@ -12,7 +12,13 @@ import org.apache.spark.sql.functions._
   * Shape note: these are all the same aggregation with different
   * (date, id, value) projections, so each is a thin adapter over
   * [[Processors.dailyFact]]; the reference's per-record callback
-  * machinery dissolves into column selection. */
+  * machinery dissolves into column selection.
+  *
+  * INPUT CONTRACT: `process` takes the repository METADATA table these
+  * processors name columns of — they are run as their own pass over
+  * that table (as the reference does, `process_stats` step 4's
+  * eprint/history datasets), NOT through [[graft.api.Etl.run]], whose
+  * processor list receives access events. */
 object MetadataProcessors {
 
   /** deposits: items deposited per day, valued by status

@@ -83,7 +83,11 @@ object Streaming {
               if (stateTimeout == GroupStateTimeout.ProcessingTimeTimeout())
                 state.setTimeoutDuration(timeoutSec * 1000)
               else if (stateTimeout == GroupStateTimeout.EventTimeTimeout())
-                state.setTimeoutTimestamp((lastKept + timeoutSec) * 1000)
+                // clamp above the watermark: setTimeoutTimestamp throws
+                // if the timestamp is not strictly later than it
+                state.setTimeoutTimestamp(
+                  math.max(state.getCurrentWatermarkMs() + 1,
+                    (lastKept + timeoutSec) * 1000))
             }
             kept.iterator
           }

@@ -61,15 +61,19 @@ class EtlEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     val written = Etl.run(spark, cfg)
     assert(written("downloads") > 0)
 
-    // downloads/views facts: 1 download day1 (dup dropped), 1 view day1,
-    // 1 download day2
-    val dv = spark.read.parquet(s"$facts/downloads")
+    // downloads and views land in SEPARATE fact tables (the reference
+    // stores them as separate datasets): 1 download day1 (dup dropped),
+    // 1 download day2; 1 view day1
+    val dl = spark.read.parquet(s"$facts/downloads")
       .collect().map(r => (r.getAs[java.sql.Date]("date").toString,
         r.getAs[String]("value"), r.getAs[Long]("count"))).toSet
-    assert(dv == Set(
+    assert(dl == Set(
       ("2024-03-01", "downloads", 1L),
-      ("2024-03-01", "views", 1L),
       ("2024-03-02", "downloads", 1L)))
+    val vw = spark.read.parquet(s"$facts/views")
+      .collect().map(r => (r.getAs[java.sql.Date]("date").toString,
+        r.getAs[String]("value"), r.getAs[Long]("count"))).toSet
+    assert(vw == Set(("2024-03-01", "views", 1L)))
 
     // countries: both downloads from 1.x.0.1 -> US (octet 1)
     val cc = spark.read.parquet(s"$facts/countries")
@@ -99,7 +103,7 @@ class EtlEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     val written2 = Etl.run(spark, cfg)
     assert(written2("downloads") == 1L) // only the new CLOSED day's rows
     val dv2 = spark.read.parquet(s"$facts/downloads")
-    assert(dv2.count() == 4) // previous days intact + day 3; day 4 skipped
+    assert(dv2.count() == 3) // days 1-2 intact + day 3; day 4 skipped
     assert(graft.store.FactStore.loadCheckpoint(ckpt, "access")
       .contains("2024-03-03")) // checkpoint NOT advanced past the live day
   }
