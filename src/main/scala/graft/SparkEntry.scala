@@ -379,6 +379,19 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // ---- F2: robot IP-prefix filter ----
+    "f2_robot_ip" -> ((s, d) => {
+      // deterministic IPs; every 20th event gets a known robot prefix
+      val e = ev(s, d).withColumn("requester_id",
+        when(col("event_id") % 20 === 0,
+          concat(lit("66.249."), (col("event_id") % 256).cast("int"), lit(".1")))
+          .otherwise(concat_ws(".",
+            (col("user_id") % 223 + 1).cast("int"),
+            (col("event_id") % 256).cast("int"), lit(0), lit(1))))
+      e.filter(!graft.filters.Robots.isRobotIp(col("requester_id")))
+        .agg(count(lit(1)).as("kept"))
+    }),
+
     // ---- F3 faithful sequential repeat filter ("since last KEPT") ----
     "f3_repeat_seq" -> ((s, d) => {
       val e = ev(s, d)
@@ -853,6 +866,18 @@ object SparkEntry {
         |  FROM events)
         |SELECT term, COUNT(*) AS cnt FROM terms
         |GROUP BY term ORDER BY term""".stripMargin,
+
+    "f2_robot_ip" -> {
+      // a non-robot-constructed IP still matches a robot prefix when
+      // (first, second) octets collide with one — enumerate those from
+      // the same list the Spark filter uses
+      val collisions = graft.filters.Robots.defaultIpPrefixes.map { p =>
+        val Array(a, b) = p.stripSuffix(".").split("\\.")
+        s"((user_id % 223 + 1) = $a AND (event_id % 256) = $b)"
+      }.mkString(" OR ")
+      s"""SELECT COUNT(*) AS kept FROM events
+         |WHERE event_id % 20 <> 0 AND NOT ($collisions)""".stripMargin
+    },
 
     "f3_repeat_seq" ->
       """WITH RECURSIVE ev AS (
