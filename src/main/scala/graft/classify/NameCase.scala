@@ -34,7 +34,7 @@ object NameCase {
     if (roman.pattern.matcher(lower).matches() && lower.exists(_.isLetter)
         && lower.length > 1) return lower.toUpperCase
     if (!isFirst && particles.contains(lower)) return lower
-    val capped = lower.head.toUpper + lower.tail
+    val capped = s"${lower.head.toUpper}${lower.tail}"
     if (lower.startsWith("mac") && lower.length > 5 && !macExceptions.contains(lower))
       "Mac" + lower.drop(3).head.toUpper + lower.drop(4)
     else if (lower.startsWith("mc") && lower.length > 2)
