@@ -31,4 +31,16 @@ object Report {
       val ctx = item.overrides(spec.base).resolved(today)
       item.view -> QueryCompiler.compile(ctx, cat)
     }
+
+  /** Pre-render every item to its JSON payload — the equivalent of
+    * the reference's nightly report-cache warm-up
+    * (`process_stats:144-159` executes each report view server-side
+    * and caches the AJAX payload). The result map IS the cache. */
+  def renderJson(spec: Spec, cat: Catalog,
+      today: java.time.LocalDate): Map[String, String] =
+    compile(spec, cat, today).map { case (view, df) =>
+      view -> graft.export.Export.toJson(df,
+        context = Map("report" -> spec.name, "view" -> view,
+          "datatype" -> spec.base.datatype))
+    }.toMap
 }

@@ -73,6 +73,17 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.map(_.getLong(0)).toSeq == Seq(2L)) // only id 2 has 'views'
   }
 
+  test("report pre-render produces a JSON payload per view") {
+    val cat = Catalog(facts = Map("downloads" -> fact()))
+    val spec = Report.Spec("warm",
+      base = Context(datatype = "downloads", fields = Seq("value")),
+      items = Seq(Report.Item("counter"), Report.Item("table")))
+    val payloads = Report.renderJson(spec, cat, java.time.LocalDate.of(2024, 6, 15))
+    assert(payloads.keySet == Set("counter", "table"))
+    assert(payloads("counter").contains("\"report\": \"warm\""))
+    assert(payloads("counter").contains("\"count\""))
+  }
+
   test("lifetime MV substitution answers dateless queries from the MV") {
     val mv = fact().groupBy("id", "value").agg(sum("count").as("count"))
       .withColumn("count", col("count") * 1000) // poisoned: proves MV was used
