@@ -34,6 +34,20 @@ object Robots {
 
   private def quote(s: String): String = java.util.regex.Pattern.quote(s)
 
+  /** Load a pattern list from a file — the production path for the
+    * full public robots lists (one pattern per line, `#` comments;
+    * ref the reference's robots_ua.txt / robots_ip.txt file format and
+    * its sanity floor on suspiciously-small downloads). */
+  def loadPatterns(path: String, minBytes: Int = 0): Seq[String] = {
+    val f = new java.io.File(path)
+    require(f.length >= minBytes,
+      s"robots list $path smaller than sanity floor ($minBytes bytes)")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally src.close()
+  }
+
   /** True iff the UA matches any robot pattern (case-insensitive). */
   def isRobotUa(ua: Column, patterns: Seq[String] = defaultUaPatterns): Column =
     coalesce(lower(ua).rlike(patterns.map(quote).mkString("|")), lit(false))

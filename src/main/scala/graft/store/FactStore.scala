@@ -51,4 +51,16 @@ object FactStore {
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim)
     else None
   }
+
+  /** S8 uninstall (ref `Handler.pm:1411-1430` drops `irstats2_%`):
+    * remove every fact table under the root. Parquet dirs are the
+    * tables, so uninstall is a recursive delete. */
+  def uninstall(factRoot: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    val root = new java.io.File(factRoot)
+    if (root.isDirectory) rm(root)
+  }
 }

@@ -171,6 +171,26 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FactStore.loadCheckpoint(dir, "access").contains("2024-03-01"))
   }
 
+  test("FactStore.uninstall removes all fact tables under the root") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("uninstall").toString
+    FactStore.append(Seq((java.sql.Date.valueOf("2024-03-01"), 1L, "x", 1L))
+      .toDF("date", "id", "value", "count"), s"$dir/downloads")
+    assert(new java.io.File(s"$dir/downloads").exists)
+    FactStore.uninstall(dir)
+    assert(!new java.io.File(dir).exists)
+  }
+
+  test("Robots.loadPatterns reads a pattern file with comments and floor") {
+    val f = Files.createTempFile("robots", ".txt")
+    Files.writeString(f, "# comment\nbot\n\ncrawler \n")
+    val pats = Robots.loadPatterns(f.toString)
+    assert(pats == Seq("bot", "crawler"))
+    intercept[IllegalArgumentException] {
+      Robots.loadPatterns(f.toString, minBytes = 5000)
+    }
+  }
+
   test("KeyFigures: one-pass metrics + ratio") {
     val s = spark; import s.implicits._
     val fact = Seq(("downloads", 30L), ("views", 60L), ("downloads", 30L))
