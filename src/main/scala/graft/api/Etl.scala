@@ -36,8 +36,13 @@ object Etl {
       fromDate: Option[java.time.LocalDate] = None,
       /** Day files with this date or newer are considered still live
         * and skipped (St1 — the reference never ingests today's file,
-        * `Access.pm:166-171`). Overridable for tests / backfills. */
-      today: java.time.LocalDate = java.time.LocalDate.now())
+        * `Access.pm:166-171`). Day files are named by UTC date and the
+        * session runs in UTC, so the default MUST use the same clock —
+        * a JVM-local "today" ahead of UTC would ingest (and checkpoint
+        * past) the still-growing UTC day file, losing its later events.
+        * Overridable for tests / backfills. */
+      today: java.time.LocalDate =
+        java.time.LocalDate.now(java.time.ZoneOffset.UTC))
 
   /** One batch run; returns (datatype -> rows written). */
   def run(spark: SparkSession, cfg: Config): Map[String, Long] = {
@@ -84,9 +89,14 @@ object Etl {
         else p.provides.map(dt => dt -> fact.filter(col("value") === dt))
       val counts = outputs.map { case (dt, df) =>
         val n = df.count()
-        // skip empty writes: a parquet dir with no data files breaks
-        // schema inference for later readers
+        // A zero-row datatype writes nothing (a parquet dir with no
+        // data files breaks schema inference for later readers) — but
+        // on a backfill the recomputed window may legitimately go to
+        // zero (e.g. tightened robot filters), so the stale in-window
+        // partitions must still be cleared for the rerun to be
+        // idempotent.
         if (n > 0) FactStore.overwritePartitions(df, s"${cfg.factRoot}/$dt")
+        else FactStore.clearPartitionsFrom(s"${cfg.factRoot}/$dt", from)
         dt -> n
       }
       fact.unpersist()

@@ -26,14 +26,19 @@ object NameCase {
     "macias", "maciulis", "mackie", "macklin", "mackmin", "macquarie",
     "macomber", "macin", "macintosh", "macarthur")
 
-  private val roman = "^(?i)(m{0,3})(cm|cd|d?c{0,3})(xc|xl|l?x{0,3})(ix|iv|v?i{0,3})$".r
+  /** Restricted to the I/V/X/L alphabet like the reference's rule
+    * (Lingua::EN::NameCase port, `Sets.pm:487-577`): including m/c/d
+    * would capture particles and short words like "di", "md", "mi". */
+  private val roman = "^(?i)(xl|l?x{0,3})(ix|iv|v?i{0,3})$".r
 
   private def caseWord(word: String, isFirst: Boolean): String = {
     val lower = word.toLowerCase
     if (lower.isEmpty) return word
+    // Particles win over numerals: "di" in "Maria di Lauro" must stay
+    // a lowercase particle, never an uppercased numeral.
+    if (!isFirst && particles.contains(lower)) return lower
     if (roman.pattern.matcher(lower).matches() && lower.exists(_.isLetter)
         && lower.length > 1) return lower.toUpperCase
-    if (!isFirst && particles.contains(lower)) return lower
     val capped = s"${lower.head.toUpper}${lower.tail}"
     if (lower.startsWith("mac") && lower.length > 5 && !macExceptions.contains(lower))
       "Mac" + lower.drop(3).head.toUpper + lower.drop(4)

@@ -43,18 +43,27 @@ object Robots {
     require(f.length >= minBytes,
       s"robots list $path smaller than sanity floor ($minBytes bytes)")
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
-    finally src.close()
+    val patterns =
+      try src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+      finally src.close()
+    // An empty list would otherwise compile to rlike("") below — a
+    // match-everything predicate that silently drops ALL traffic.
+    require(patterns.nonEmpty, s"robots list $path contains no patterns")
+    patterns
   }
 
-  /** True iff the UA matches any robot pattern (case-insensitive). */
+  /** True iff the UA matches any robot pattern (case-insensitive).
+    * An empty pattern list classifies nothing as a robot (a bare
+    * `rlike("")` would match every row). */
   def isRobotUa(ua: Column, patterns: Seq[String] = defaultUaPatterns): Column =
-    coalesce(lower(ua).rlike(patterns.map(quote).mkString("|")), lit(false))
+    if (patterns.isEmpty) lit(false)
+    else coalesce(lower(ua).rlike(patterns.map(quote).mkString("|")), lit(false))
 
-  /** True iff the IP starts with any robot prefix. */
+  /** True iff the IP starts with any robot prefix; empty list matches nothing. */
   def isRobotIp(ip: Column, prefixes: Seq[String] = defaultIpPrefixes): Column =
-    coalesce(ip.rlike("^(" + prefixes.map(quote).mkString("|") + ")"), lit(false))
+    if (prefixes.isEmpty) lit(false)
+    else coalesce(ip.rlike("^(" + prefixes.map(quote).mkString("|") + ")"), lit(false))
 
   /** Drop robot hits by UA and IP — the standard pre-filter applied
     * before any metric processor (ref filter priority ordering,

@@ -26,12 +26,43 @@ object FactStore {
     fact.write.mode("append").partitionBy("date").parquet(path)
 
   /** St3 idempotent backfill: replace exactly the day partitions
-    * present in `fact`, leave all others untouched. */
+    * present in `fact`, leave all others untouched. The overwrite mode
+    * is set per-write (NOT on the shared session conf, which would
+    * silently change the semantics of every later partitioned
+    * overwrite in the same session). */
   def overwritePartitions(fact: DataFrame, path: String): Unit =
-    fact.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic") match {
-      case _ =>
-        fact.write.mode("overwrite").partitionBy("date").parquet(path)
+    fact.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date").parquet(path)
+
+  /** Clear the day partitions of a fact table from `from` onward (all
+    * partitions when `from` is None). Complements dynamic overwrite in
+    * the goes-to-zero edge of a backfill: a rerun whose recomputed
+    * window yields ZERO rows for a datatype produces no partitions to
+    * overwrite, so the stale ones must be deleted explicitly or the
+    * rerun is not idempotent. Driver-side directory surgery — the
+    * partition layout (`date=YYYY-MM-DD` subdirs) is the table format
+    * this store owns. */
+  def clearPartitionsFrom(path: String,
+      from: Option[java.time.LocalDate]): Unit = {
+    val root = new java.io.File(path)
+    if (!root.isDirectory) return
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
     }
+    Option(root.listFiles).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("date="))
+      .filter { d =>
+        from match {
+          case None => true
+          case Some(f) =>
+            scala.util.Try(java.time.LocalDate.parse(d.getName.stripPrefix("date=")))
+              .toOption.exists(!_.isBefore(f))
+        }
+      }
+      .foreach(rm)
+  }
 
   /** Read a fact table; date-range filters prune partitions. */
   def read(spark: SparkSession, path: String): DataFrame =

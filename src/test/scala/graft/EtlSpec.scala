@@ -124,6 +124,10 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(NameCase.nameCase("henry viii") == "Henry VIII")
     assert(NameCase.nameCase("keith o'brien") == "Keith O'Brien")
     assert(NameCase.nameCase("pedro machado") == "Pedro Machado") // Mac exception
+    // particles beat numerals; the numeral alphabet excludes m/c/d
+    assert(NameCase.nameCase("maria di lauro") == "Maria di Lauro")
+    assert(NameCase.nameCase("jane md") == "Jane Md")
+    assert(NameCase.nameCase("louis xiv") == "Louis XIV")
   }
 
   test("Sets: explode + anonymize + blacklist materialization") {
@@ -189,6 +193,35 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Robots.loadPatterns(f.toString, minBytes = 5000)
     }
+    // a comment-only file must fail loudly, not yield a
+    // match-everything empty alternation
+    val empty = Files.createTempFile("robots-empty", ".txt")
+    Files.writeString(empty, "# only comments\n")
+    intercept[IllegalArgumentException] { Robots.loadPatterns(empty.toString) }
+  }
+
+  test("Robots: empty pattern lists classify nothing as robots") {
+    val s = spark; import s.implicits._
+    val df = Seq(("Mozilla/5.0", "1.2.3.4")).toDF("ua", "ip")
+    val r = df.select(
+      Robots.isRobotUa(col("ua"), Seq.empty),
+      Robots.isRobotIp(col("ip"), Seq.empty)).head()
+    assert(!r.getBoolean(0) && !r.getBoolean(1))
+  }
+
+  test("FactStore.clearPartitionsFrom deletes only in-window partitions") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("clearparts").toString
+    val d1 = java.sql.Date.valueOf("2024-03-01")
+    val d2 = java.sql.Date.valueOf("2024-03-02")
+    FactStore.append(Seq((d1, 1L, "x", 5L), (d2, 1L, "x", 7L))
+      .toDF("date", "id", "value", "count"), dir)
+    FactStore.clearPartitionsFrom(dir, Some(java.time.LocalDate.parse("2024-03-02")))
+    val rows = FactStore.read(spark, dir)
+      .collect().map(_.getAs[java.sql.Date]("date").toString).toSet
+    assert(rows == Set("2024-03-01"))
+    FactStore.clearPartitionsFrom(dir, None)
+    assert(!new java.io.File(dir, "date=2024-03-01").exists)
   }
 
   test("KeyFigures: one-pass metrics + ratio") {
