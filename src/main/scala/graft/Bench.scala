@@ -15,9 +15,10 @@ object Bench {
   val headline: Seq[String] = Seq(
     "a1_daily_fact", "a2_sum_groupby", "o3_topn", "j1_set_join",
     "j2_grouping_join", "j3_semi_join", "w1_densify", "f3_repeat_lag",
-    "h1_pricing_summary", "h3_top_orders",
-    "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
-    "v1_ann_bruteforce", "t1_token_stats", "t4_fingerprint")
+    "h1_pricing_summary", "h2_shipping_priority", "h3_top_orders",
+    "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_line_dedup",
+    "v1_ann_bruteforce", "v5_ann_ivf", "t1_token_stats",
+    "t4_fingerprint", "t6_quality_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -245,6 +245,71 @@ object SparkEntry {
         .limit(10)
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"), col("revenue"))
     }),
+
+    // ---- H2: TPC-H Q3 shape — selective dim filter, double join,
+    // broadcast the filtered dim, top-N on aggregated revenue ----
+    "h2_shipping_priority" -> ((s, d) => {
+      val cut = lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00"))
+      val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      l.filter(col("l_shipdate") > cut)
+        .join(o.filter(col("o_orderdate") < cut), l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+          col("o_orderpriority"), col("revenue"))
+    }),
+
+    // ---- A11: ROLLUP totals (year x value, with subtotal rows) ----
+    "a11_rollup" -> ((s, d) =>
+      fact(s, d).withColumn("y", year(col("date")))
+        .rollup("y", "value").agg(sum("count").as("count"))
+        .select(coalesce(col("y"), lit(-1)).as("y"),
+          coalesce(col("value"), lit("_ALL_")).as("value"), col("count"))
+        .orderBy("y", "value")),
+
+    // ---- A12: exact percentiles — interpolated median (x2 keeps the
+    // only possible fraction, .5, integer) + rank-based discrete p90 ----
+    "a12_median" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("rf"), col("l_quantity").cast("long").as("qty"))
+      val med = base.groupBy("rf")
+        .agg((percentile(col("qty"), lit(0.5)) * 2).cast("long").as("med_x2"))
+      val wr = Window.partitionBy("rf").orderBy("qty")
+      val ranked = base.withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("rf")))
+      val p90 = ranked
+        .filter(col("rn") === floor(lit(0.9) * (col("n") - 1)).cast("long") + 1)
+        .groupBy("rf").agg(max("qty").as("p90"))
+      med.join(p90, "rf").orderBy("rf")
+    }),
+
+    // ---- A13: histogram — fixed-width bucketed counts ----
+    "a13_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") / 10000.0).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+
+    // ---- O6: pivot — datatypes to columns (wide daily report) ----
+    "o6_pivot" -> ((s, d) =>
+      fact(s, d).groupBy("date")
+        .pivot("value", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum("count"))
+        .na.fill(0L)
+        .orderBy("date")),
+
+    // ---- W7: n-period moving window (sum + floor-average) ----
+    "w7_moving_avg" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      Series.movingAverage(Series.regroup(daily, "month"), 3).orderBy("d")
+    }),
   )
 
   // ===========================================================
@@ -328,6 +393,49 @@ object SparkEntry {
       Multimodal.decodeFeatures(
         Multimodal.asMediaTable(Tables.documents(s, d)))
         .orderBy("media_id")),
+
+    // ---- T6: Gopher-style quality rules (integer flags) ----
+    "t6_quality_rules" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(col("doc_id"),
+        Text.tokenCount(t).as("n_tok"),
+        (Text.tokenCount(t) >= 20 && Text.tokenCount(t) <= 90)
+          .cast("int").as("r_len"),
+        (Text.meanTokenLenX100(t) >= 400 && Text.meanTokenLenX100(t) <= 1000)
+          .cast("int").as("r_meanlen"),
+        (Text.stopwordCount(t) >= 2).cast("int").as("r_stop"),
+        (Text.symbolPermille(t) <= 100).cast("int").as("r_symbol"))
+        .withColumn("keep",
+          (col("r_len") === 1 && col("r_meanlen") === 1 &&
+            col("r_stop") === 1 && col("r_symbol") === 1).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- T7: PII scrub — deterministic PII injected per doc, then the
+    // REAL regex counters/scrubber run over it (engine-mirrored) ----
+    "t7_pii_scrub" -> ((s, d) => {
+      val txt = concat(col("text"), lit(" contact u"),
+        col("doc_id").cast("string"), lit("@example.com or call 555-"),
+        pmod(col("doc_id"), lit(10000)).cast("string"))
+      Tables.documents(s, d).withColumn("txt", txt)
+        .select(col("doc_id"),
+          Text.emailCount(col("txt")).as("n_email"),
+          Text.phoneCount(col("txt")).as("n_phone"),
+          length(Text.scrubPii(col("txt"))).as("red_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- D5: line-level dedup (boilerplate chunks shared across docs) ----
+    "d5_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(Tables.documents(s, d)).orderBy("key")),
+
+    // ---- V5: IVF ANN — centroid cells + nprobe search (scale path) ----
+    "v5_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annIvf(e, e.filter(col("vec_id") < 10),
+          k = 5, nprobe = 2, centroidStride = 43)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** Deterministic UA / referrer strings per event_type — the driver
@@ -640,6 +748,66 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "h2_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "a11_rollup" ->
+      s"""WITH $factCte,
+         |y AS (SELECT CAST(year(date) AS INTEGER) AS y, value, count FROM fact)
+         |SELECT COALESCE(y, -1) AS y, COALESCE(value, '_ALL_') AS value,
+         |       CAST(SUM(count) AS BIGINT) AS count
+         |FROM y GROUP BY ROLLUP(y, value) ORDER BY y, value""".stripMargin,
+
+    "a12_median" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |med AS (
+        |  SELECT rf, CAST(2 * quantile_cont(qty, 0.5) AS BIGINT) AS med_x2
+        |  FROM base GROUP BY rf),
+        |r AS (
+        |  SELECT rf, qty, ROW_NUMBER() OVER (PARTITION BY rf ORDER BY qty) AS rn,
+        |         COUNT(*) OVER (PARTITION BY rf) AS n
+        |  FROM base),
+        |p AS (
+        |  SELECT rf, MAX(qty) AS p90 FROM r
+        |  WHERE rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1 GROUP BY rf)
+        |SELECT rf, med_x2, p90 FROM med JOIN p USING (rf) ORDER BY rf""".stripMargin,
+
+    "a13_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "o6_pivot" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map(v =>
+        s"CAST(COALESCE(SUM(CASE WHEN value = '$v' THEN count END), 0) AS BIGINT) AS $v")
+        .mkString(",\n|  ")
+      s"""WITH $factCte
+         |SELECT date,
+         |  $cols
+         |FROM fact GROUP BY date ORDER BY date""".stripMargin
+    },
+
+    "w7_moving_avg" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS d,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT d, cnt,
+        |  CAST(SUM(cnt) OVER w AS BIGINT) AS mov_sum,
+        |  CAST(FLOOR((SUM(cnt) OVER w) / (COUNT(*) OVER w)) AS BIGINT) AS mov_avg
+        |FROM m WINDOW w AS (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY d""".stripMargin,
   )
 
   /** DuckDB mirror of [[Text.hash60]]: hex-prefix cast of md5. */
@@ -832,6 +1000,69 @@ object SparkEntry {
         |  CAST(64 + octet_length(encode(text)) % 193 AS INTEGER) AS width,
         |  CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "t6_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tok,
+         |  CAST(len(toks) BETWEEN 20 AND 90 AS INTEGER) AS r_len,
+         |  CAST(((100 * list_sum(list_transform(toks, x -> length(x)))) // len(toks))
+         |    BETWEEN 400 AND 1000 AS INTEGER) AS r_meanlen,
+         |  CAST(len(list_filter(toks, x -> x IN ($stopList))) >= 2 AS INTEGER) AS r_stop,
+         |  CAST(((1000 * length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')))
+         |    // length(text)) <= 100 AS INTEGER) AS r_symbol
+         | FROM t)
+         |SELECT doc_id, n_tok, r_len, r_meanlen, r_stop, r_symbol,
+         |  CAST(r_len = 1 AND r_meanlen = 1 AND r_stop = 1 AND r_symbol = 1
+         |    AS INTEGER) AS keep
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "t7_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com or call 555-' || CAST(doc_id % 10000 AS VARCHAR) AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[a-z0-9.]+@[a-z0-9.]+')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(txt, '[0-9]{3}-[0-9]+')) AS INTEGER) AS n_phone,
+        |  CAST(length(regexp_replace(regexp_replace(txt,
+        |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]+', '<PHONE>', 'g')) AS INTEGER) AS red_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "d5_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |ch AS (
+        |  SELECT doc_id, array_to_string(list_slice(toks, 8*i + 1, 8*i + 8), ' ') AS chunk
+        |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS i)
+        |  WHERE 8*i + 8 <= len(toks)),
+        |g AS (
+        |  SELECT chunk, COUNT(*) AS copies, MIN(doc_id) AS canonical
+        |  FROM ch GROUP BY chunk HAVING COUNT(*) > 1)
+        |SELECT md5(chunk) AS key, copies, canonical FROM g ORDER BY key""".stripMargin,
+
+    "v5_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 43 = 0),
+        |s AS (SELECT e.vec_id AS id, c.cid,
+        |        list_cosine_similarity(e.embedding, c.cv) AS cos
+        |      FROM embeddings e CROSS JOIN c),
+        |r AS (SELECT id, cid,
+        |        ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rk
+        |      FROM s),
+        |assign AS (SELECT id AS nid, cid FROM r WHERE rk = 1),
+        |probes AS (SELECT id AS qid, cid FROM r WHERE rk <= 2 AND id < 10),
+        |cand AS (
+        |  SELECT p.qid, a.nid,
+        |         list_cosine_similarity(eq.embedding, en.embedding) AS cos
+        |  FROM probes p JOIN assign a USING (cid)
+        |  JOIN embeddings eq ON eq.vec_id = p.qid
+        |  JOIN embeddings en ON en.vec_id = a.nid
+        |  WHERE a.nid <> p.qid),
+        |rr AS (SELECT qid, nid,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        |       FROM cand)
+        |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
+        |FROM rr WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
   )
 
   /** Golden oracles for the classifier queries: the synthetic UA /

@@ -231,6 +231,35 @@ object Dedup {
     long.unionByName(short)
   }
 
+  /** Line-level dedup (boilerplate removal): segment each document
+    * into fixed non-overlapping `chunkTokens`-token "lines" and report
+    * every line occurring more than once across the corpus, with its
+    * occurrence count and canonical (minimum) doc id — the rows a
+    * boilerplate-strip pass would drop.
+    *
+    * Chunking rides the same codegen-friendly posexplode + lead-window
+    * shape as [[shingleHashes]] (a `transform` lambda would evaluate
+    * interpreted): rows at pos % chunk == 0 carry the chunk via
+    * chunk-1 lead columns; the per-doc window sort is the only
+    * shuffle, and only (chunk-string-hash) pairs shuffle afterwards. */
+  def lineDedup(docs: DataFrame, chunkTokens: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until chunkTokens).map(i => lead("tok", i).over(w).as(s"t$i"))
+    val parts = col("tok") +: (1 until chunkTokens).map(i => col(s"t$i"))
+    docs.select(col(idCol).as("id"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("id") +: col("pos") +: col("tok") +: leads: _*)
+      .filter(pmod(col("pos"), lit(chunkTokens)) === 0 &&
+        col(s"t${chunkTokens - 1}").isNotNull)
+      .select(col("id"), concat_ws(" ", parts: _*).as("chunk"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("copies"), min("id").as("canonical"))
+      .filter(col("copies") > 1)
+      .select(md5(col("chunk")).as("key"), col("copies"), col("canonical"))
+  }
+
   def ngramJaccardNearDup(docs: DataFrame, num: Int = 1, den: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // Consumed three times (sizes + both sides of the inverted-index

@@ -81,6 +81,35 @@ object Text {
     intDiv(totalLen * 100L, tokenCount(text))
   }
 
+  /** Symbol ratio in integer permille: non-alphanumeric, non-space
+    * chars per 1000 chars of text (a Gopher-style quality signal —
+    * high symbol density marks boilerplate/markup, not prose). */
+  def symbolPermille(text: Column): Column =
+    intDiv(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")) * 1000L,
+      length(text))
+
+  /** PII patterns — intentionally simple (RE2-compatible, no
+    * lookaround) so the same pattern runs in any engine's regex
+    * dialect; production swaps in the full pattern pack. */
+  val emailPattern = "[a-z0-9.]+@[a-z0-9.]+"
+  val phonePattern = "[0-9]{3}-[0-9]+"
+
+  /** Count of email-shaped matches. */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+
+  /** Count of phone-shaped matches. */
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+
+  /** PII scrub: replace email/phone-shaped spans with typed tags.
+    * Order matters — emails first, so the phone pass can't eat the
+    * digits inside an address. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** Marker-word lists for the n-gram/marker language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "nicht"),

@@ -73,6 +73,20 @@ object Series {
         .cast("long"))
   }
 
+  /** Moving window over the (pre-aggregated) series: n-period moving
+    * sum and floor-average, ROWS-framed so partial leading windows
+    * divide by their actual width. Integer outputs (floor), same
+    * determinism contract as [[runningAverage]]. */
+  def movingAverage(series: DataFrame, periods: Int, dateCol: String = "d",
+      countCol: String = "cnt"): DataFrame = {
+    val w = Window.orderBy(col(dateCol))
+      .rowsBetween(-(periods - 1), Window.currentRow)
+    series
+      .withColumn("mov_sum", sum(col(countCol)).over(w))
+      .withColumn("mov_avg",
+        floor(col("mov_sum") / count(lit(1)).over(w)).cast("long"))
+  }
+
   /** W6 year-over-year compare (ref `View/Compare.pm:21-93`): one
     * (year, month, count) row per month — the long form of the
     * reference's per-year series fan-out, computed in ONE pass

@@ -94,6 +94,50 @@ object Similarity {
     corpus.select(col(idCol).as("id"), bucketBits.reduce(_ + _).as("bucket"))
   }
 
+  /** IVF-style ANN (inverted-file index): the corpus is partitioned
+    * into cells around a small centroid set; a query probes only its
+    * `nprobe` nearest cells. Centroids here are a deterministic
+    * id-stride sample of the corpus (production would k-means them —
+    * the index/search dataflow is identical and that's what scales):
+    *  - assignment is one codegen'd pass over the corpus against the
+    *    BROADCAST centroid set (the corpus never shuffles to index);
+    *  - search touches only the probed cells' posting lists, so the
+    *    scored candidate set is |corpus| * nprobe / #cells in
+    *    expectation instead of |corpus| per query.
+    * Same output contract as [[annBruteForce]]; recall < 1 by
+    * construction (the standard IVF trade-off, tuned via nprobe). */
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 2, centroidStride: Int = 43, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // one scored (vector x centroid) pass serves both the assignment
+    // (rank 1 per vector) and the query probe lists (rank <= nprobe)
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        cosineCol(corpus, col("v"), col("cv")).as("c"))
+    val wAssign = Window.partitionBy("id").orderBy(col("c").desc, col("cid").asc)
+    val ranked = scored.withColumn("r", row_number().over(wAssign))
+    val assign = ranked.filter(col("r") === 1).select(col("id").as("nid"), col("cid"))
+    val probes = ranked.filter(col("r") <= nprobe)
+      .join(queries.select(col(idCol).as("id")), "id")
+      .select(col("id").as("qid"), col("cid"))
+    val cands = assign.join(broadcast(probes), "cid")
+      .filter(col("nid") =!= col("qid"))
+      .join(corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv")), "nid")
+      .join(broadcast(corpus.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))), "qid")
+      .select(col("qid"), col("nid"),
+        cosineCol(corpus, col("qv"), col("nv")).as("cos"))
+      // a vector can reach a query through only one cell (assignment is
+      // rank-1 unique), so candidates are already distinct
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor"))
+  }
+
   /** Bucketed ANN: same contract as [[annBruteForce]] but candidates
     * are restricted to the query's hyperplane bucket — the scale path.
     * Recall < 1 by construction; pair with multiple tables for recall

@@ -165,4 +165,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fps = d.select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
     assert(fps(0) == fps(1))
   }
+
+  test("symbolPermille counts non-alnum non-space chars") {
+    val d = docs((1L, "ab!! cd??__")) // 6 symbols of 11 chars -> 545
+    assert(d.select(Text.symbolPermille(col("text"))).head().getLong(0) == 545L)
+  }
+
+  test("PII scrub counts and redacts emails then phones") {
+    val d = docs((1L, "mail bob.x@host.org or 555-1234 now"))
+    val r = d.select(
+      Text.emailCount(col("text")),
+      Text.phoneCount(col("text")),
+      Text.scrubPii(col("text"))).head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1)
+    assert(r.getString(2) == "mail <EMAIL> or <PHONE> now")
+  }
+
+  test("lineDedup reports chunks repeated across docs with canonical id") {
+    // docs 1 and 2 share their first 8-token chunk; doc 3 is distinct
+    val shared = "t0 t1 t2 t3 t4 t5 t6 t7"
+    val d = docs(
+      (1L, shared + " tailA x y z"),
+      (2L, shared + " tailB q r s"),
+      (3L, "u0 u1 u2 u3 u4 u5 u6 u7 u8"))
+    val r = Dedup.lineDedup(d).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("copies") == 2L)
+    assert(r.head.getAs[Long]("canonical") == 1L)
+  }
+
+  test("annIvf finds the same top neighbors as brute force when cells align") {
+    val s = spark; import s.implicits._
+    // two tight clusters; centroids = ids 0 and 43 (stride sample)
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.05f)),
+      (2L, Array(0.98f, 0.1f)),
+      (43L, Array(0.0f, 1.0f)), (44L, Array(0.05f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val ivf = Similarity.annIvf(e, e.filter(col("vec_id") === 1), k = 2,
+        nprobe = 1, centroidStride = 43)
+      .collect().map(_.getAs[Long]("neighbor")).toSeq
+    val brute = Similarity.annBruteForce(e, e.filter(col("vec_id") === 1), k = 2)
+      .collect().map(_.getAs[Long]("neighbor")).toSeq
+    assert(ivf == brute)
+  }
 }

@@ -70,6 +70,23 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("movingAverage: window sums bounded by periods, avg is floor(sum/width)") {
+    forAllSeeded(seriesGen) { s =>
+      if (s.nonEmpty) {
+        val rows = Series.movingAverage(toDf(s).groupBy("d")
+            .agg(sum("cnt").as("cnt")), periods = 3)
+          .orderBy("d").collect()
+        val cnts = rows.map(_.getAs[Long]("cnt"))
+        rows.zipWithIndex.foreach { case (r, i) =>
+          val width = math.min(i + 1, 3)
+          val expect = cnts.slice(i - width + 1, i + 1).sum
+          assert(r.getAs[Long]("mov_sum") == expect)
+          assert(r.getAs[Long]("mov_avg") == expect / width)
+        }
+      }
+    }
+  }
+
   test("date-range partition sums equal the unpartitioned total") {
     forAllSeeded(seriesGen.flatMap(s => Gen.choose(1, 363).map((s, _)))) { case (s, split) =>
       if (s.nonEmpty) {
