@@ -236,11 +236,16 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")),
 
     "h3_top_orders" -> ((s, d) => {
+      // Pre-aggregate revenue by l_orderkey BEFORE the join: only
+      // (key, decimal) pairs shuffle instead of full joined rows, and
+      // the join output needs no re-aggregation (o_orderdate is
+      // functionally dependent on the key). Top-N then compiles to
+      // TakeOrderedAndProject.
       val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
+      val rev = l.groupBy(col("l_orderkey").as("o_orderkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double").as("revenue"))
+      rev.join(o, "o_orderkey")
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"), col("revenue"))

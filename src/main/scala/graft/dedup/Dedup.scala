@@ -197,22 +197,27 @@ object Dedup {
     * distinct mirrors the oracle's distinct-over-hashes exactly even
     * under (improbable) hash collisions. */
   def shingleHashes(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", dedupe: Boolean = true): DataFrame = {
     // posexplode + lead windows: every step (split, explode, lead,
     // concat, md5) is codegen'd; the alternative — building shingle
     // strings inside a transform() lambda — evaluates interpreted per
     // element. The per-doc window sort rides the same shuffle the
     // downstream per-doc aggregate needs anyway.
+    //
+    // `dedupe = false` skips the distinct exchange for consumers whose
+    // aggregate is multiset-invariant (MIN for fingerprints): the
+    // window already hash-partitioned by id, so a following
+    // groupBy("id") is exchange-free.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("pos")
-    docs.select(col(idCol).as("id"),
+    val hashes = docs.select(col(idCol).as("id"),
         posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))
       .filter(col("t2").isNotNull)
       .select(col("id"),
         Text.hash60(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("sh"))
-      .distinct()
+    if (dedupe) hashes.distinct() else hashes
   }
 
   /** Document fingerprints, bulk form (same math as
@@ -223,8 +228,9 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val n = Text.tokenCount(col(textCol))
     // min over the shingle SET equals min over the multiset, so the
-    // shared (deduped) shingle pipeline serves here too.
-    val long = shingleHashes(docs.filter(n >= 3), textCol, idCol)
+    // distinct exchange is skipped: the only shuffle is the per-doc
+    // window sort, and the MIN aggregate reuses its partitioning.
+    val long = shingleHashes(docs.filter(n >= 3), textCol, idCol, dedupe = false)
       .groupBy("id").agg(min("sh").as("fp"))
     val short = docs.filter(n < 3)
       .select(col(idCol).as("id"), Text.hash60(lower(col(textCol))).as("fp"))
@@ -253,11 +259,12 @@ object Dedup {
       .select(col("id") +: col("pos") +: col("tok") +: leads: _*)
       .filter(pmod(col("pos"), lit(chunkTokens)) === 0 &&
         col(s"t${chunkTokens - 1}").isNotNull)
-      .select(col("id"), concat_ws(" ", parts: _*).as("chunk"))
-      .groupBy("chunk")
+      // group directly on the digest: 32 hex chars shuffle, never the
+      // chunk text (the digest is also the output key)
+      .select(col("id"), md5(concat_ws(" ", parts: _*)).as("key"))
+      .groupBy("key")
       .agg(count(lit(1)).as("copies"), min("id").as("canonical"))
       .filter(col("copies") > 1)
-      .select(md5(col("chunk")).as("key"), col("copies"), col("canonical"))
   }
 
   def ngramJaccardNearDup(docs: DataFrame, num: Int = 1, den: Int = 2,
