@@ -269,6 +269,30 @@ object SparkEntry {
           col("o_orderpriority"), col("revenue"))
     }),
 
+    // ---- H5: TPC-H Q5 shape — star join tree, all dims broadcast,
+    // region filter pruned before the fact ever joins ----
+    "h5_region_revenue" -> ((s, d) => {
+      val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d); val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      val asiaNations = n
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      l.join(o.filter(
+            col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))),
+          l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(asiaNations), su("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ---- A11: ROLLUP totals (year x value, with subtotal rows) ----
     "a11_rollup" -> ((s, d) =>
       fact(s, d).withColumn("y", year(col("date")))
@@ -434,6 +458,15 @@ object SparkEntry {
     "d5_line_dedup" -> ((s, d) =>
       Dedup.lineDedup(Tables.documents(s, d)).orderBy("key")),
 
+    // ---- D6: near-dup clusters — connected components over the
+    // minhash pair graph (the keep-one-per-cluster assignment) ----
+    "d6_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.nearDupClusters(
+          Dedup.minhashNearDup(docs, num = 1, den = 2), docs)
+        .orderBy("doc_id")
+    }),
+
     // ---- V5: IVF ANN — centroid cells + nprobe search (scale path) ----
     "v5_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -516,6 +549,17 @@ object SparkEntry {
         .groupBy(col("user_id").as("id"), col("event_type").as("value"))
         .agg(count(lit(1)).as("count"))
         .orderBy("id", "value")
+    }),
+
+    // ---- W8: batch sessionization (gaps-and-islands; the batch
+    // counterpart of the streaming St5 state op) ----
+    "w8_sessionize" -> ((s, d) => {
+      val e = ev(s, d).withColumn("sec", unix_timestamp(col("ts")))
+      graft.filters.Repeat.sessionize(e, Seq("user_id"), "sec",
+          gapSec = 1800L, tieBreakCol = "event_id")
+        .groupBy(col("user_id").as("id"))
+        .agg(max("session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("id")
     }),
 
     // ---- A4 registry: all KPIs in ONE fact-table pass + ratio ----
@@ -766,6 +810,20 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
+    "h5_region_revenue" ->
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
     "a11_rollup" ->
       s"""WITH $factCte,
          |y AS (SELECT CAST(year(date) AS INTEGER) AS y, value, count FROM fact)
@@ -823,6 +881,43 @@ object SparkEntry {
 
   private def markerFilter(markers: Seq[String]): String =
     s"len(list_filter(toks, x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
+
+  /** MinHash+LSH near-dup pair pipeline as a reusable CTE chain
+    * (ends in `pairs(a, b)`) — mirror of [[Dedup.minhashNearDup]],
+    * shared by the d2 and d6 oracles. */
+  private val minhashPairsCtes: String = {
+    val masks = graft.dedup.Dedup.minhashMasks(16)
+    val minAggs = masks.zipWithIndex
+      .map { case (m, i) => s"MIN(xor(h, ${m}::BIGINT)) AS m$i" }.mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val ms = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($ms) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+       |  WHERE len(string_split(lower(text), ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(toks) - 2),
+       |    i -> ${hex60("array_to_string(list_slice(toks, i, i + 2), ' ')")}))) AS h
+       |  FROM t),
+       |sig AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, COUNT(*) AS i
+       |  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND x.h = y.h
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a, b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |  WHERE i * 2 >= (sa.n + sb.n - i) * 1)""".stripMargin
+  }
 
   /** SimHash in SQL: 60 per-bit SUMs then a CASE-summed bitmask —
     * the same single-pass shape as [[Dedup.simhash]]. */
@@ -882,39 +977,24 @@ object SparkEntry {
         |       MIN(doc_id) AS canonical
         |FROM u GROUP BY 1 ORDER BY canonical""".stripMargin,
 
-    "d2_minhash_lsh" -> {
-      val masks = graft.dedup.Dedup.minhashMasks(16)
-      val minAggs = masks.zipWithIndex
-        .map { case (m, i) => s"MIN(xor(h, ${m}::BIGINT)) AS m$i" }.mkString(", ")
-      val bandRows = (0 until 4).map { b =>
-        val ms = (b * 4 until (b + 1) * 4).map(i => s"m$i::VARCHAR").mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, md5($ms) AS bkey FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-         |  WHERE len(string_split(lower(text), ' ')) >= 3),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(toks) - 2),
-         |    i -> ${hex60("array_to_string(list_slice(toks, i, i + 2), ' ')")}))) AS h
-         |  FROM t),
-         |sig AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandRows),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.a, c.b, COUNT(*) AS i
-         |  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND x.h = y.h
-         |  GROUP BY 1, 2)
-         |SELECT a, b FROM inter
-         |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-         |WHERE i * 2 >= (sa.n + sb.n - i) * 1
-         |ORDER BY a, b""".stripMargin
-    },
+    "d2_minhash_lsh" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin,
+
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a AS x, b AS y FROM pairs
+         |  UNION SELECT b AS x, a AS y FROM pairs),
+         |rr(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT rr.x, e.y FROM rr JOIN edges e ON rr.y = e.x),
+         |m AS (SELECT x, MIN(y) AS mn FROM rr GROUP BY x)
+         |SELECT doc_id, CAST(CASE WHEN m.mn IS NULL OR m.mn > doc_id
+         |  THEN doc_id ELSE m.mn END AS BIGINT) AS cluster
+         |FROM documents LEFT JOIN m ON m.x = doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "d3_simhash" ->
       s"""WITH $simhashSql
@@ -1132,6 +1212,23 @@ object SparkEntry {
         |    AND e.event_type = k.event_type AND e.rn = k.rn + 1)
         |SELECT user_id AS id, event_type AS value, COUNT(*) AS count
         |FROM keep WHERE kept GROUP BY 1, 2 ORDER BY id, value""".stripMargin,
+
+    "w8_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id,
+        |         LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS prev
+        |  FROM events),
+        |ss AS (
+        |  SELECT user_id,
+        |         SUM(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM x)
+        |SELECT user_id AS id, CAST(MAX(session) AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM ss GROUP BY 1 ORDER BY id""".stripMargin,
 
     "kf_metrics" ->
       """SELECT

@@ -187,6 +187,48 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over a near-dup pair list: every document
+    * gets the MINIMUM doc id reachable through the pair graph as its
+    * cluster id — the assignment a dedup pass uses to keep exactly one
+    * representative per near-dup cluster. Documents in no pair are
+    * their own cluster.
+    *
+    * Min-label propagation: each round ships every vertex's current
+    * label across its edges and takes the per-vertex MIN; converges in
+    * O(graph diameter) rounds — near-dup clusters are shallow (pairs
+    * chain through shared content), so rounds stay in single digits.
+    * Each round is one shuffle of (vertex, label) pairs, the standard
+    * distributed connected-components loop (driver only orchestrates;
+    * per-round data never leaves the cluster). Bounded by `maxIters`
+    * with an early-exit convergence check per round. */
+  def nearDupClusters(pairs: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // messages: my label, delivered to each neighbor
+      val msgs = edges.join(labels, edges("x") === labels("id"))
+        .select(col("y").as("id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "cluster")
+  }
+
   /** n-gram (3-token shingle) Jaccard near-dup via an inverted-index
     * join on shingle hashes: only docs sharing a shingle ever meet.
     * Shared-shingle counts give |intersection| directly; set sizes

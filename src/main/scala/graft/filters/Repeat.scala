@@ -66,4 +66,23 @@ object Repeat {
       .filter(col("__prev").isNull || col(secCol) - col("__prev") > timeout)
       .drop("__prev")
   }
+
+  /** Batch sessionization — the batch counterpart of the streaming
+    * St5 state op: a new session starts at the first hit per key or
+    * after a gap > `gapSec`; `session` numbers sessions 1..n within
+    * the key via a running sum of new-session flags. One window
+    * shuffle per key set; entirely codegen'd window functions (no
+    * per-group state objects), the classic gaps-and-islands plan. */
+  def sessionize(df: DataFrame, keyCols: Seq[String], secCol: String,
+      gapSec: Long, tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(secCol), col(tieBreakCol))
+    df.withColumn("__prev", lag(col(secCol), 1).over(w))
+      .withColumn("__new",
+        (col("__prev").isNull || col(secCol) - col("__prev") > gapSec)
+          .cast("long"))
+      .withColumn("session", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new")
+  }
 }

@@ -200,6 +200,16 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Robots.loadPatterns(empty.toString) }
   }
 
+  test("sessionize numbers sessions by gap within each key") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 100L, 2L), (1L, 2000L, 3L),  // gap>1800 at 2000
+      (2L, 50L, 4L)).toDF("user_id", "sec", "event_id")
+    val r = graft.filters.Repeat.sessionize(df, Seq("user_id"), "sec", 1800L, "event_id")
+      .collect().map(x => (x.getAs[Long]("event_id"), x.getAs[Long]("session"))).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("Robots: empty pattern lists classify nothing as robots") {
     val s = spark; import s.implicits._
     val df = Seq(("Mozilla/5.0", "1.2.3.4")).toDF("ua", "ip")

@@ -194,6 +194,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.head.getAs[Long]("canonical") == 1L)
   }
 
+  test("nearDupClusters propagates the min id across pair chains") {
+    val s = spark; import s.implicits._
+    // chain 5-3, 3-9 (one cluster, min 3); isolated pair 10-11; lone 20
+    val pairs = Seq((3L, 5L), (3L, 9L), (10L, 11L)).toDF("a", "b")
+    val docs = Seq(3L, 5L, 9L, 10L, 11L, 20L).toDF("doc_id")
+    val r = Dedup.nearDupClusters(pairs, docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("annIvf finds the same top neighbors as brute force when cells align") {
     val s = spark; import s.implicits._
     // two tight clusters; centroids = ids 0 and 43 (stride sample)
