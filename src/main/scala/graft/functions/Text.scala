@@ -19,9 +19,14 @@ object Text {
 
   /** Deterministic 60-bit positive hash: first 15 hex chars of md5.
     * 60 bits keeps the value positive in a signed 64-bit long in any
-    * engine. */
+    * engine. Uses the fused native [[graft.plans.Hash60]] when the
+    * engine extensions are installed (no hex-string round-trip);
+    * falls back to the composable chain — bit-identical either way. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("hash60")))
+      call_function("hash60", c)
+    else conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Same hash computed driver-side (for deterministic literal seeds
     * shared with external oracles). */

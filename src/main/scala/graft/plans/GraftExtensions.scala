@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   * Registered functions:
   *  - `cosine_sim(array<double>, array<double>) -> double`
-  *    ([[CosineSimilarity]], codegen'd fused loop).
+  *    ([[CosineSimilarity]], codegen'd fused loop);
+  *  - `hash60(string) -> long` ([[Hash60]], fused md5-prefix hash).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         val Seq(a, b) = children.map(Cast(_, ArrayType(DoubleType)))
         CosineSimilarity(a, b)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "hash60 takes exactly 1 argument")
+        Hash60(Cast(children.head, StringType))
       }))
   }
 }

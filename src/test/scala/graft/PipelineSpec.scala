@@ -135,6 +135,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b(0L) == b(1L))
   }
 
+  test("native hash60 matches the composable md5-prefix chain bit-for-bit") {
+    val s = spark; import s.implicits._
+    assert(spark.catalog.functionExists("hash60"))
+    val samples = Seq("", "a", "hello world", "ü🙂 multi-byte",
+      "the quick brown fox", "0123456789abcdef" * 8)
+    val df = samples.toDF("s")
+    val rows = df.select(
+      call_function("hash60", col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // and against the driver-side literal mirror
+    assert(df.select(call_function("hash60", col("s"))).collect().map(_.getLong(0)).toSeq
+      == samples.map(graft.functions.Text.hash60Literal))
+    // null in, null out
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(call_function("hash60", col("s"))).head().isNullAt(0))
+  }
+
   test("native cosine_sim expression matches the HOF formulation bit-for-bit") {
     val s = spark; import s.implicits._
     assert(spark.catalog.functionExists("cosine_sim"))
