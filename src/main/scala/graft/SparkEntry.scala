@@ -423,6 +423,12 @@ object SparkEntry {
         Multimodal.asMediaTable(Tables.documents(s, d)))
         .orderBy("media_id")),
 
+    // ---- M2: frame sampling over binary payloads ----
+    "m2_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.asMediaTable(Tables.documents(s, d)))
+        .orderBy("media_id", "frame_no")),
+
     // ---- T6: Gopher-style quality rules (integer flags) ----
     "t6_quality_rules" -> ((s, d) => {
       val t = col("text")
@@ -1085,6 +1091,15 @@ object SparkEntry {
         |  CAST(64 + octet_length(encode(text)) % 193 AS INTEGER) AS width,
         |  CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "m2_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_no,
+        |  CAST(length(substr(text, 64*i + 1, 64)) AS INTEGER) AS frame_len,
+        |  CAST(ascii(substr(text, 64*i + 1, 1)) AS INTEGER) AS first_byte
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS i)
+        |WHERE 64*i < length(text) AND i % 4 = 0
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     "t6_quality_rules" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),

@@ -70,4 +70,49 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, decodedSchema)
   }
+
+  /** Resize: binary-in binary-out payload transform. The STUB codec
+    * truncates to `targetBytes` (a real one re-encodes pixels); the
+    * contract that matters at scale is payload -> payload per
+    * partition with the meta struct updated in place, never a
+    * driver round-trip. */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload", "meta.kind").rdd
+      .mapPartitions(_.map { r =>
+        val resized = r.getAs[Array[Byte]](1).take(targetBytes)
+        Row(r.getLong(0), resized, Row(r.getString(2), resized.length.toLong))
+      })
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_no", IntegerType),
+    StructField("frame_len", IntegerType),
+    StructField("first_byte", IntegerType)))
+
+  /** Frame sampling: treat the payload as fixed-size frames of
+    * `frameBytes` and emit every `everyN`-th frame's features — the
+    * video-keyframe-extraction shape. One payload in, ~len/(frame*N)
+    * rows out, all computed inside the partition iterator (a real
+    * sampler decodes only the touched frames; payloads never shuffle —
+    * only the small per-frame feature rows do, if at all). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64,
+      everyN: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val nFrames = (payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by everyN).iterator.map { f =>
+          val start = f * frameBytes
+          val len = math.min(frameBytes, payload.length - start)
+          Row(id, f, len, payload(start) & 0xFF)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
 }

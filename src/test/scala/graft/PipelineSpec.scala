@@ -179,6 +179,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(3) == 64 + ('a'.toInt % 64))  // height
   }
 
+  test("multimodal resize keeps the media schema and updates meta") {
+    val d = docs((7L, "abcdefghij"))
+    val out = Multimodal.resize(Multimodal.asMediaTable(d), targetBytes = 4)
+    assert(out.schema == Multimodal.mediaSchema)
+    val r = out.head()
+    assert(r.getAs[Array[Byte]]("payload").toSeq == "abcd".getBytes("UTF-8").toSeq)
+    assert(r.getStruct(2).getLong(1) == 4L)  // declared_bytes updated
+  }
+
+  test("multimodal frame sampling emits every Nth fixed-size frame") {
+    val d = docs((7L, "x" * 150))  // frames of 64: 0..63, 64..127, 128..149
+    val rows = Multimodal.sampleFrames(Multimodal.asMediaTable(d),
+        frameBytes = 64, everyN = 2)
+      .orderBy("frame_no").collect()
+    // frames 0 and 2 sampled (everyN=2); frame 2 is the 22-byte tail
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(rows.map(_.getInt(2)).toSeq == Seq(64, 22))
+    assert(rows.forall(_.getInt(3) == 'x'.toInt))
+  }
+
   test("fingerprint equals min shingle hash and is stable") {
     val d = docs((1L, "a b c d"), (2L, "a b c d"))
     val fps = d.select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))

@@ -62,6 +62,16 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       plain.agg(sum("payload")).head().getLong(0))
   }
 
+  test("fingerprints plan pays exactly one shuffle (window; agg reuses it)") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 50L).map(i => (i, s"w$i x$i y$i z$i q$i"))
+      .toDF("doc_id", "text")
+    val plan = graft.dedup.Dedup.fingerprints(docs)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+  }
+
   test("densify honors an explicit requested range") {
     val s = spark; import s.implicits._
     val series = Seq((java.sql.Date.valueOf("2024-03-10"), 5L))
