@@ -423,10 +423,14 @@ object SparkEntry {
         Multimodal.asMediaTable(Tables.documents(s, d)))
         .orderBy("media_id")),
 
-    // ---- M2: frame sampling over binary payloads ----
+    // ---- M2: frame sampling over binary payloads. The operator
+    // frames BYTES; the oracle can only address characters — restrict
+    // both sides to ASCII docs (chars == bytes) so the comparison is
+    // exact on any corpus, not just coincidentally-ASCII test data ----
     "m2_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
-          Multimodal.asMediaTable(Tables.documents(s, d)))
+          Multimodal.asMediaTable(Tables.documents(s, d)
+            .filter(length(col("text")) === octet_length(col("text")))))
         .orderBy("media_id", "frame_no")),
 
     // ---- T6: Gopher-style quality rules (integer flags) ----
@@ -1097,8 +1101,9 @@ object SparkEntry {
         |  CAST(length(substr(text, 64*i + 1, 64)) AS INTEGER) AS frame_len,
         |  CAST(ascii(substr(text, 64*i + 1, 1)) AS INTEGER) AS first_byte
         |FROM documents
-        |CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS i)
-        |WHERE 64*i < length(text) AND i % 4 = 0
+        |CROSS JOIN (SELECT unnest(generate_series(0, 4000)) AS i)
+        |WHERE length(text) = octet_length(encode(text))
+        |  AND 64*i < length(text) AND i % 4 = 0
         |ORDER BY media_id, frame_no""".stripMargin,
 
     "t6_quality_rules" ->
@@ -1134,7 +1139,7 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |ch AS (
         |  SELECT doc_id, array_to_string(list_slice(toks, 8*i + 1, 8*i + 8), ' ') AS chunk
-        |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS i)
+        |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 4000)) AS i)
         |  WHERE 8*i + 8 <= len(toks)),
         |g AS (
         |  SELECT chunk, COUNT(*) AS copies, MIN(doc_id) AS canonical

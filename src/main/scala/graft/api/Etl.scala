@@ -89,14 +89,20 @@ object Etl {
         else p.provides.map(dt => dt -> fact.filter(col("value") === dt))
       val counts = outputs.map { case (dt, df) =>
         val n = df.count()
-        // A zero-row datatype writes nothing (a parquet dir with no
-        // data files breaks schema inference for later readers) — but
-        // on a backfill the recomputed window may legitimately go to
-        // zero (e.g. tightened robot filters), so the stale in-window
-        // partitions must still be cleared for the rerun to be
-        // idempotent.
+        // Backfill idempotency: when the run has an explicit window
+        // start, clear ALL the datatype's in-window partitions first —
+        // dynamic overwrite alone only replaces days present in the
+        // recomputed frame, so a previously-populated day whose
+        // recount goes to zero (e.g. tightened robot filters) would
+        // otherwise keep its stale partition. Clearing is gated on a
+        // KNOWN window start: with from=None (first run / missing
+        // checkpoint) nothing is deleted — a lost checkpoint must
+        // never be able to wipe a datatype's history.
+        from.foreach(f =>
+          FactStore.clearPartitionsFrom(s"${cfg.factRoot}/$dt", Some(f)))
+        // n == 0 additionally writes nothing: a parquet dir with no
+        // data files breaks schema inference for later readers.
         if (n > 0) FactStore.overwritePartitions(df, s"${cfg.factRoot}/$dt")
-        else FactStore.clearPartitionsFrom(s"${cfg.factRoot}/$dt", from)
         dt -> n
       }
       fact.unpersist()

@@ -62,7 +62,7 @@ object Dedup {
     minhashSignaturesFrom(
       docs.select(col(idCol).as("id"),
         explode(Text.tokenSet(col(textCol))).as("tok"))
-        .select(col("id"), Text.hash60(col("tok")).as("h")), k)
+        .select(col("id"), Text.hash60(col("tok"), Some(docs.sparkSession)).as("h")), k)
 
   /** LSH band keys from the wide signature: band key = md5 of the
     * comma-joined band minima. Emits (id, band, bkey). */
@@ -153,7 +153,7 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(Text.tokenSet(col(textCol))).as("tok"))
-      .withColumn("h", Text.hash60(col("tok")))
+      .withColumn("h", Text.hash60(col("tok"), Some(docs.sparkSession)))
     val bitSums = (0 until 60).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"b$j"))
     val aggCols = count(lit(1)).as("n") +: bitSums
@@ -207,8 +207,12 @@ object Dedup {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) both materializes each round's labels
+    // and TRUNCATES the lineage — without it the plan deepens by one
+    // union+groupBy per round and later rounds re-analyze (and on
+    // cache eviction recompute) the whole chain back to round 0.
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -217,10 +221,9 @@ object Dedup {
         .select(col("y").as("id"), col("label"))
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
@@ -258,7 +261,8 @@ object Dedup {
       .withColumn("t2", lead("tok", 2).over(w))
       .filter(col("t2").isNotNull)
       .select(col("id"),
-        Text.hash60(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("sh"))
+        Text.hash60(concat_ws(" ", col("tok"), col("t1"), col("t2")),
+          Some(docs.sparkSession)).as("sh"))
     if (dedupe) hashes.distinct() else hashes
   }
 
@@ -275,7 +279,8 @@ object Dedup {
     val long = shingleHashes(docs.filter(n >= 3), textCol, idCol, dedupe = false)
       .groupBy("id").agg(min("sh").as("fp"))
     val short = docs.filter(n < 3)
-      .select(col(idCol).as("id"), Text.hash60(lower(col(textCol))).as("fp"))
+      .select(col(idCol).as("id"),
+        Text.hash60(lower(col(textCol)), Some(docs.sparkSession)).as("fp"))
     long.unionByName(short)
   }
 

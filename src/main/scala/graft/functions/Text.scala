@@ -20,13 +20,21 @@ object Text {
   /** Deterministic 60-bit positive hash: first 15 hex chars of md5.
     * 60 bits keeps the value positive in a signed 64-bit long in any
     * engine. Uses the fused native [[graft.plans.Hash60]] when the
-    * engine extensions are installed (no hex-string round-trip);
-    * falls back to the composable chain — bit-identical either way. */
-  def hash60(c: Column): Column =
-    if (org.apache.spark.sql.SparkSession.getActiveSession
+    * engine extensions are registered (no hex-string round-trip);
+    * falls back to the composable chain — bit-identical either way.
+    *
+    * Pass the TARGET DataFrame's session when available: the function
+    * lookup must consult the session that will analyze the plan, and
+    * the thread's active session can be a different one (e.g. mixed
+    * sessions in one JVM). The no-session overload falls back to the
+    * active-session heuristic for Column-only contexts. */
+  def hash60(c: Column, session: Option[org.apache.spark.sql.SparkSession]): Column =
+    if (session.orElse(org.apache.spark.sql.SparkSession.getActiveSession)
         .exists(_.catalog.functionExists("hash60")))
       call_function("hash60", c)
     else conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def hash60(c: Column): Column = hash60(c, None)
 
   /** Same hash computed driver-side (for deterministic literal seeds
     * shared with external oracles). */

@@ -112,22 +112,32 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cents = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    // index build: one codegen'd pass of corpus x broadcast centroids,
+    // rank-1 cell per vector — the corpus never shuffles or broadcasts
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    // one scored (vector x centroid) pass serves both the assignment
-    // (rank 1 per vector) and the query probe lists (rank <= nprobe)
-    val scored = v.crossJoin(broadcast(cents))
+    val wAssign = Window.partitionBy("id").orderBy(col("c").desc, col("cid").asc)
+    val assign = v.crossJoin(broadcast(cents))
       .select(col("id"), col("cid"),
         cosineCol(corpus, col("v"), col("cv")).as("c"))
-    val wAssign = Window.partitionBy("id").orderBy(col("c").desc, col("cid").asc)
-    val ranked = scored.withColumn("r", row_number().over(wAssign))
-    val assign = ranked.filter(col("r") === 1).select(col("id").as("nid"), col("cid"))
-    val probes = ranked.filter(col("r") <= nprobe)
-      .join(queries.select(col(idCol).as("id")), "id")
-      .select(col("id").as("qid"), col("cid"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("id").as("nid"), col("cid"))
+    // probe lists: the QUERY set's own vectors against the same
+    // centroids (queries need not be corpus members); both sides of
+    // this product are small, and the probe table — (qid, cid, qv) x
+    // nprobe — is what broadcasts into the cell join
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("c").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"),
+        cosineCol(corpus, col("qv"), col("cv")).as("c"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    // search: only the probed cells' posting lists are scored
     val cands = assign.join(broadcast(probes), "cid")
       .filter(col("nid") =!= col("qid"))
       .join(corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv")), "nid")
-      .join(broadcast(corpus.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))), "qid")
       .select(col("qid"), col("nid"),
         cosineCol(corpus, col("qv"), col("nv")).as("cos"))
       // a vector can reach a query through only one cell (assignment is

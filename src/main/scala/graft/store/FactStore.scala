@@ -37,31 +37,32 @@ object FactStore {
 
   /** Clear the day partitions of a fact table from `from` onward (all
     * partitions when `from` is None). Complements dynamic overwrite in
-    * the goes-to-zero edge of a backfill: a rerun whose recomputed
-    * window yields ZERO rows for a datatype produces no partitions to
-    * overwrite, so the stale ones must be deleted explicitly or the
-    * rerun is not idempotent. Driver-side directory surgery — the
-    * partition layout (`date=YYYY-MM-DD` subdirs) is the table format
-    * this store owns. */
+    * a backfill: overwrite only replaces days PRESENT in the
+    * recomputed frame, so in-window days whose recount went to zero
+    * must be deleted explicitly or the rerun is not idempotent.
+    * Driver-side directory surgery — the partition layout
+    * (`date=YYYY-MM-DD` subdirs) is the table format this store owns.
+    * If no partitions remain afterwards the table root is removed too:
+    * an empty parquet dir (just `_SUCCESS`) breaks schema inference,
+    * whereas an absent table reads as "no data yet", same as before
+    * its first write. */
   def clearPartitionsFrom(path: String,
       from: Option[java.time.LocalDate]): Unit = {
     val root = new java.io.File(path)
     if (!root.isDirectory) return
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).toSeq.flatten.foreach(rm)
-      f.delete(): Unit
-    }
-    Option(root.listFiles).toSeq.flatten
+    val parts = Option(root.listFiles).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.startsWith("date="))
-      .filter { d =>
-        from match {
-          case None => true
-          case Some(f) =>
-            scala.util.Try(java.time.LocalDate.parse(d.getName.stripPrefix("date=")))
-              .toOption.exists(!_.isBefore(f))
-        }
+    parts.filter { d =>
+      from match {
+        case None => true
+        case Some(f) =>
+          scala.util.Try(java.time.LocalDate.parse(d.getName.stripPrefix("date=")))
+            .toOption.exists(!_.isBefore(f))
       }
-      .foreach(rm)
+    }.foreach(rm)
+    val anyLeft = Option(root.listFiles).toSeq.flatten
+      .exists(d => d.isDirectory && d.getName.startsWith("date="))
+    if (!anyLeft) rm(root)
   }
 
   /** Read a fact table; date-range filters prune partitions. */
@@ -83,14 +84,15 @@ object FactStore {
     else None
   }
 
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles).toSeq.flatten.foreach(rm)
+    f.delete(): Unit
+  }
+
   /** S8 uninstall (ref `Handler.pm:1411-1430` drops `irstats2_%`):
     * remove every fact table under the root. Parquet dirs are the
     * tables, so uninstall is a recursive delete. */
   def uninstall(factRoot: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).toSeq.flatten.foreach(rm)
-      f.delete(): Unit
-    }
     val root = new java.io.File(factRoot)
     if (root.isDirectory) rm(root)
   }

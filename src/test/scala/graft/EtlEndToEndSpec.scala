@@ -106,5 +106,18 @@ class EtlEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dv2.count() == 3) // days 1-2 intact + day 3; day 4 skipped
     assert(graft.store.FactStore.loadCheckpoint(ckpt, "access")
       .contains("2024-03-03")) // checkpoint NOT advanced past the live day
+
+    // backfill whose recount goes to ZERO for a previously-populated
+    // day: rerun 03-02 onward with Opera classified as a robot — the
+    // only 03-02 download drops out, so its stale partition must be
+    // CLEARED (dynamic overwrite alone would leave it); 03-01 is
+    // outside the window and must survive
+    val written3 = Etl.run(spark, cfg.copy(
+      fromDate = Some(java.time.LocalDate.of(2024, 3, 2)),
+      uaPatterns = graft.filters.Robots.defaultUaPatterns :+ "opera"))
+    assert(written3("downloads") == 1L) // just day 3's download
+    val dv3 = spark.read.parquet(s"$facts/downloads")
+      .collect().map(_.getAs[java.sql.Date]("date").toString).toSet
+    assert(dv3 == Set("2024-03-01", "2024-03-03"))
   }
 }
