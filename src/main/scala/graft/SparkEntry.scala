@@ -332,6 +332,36 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("date")),
 
+    // ---- U1/U2: explicit set operators (EXCEPT / INTERSECT).
+    // U1 compares per-day active-user sets (event-type sets are
+    // saturated in this corpus — their difference would be empty,
+    // which is a vacuous check) ----
+    "u1_except" -> ((s, d) => {
+      val e = ev(s, d).withColumn("day", to_date(col("ts")))
+      e.filter(col("day") === lit(java.sql.Date.valueOf("2024-01-05")))
+        .select("user_id").distinct()
+        .except(e.filter(col("day") === lit(java.sql.Date.valueOf("2024-01-06")))
+          .select("user_id").distinct())
+        .orderBy("user_id")
+    }),
+
+    "u2_intersect" -> ((s, d) => {
+      val e = ev(s, d)
+      e.filter(col("event_type") === "view").select("user_id").distinct()
+        .intersect(e.filter(col("event_type") === "purchase")
+          .select("user_id").distinct())
+        .orderBy("user_id")
+    }),
+
+    // ---- O7: ordered string aggregation (listagg presentation op) ----
+    "o7_string_agg" -> ((s, d) =>
+      ev(s, d).select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type").as("value"))
+        .agg(array_join(
+          transform(slice(array_sort(collect_set(col("user_id"))), 1, 5),
+            x => x.cast("string")), ",").as("ids"))
+        .orderBy("value")),
+
     // ---- W7: n-period moving window (sum + floor-average) ----
     "w7_moving_avg" -> ((s, d) => {
       val daily = Tables.lineitem(s, d)
@@ -870,6 +900,27 @@ object SparkEntry {
          |  $cols
          |FROM fact GROUP BY date ORDER BY date""".stripMargin
     },
+
+    "u1_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-06'
+        |ORDER BY user_id""".stripMargin,
+
+    "u2_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "o7_string_agg" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |r AS (SELECT event_type, user_id,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY user_id) AS rn
+        |      FROM d)
+        |SELECT event_type AS value,
+        |       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS ids
+        |FROM r WHERE rn <= 5 GROUP BY 1 ORDER BY value""".stripMargin,
 
     "w7_moving_avg" ->
       """WITH m AS (
