@@ -233,6 +233,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.head.getAs[Long]("canonical") == 1L)
   }
 
+  test("leftAsOf attaches the latest right row at or before each left time") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L))
+      .toDF("k", "lt", "lid")
+    val right = Seq((1L, 100L, 20L), (1L, 100L, 21L), (1L, 40L, 22L), (2L, 99L, 23L))
+      .toDF("k", "rt", "rid")
+    val r = graft.operators.AsOfJoin
+      .leftAsOf(left, right, "k", "lt", "lid", "rt", "rid")
+      .collect().map(x => (x.getLong(1),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    // lid 10 at t=100: right at same t matches, tie -> max rid 21;
+    // lid 11 at t=50: latest earlier right is t=40 -> 22;
+    // lid 12 at t=10: no right at or before -> null
+    assert(r == Map(10L -> 21L, 11L -> 22L, 12L -> -1L))
+  }
+
   test("nearDupClusters propagates the min id across pair chains") {
     val s = spark; import s.implicits._
     // chain 5-3, 3-9 (one cluster, min 3); isolated pair 10-11; lone 20
