@@ -43,6 +43,18 @@ object Streaming {
       .select(to_date(col("window.start")).as("date"),
         col("id"), col("value"), col("count"))
 
+  /** St4 streaming exactly-once-ish ingest: drop duplicate records
+    * across micro-batches (e.g. a day file re-delivered, an upstream
+    * producer retry). State is bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` expires a key once the watermark
+    * passes it, so dedup state never grows beyond the late-data
+    * horizon (the batch pipeline's full-file dropDuplicates has no
+    * such bound and doesn't need one). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermarkCol: String = "ts", lateness: String = "1 day"): DataFrame =
+    events.withWatermark(watermarkCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** One keyed click event for the streaming repeat filter. */
   case class Keyed(key: String, sec: Long)
   /** Kept (non-repeat) click. */

@@ -46,6 +46,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq == Seq(0L, 5000L))
   }
 
+  test("St4: streaming dedup drops re-delivered records across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streaming.dedupStream(
+        input.toDF().toDF("event_id", "ts"), Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    input.addData((1L, t0), (2L, t0))
+    q.processAllAvailable()
+    // batch 2 re-delivers event 1 (producer retry) and adds event 3
+    input.addData((1L, t0), (3L, t0))
+    q.processAllAvailable()
+    val ids = spark.table("deduped").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("file-source stream ingests TSV day files end-to-end") {
     import java.util.zip.GZIPOutputStream
     val dir = java.nio.file.Files.createTempDirectory("stream-access").toFile
