@@ -14,8 +14,10 @@ object Bench {
     * Must all be keys of [[SparkEntry.queries]]. */
   val headline: Seq[String] = Seq(
     "a1_daily_fact", "a2_sum_groupby", "o3_topn", "j1_set_join",
-    "j2_grouping_join", "j3_semi_join", "w1_densify", "f3_repeat_lag",
+    "j2_grouping_join", "j3_semi_join", "w1_densify", "w8_sessionize",
+    "f3_repeat_lag", "x1_asof_attribution",
     "h1_pricing_summary", "h2_shipping_priority", "h3_top_orders",
+    "h5_region_revenue",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_line_dedup",
     "v1_ann_bruteforce", "v5_ann_ivf", "t1_token_stats",
     "t4_fingerprint", "t6_quality_rules")
