@@ -259,6 +259,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("LSH and IVF ANN recall vs brute force on clustered vectors") {
+    val s = spark; import s.implicits._
+    // 3 well-separated clusters of 20 vectors in R^8: center + small
+    // deterministic jitter; nearest neighbors live inside the cluster
+    def vec(cluster: Int, i: Int): Array[Float] = {
+      val base = Array.fill(8)(0.0f)
+      base(cluster) = 10.0f
+      (0 until 8).map(j =>
+        base(j) + (((cluster * 131 + i * 17 + j * 7) % 11) - 5) * 0.05f).toArray
+    }
+    val rows = for (c <- 0 until 3; i <- 0 until 20)
+      yield ((c * 20 + i).toLong, vec(c, i))
+    val e = rows.toDF("vec_id", "embedding")
+    val queries = e.filter(col("vec_id").isin(0L, 1L, 20L, 21L, 40L, 41L))
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor")).toSet }
+    val brute = neighbors(Similarity.annBruteForce(e, queries, k = 5))
+    val lsh = neighbors(Similarity.annLsh(e, queries, k = 5, planes = 6))
+    val ivf = neighbors(Similarity.annIvf(e, queries, k = 5,
+      nprobe = 2, centroidStride = 19))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = brute.map { case (q, nb) =>
+        approx.getOrElse(q, Set.empty).intersect(nb).size
+      }.sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    // tight clusters: both approximate paths should recover most of
+    // the true top-5 (the trade-off is tunable via planes / nprobe)
+    assert(recall(lsh) >= 0.8, s"LSH recall ${recall(lsh)}")
+    assert(recall(ivf) >= 0.8, s"IVF recall ${recall(ivf)}")
+  }
+
   test("annIvf finds the same top neighbors as brute force when cells align") {
     val s = spark; import s.implicits._
     // two tight clusters; centroids = ids 0 and 43 (stride sample)
