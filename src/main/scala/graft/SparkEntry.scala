@@ -353,14 +353,21 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // ---- O7: ordered string aggregation (listagg presentation op) ----
-    "o7_string_agg" -> ((s, d) =>
+    // ---- O7: ordered string aggregation (listagg presentation op).
+    // Top-5 is selected with a rank window BEFORE the collect, so the
+    // per-group aggregation state is 5 elements, not the whole
+    // distinct-user set of the corpus ----
+    "o7_string_agg" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("user_id")
       ev(s, d).select(col("event_type"), col("user_id")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
         .groupBy(col("event_type").as("value"))
         .agg(array_join(
-          transform(slice(array_sort(collect_set(col("user_id"))), 1, 5),
+          transform(array_sort(collect_list(col("user_id"))),
             x => x.cast("string")), ",").as("ids"))
-        .orderBy("value")),
+        .orderBy("value")
+    }),
 
     // ---- W7: n-period moving window (sum + floor-average) ----
     "w7_moving_avg" -> ((s, d) => {
@@ -1169,7 +1176,8 @@ object SparkEntry {
         |  CAST(length(substr(text, 64*i + 1, 64)) AS INTEGER) AS frame_len,
         |  CAST(ascii(substr(text, 64*i + 1, 1)) AS INTEGER) AS first_byte
         |FROM documents
-        |CROSS JOIN (SELECT unnest(generate_series(0, 4000)) AS i)
+        |CROSS JOIN (SELECT unnest(generate_series(0,
+        |  (SELECT CAST(MAX(length(text)) / 64 AS INTEGER) + 1 FROM documents))) AS i)
         |WHERE length(text) = octet_length(encode(text))
         |  AND 64*i < length(text) AND i % 4 = 0
         |ORDER BY media_id, frame_no""".stripMargin,
@@ -1207,7 +1215,8 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |ch AS (
         |  SELECT doc_id, array_to_string(list_slice(toks, 8*i + 1, 8*i + 8), ' ') AS chunk
-        |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 4000)) AS i)
+        |  FROM t CROSS JOIN (SELECT unnest(generate_series(0,
+        |    (SELECT CAST(MAX(len(toks)) / 8 AS INTEGER) + 1 FROM t))) AS i)
         |  WHERE 8*i + 8 <= len(toks)),
         |g AS (
         |  SELECT chunk, COUNT(*) AS copies, MIN(doc_id) AS canonical

@@ -224,6 +224,11 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
+      // `next` is eagerly materialized, so the previous round's blocks
+      // can be released now (the dropped reference also lets the
+      // context cleaner reap the checkpointed RDD) — without this, up
+      // to maxIters label tables pile up in the block manager.
+      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1

@@ -74,10 +74,13 @@ object Similarity {
   }
 
   /** Deterministic random-hyperplane components: w[p][j] in
-    * [-1, 1] step 1/1000, derived from hash60("p|j"). */
-  private def planeComponent(p: Column, j: Column): Column =
-    (Text.hash60(concat(p.cast("string"), lit("|"), j.cast("string"))) % 2001 - 1000)
-      .cast("double") / 1000.0
+    * [-1, 1] step 1/1000, derived from hash60("p|j"). The session is
+    * threaded through so the native-hash lookup consults the TARGET
+    * DataFrame's function registry, not the thread-active session. */
+  private def planeComponent(p: Column, j: Column,
+      session: Option[org.apache.spark.sql.SparkSession]): Column =
+    (Text.hash60(concat(p.cast("string"), lit("|"), j.cast("string")), session)
+      % 2001 - 1000).cast("double") / 1000.0
 
   /** LSH bucket id per vector: p sign bits of hyperplane dot products.
     * bucket = sum over p of (dot(v, w_p) >= 0) << p. */
@@ -88,7 +91,8 @@ object Similarity {
     val bucketBits = (0 until planes).map { p =>
       // dot(v, w_p): ordered sum over j of v[j] * w[p][j]
       val dot = aggregate(sequence(lit(0), dim - 1), lit(0.0),
-        (acc, j) => acc + element_at(v, j + 1) * planeComponent(lit(p), j))
+        (acc, j) => acc + element_at(v, j + 1) *
+          planeComponent(lit(p), j, Some(corpus.sparkSession)))
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     corpus.select(col(idCol).as("id"), bucketBits.reduce(_ + _).as("bucket"))
