@@ -17,7 +17,7 @@ object Bench {
     "j2_grouping_join", "j3_semi_join", "w1_densify", "w8_sessionize",
     "f3_repeat_lag", "x1_asof_attribution",
     "h1_pricing_summary", "h2_shipping_priority", "h3_top_orders",
-    "h5_region_revenue",
+    "h5_region_revenue", "h6_forecast_revenue",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_line_dedup",
     "v1_ann_bruteforce", "v5_ann_ivf", "t1_token_stats",
     "t4_fingerprint", "t6_quality_rules")
