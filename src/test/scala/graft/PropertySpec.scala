@@ -70,6 +70,51 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private val eventsGen: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 4L)          // key
+      t <- Gen.choose(0L, 20000L)      // sec
+    } yield (k, t))
+  } yield rows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+
+  test("leftAsOf matches the naive quadratic max-filter join") {
+    forAllSeeded(eventsGen, n = 5) { rows =>
+      val s = spark; import s.implicits._
+      val (l, r) = rows.partition(_._3 % 2 == 0)
+      if (l.nonEmpty && r.nonEmpty) {
+        val left = l.toDF("k", "lt", "lid")
+        val right = r.toDF("k", "rt", "rid")
+        val got = graft.operators.AsOfJoin
+          .leftAsOf(left, right, "k", "lt", "lid", "rt", "rid")
+          .collect().map(x => x.getLong(1) ->
+            (if (x.isNullAt(3)) None else Some(x.getLong(3)))).toMap
+        // reference: latest rt <= lt; ties at rt -> max rid
+        val want = l.map { case (k, lt, lid) =>
+          val cand = r.filter(x => x._1 == k && x._2 <= lt)
+          lid -> (if (cand.isEmpty) None
+            else Some(cand.filter(_._2 == cand.map(_._2).max).map(_._3).max))
+        }.toMap
+        assert(got == want)
+      }
+    }
+  }
+
+  test("sessionize: per key, sessions = 1 + number of over-gap steps") {
+    forAllSeeded(eventsGen, n = 5) { rows =>
+      val s = spark; import s.implicits._
+      val df = rows.toDF("user_id", "sec", "event_id")
+      val out = Repeat.sessionize(df, Seq("user_id"), "sec", 1800L, "event_id")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sec"),
+          r.getAs[Long]("session")))
+      out.groupBy(_._1).foreach { case (k, xs) =>
+        val secs = rows.filter(_._1 == k).map(_._2).sorted
+        val gaps = secs.zip(secs.tail).count { case (a, b) => b - a > 1800L }
+        assert(xs.map(_._3).max == 1L + gaps)
+      }
+    }
+  }
+
   test("movingAverage: window sums bounded by periods, avg is floor(sum/width)") {
     forAllSeeded(seriesGen) { s =>
       if (s.nonEmpty) {
