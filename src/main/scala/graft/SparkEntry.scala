@@ -305,6 +305,21 @@ object SparkEntry {
         .agg(sum((col("l_extendedprice") * col("l_discount"))
           .cast("decimal(18,4)")).cast("double").as("revenue"))),
 
+    // ---- A14: sketch-based approximate distinct. No DuckDB oracle
+    // (sketch implementations differ across engines → driver records
+    // a rows-only check); the exact/approx columns let the result
+    // self-document its error. Sketches are THE distinct-count scale
+    // story: HLL buffers merge associatively, so 1000 executors
+    // combine map-side partials instead of shuffling raw ids. ----
+    "a14_approx_distinct" -> ((s, d) =>
+      ev(s, d).agg(
+        countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll"))
+        .withColumn("approx_err_permille",
+          (abs(col("approx") - col("exact")) * 1000L / col("exact"))
+            .cast("long"))),
+
     // ---- A11: ROLLUP totals (year x value, with subtotal rows) ----
     "a11_rollup" -> ((s, d) =>
       fact(s, d).withColumn("y", year(col("date")))
