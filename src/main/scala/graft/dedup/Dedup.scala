@@ -252,7 +252,10 @@ object Dedup {
     // concat, md5) is codegen'd; the alternative — building shingle
     // strings inside a transform() lambda — evaluates interpreted per
     // element. The per-doc window sort rides the same shuffle the
-    // downstream per-doc aggregate needs anyway.
+    // downstream per-doc aggregate needs anyway. (Measured at sf0.1:
+    // the lambda build is ~3x slower wall-clock on the fingerprint and
+    // minhash pipelines even though it avoids this shuffle — the
+    // interpreted per-element cost dominates. Don't switch back.)
     //
     // `dedupe = false` skips the distinct exchange for consumers whose
     // aggregate is multiset-invariant (MIN for fingerprints): the
