@@ -78,9 +78,27 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bkey"))
   }
 
-  /** Candidate pairs: ids sharing any (band, bkey); a < b, distinct. */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val x = bands.as("x"); val y = bands.as("y")
+  /** Candidate pairs: ids sharing any (band, bkey); a < b, distinct.
+    *
+    * `maxBucketSize` is the 100 TB skew guard: a degenerate bucket
+    * (e.g. a boilerplate band shared by millions of docs) makes the
+    * self-join quadratic IN THAT BUCKET. Capping drops buckets larger
+    * than the threshold before the join — the standard LSH trade
+    * (those pairs are usually re-found through their other, more
+    * selective bands; exact-duplicate floods are better handled by
+    * [[exact]] dedup first). The sizing window rides the same
+    * (band, bkey) shuffle the join needs anyway. */
+  def lshCandidates(bands: DataFrame,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val pruned = maxBucketSize match {
+      case None => bands
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        bands.withColumn("__n",
+            count(lit(1)).over(Window.partitionBy("band", "bkey")))
+          .filter(col("__n") <= cap).drop("__n")
+    }
+    val x = pruned.as("x"); val y = pruned.as("y")
     x.join(y, col("x.band") === col("y.band") &&
         col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
@@ -131,7 +149,8 @@ object Dedup {
     * candidate join never goes quadratic (measured here: 7M candidate
     * pairs token-level vs 256 shingle-level on the same 5k docs). */
   def minhashNearDup(docs: DataFrame, num: Int = 1, den: Int = 2,
-      k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      k: Int = 16, rowsPerBand: Int = 4,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     // The feature table feeds both the signature build and the verify
     // join — persist it so the shingle pipeline runs once, not twice.
     // Lifecycle note: the cache lives until LRU eviction (the caller
@@ -142,7 +161,8 @@ object Dedup {
     val features = shingleHashes(docs)
       .select(col("id"), col("sh").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(lshBands(minhashSignaturesFrom(features, k), rowsPerBand))
+    val cands = lshCandidates(
+      lshBands(minhashSignaturesFrom(features, k), rowsPerBand), maxBucketSize)
     verifyJaccardOn(cands, features, num, den)
   }
 

@@ -81,6 +81,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("lshCandidates bucket cap drops hot buckets, keeps selective ones") {
+    val s = spark; import s.implicits._
+    // bucket "hot" holds 4 ids (6 pairs); bucket "cold" holds 2 (1 pair)
+    val bands = (Seq((1L, 0, "hot"), (2L, 0, "hot"), (3L, 0, "hot"),
+      (4L, 0, "hot"), (10L, 1, "cold"), (11L, 1, "cold")))
+      .toDF("id", "band", "bkey")
+    val all = Dedup.lshCandidates(bands).count()
+    val capped = Dedup.lshCandidates(bands, maxBucketSize = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == 7)
+    assert(capped == Set((10L, 11L)))
+  }
+
   test("simhash: identical docs at hamming 0; blocking finds them") {
     val d = docs(
       (1L, "one two three four five six seven eight"),
