@@ -187,17 +187,32 @@ object Dedup {
   /** SimHash near-dup: pairs with hamming distance <= maxDist.
     * Pigeonhole blocking: 60 bits in 4 blocks of 15; any pair at
     * distance <= 3 shares at least one exact block. Pairs are joined
-    * per block and deduped, never the full n^2. */
-  def simhashNearDup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * per block and deduped, never the full n^2.
+    *
+    * `maxBlockSize` is the skew guard: a degenerate block value
+    * (e.g. near-identical boilerplate collapsing to one simhash
+    * region) would make its self-join quadratic; capping drops such
+    * blocks — pairs may still meet through their other three blocks
+    * (recall trade, None = exact blocking). */
+  def simhashNearDup(docs: DataFrame, maxDist: Int = 3,
+      maxBlockSize: Option[Int] = None): DataFrame = {
     // One row per doc — persist so the token explode + 60-sum agg
     // runs once instead of once per self-join side.
     val sh = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocks = sh.select(col("id"), col("simhash"),
+    val allBlocks = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
           shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFF).as("bk"))): _*)).as("blk"))
       .select(col("id"), col("simhash"), col("blk.q"), col("blk.bk"))
+    val blocks = maxBlockSize match {
+      case None => allBlocks
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        allBlocks
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy("q", "bk")))
+          .filter(col("__n") <= cap).drop("__n")
+    }
     val x = blocks.as("x"); val y = blocks.as("y")
     x.join(y, col("x.q") === col("y.q") && col("x.bk") === col("y.bk") &&
         col("x.id") < col("y.id"))
@@ -342,12 +357,28 @@ object Dedup {
       .filter(col("copies") > 1)
   }
 
+  /** `maxPostingList` is the skew guard for the inverted index: a
+    * shingle occurring in k documents contributes k^2 join rows, so a
+    * boilerplate shingle shared by millions would dominate the
+    * shuffle. When set, shingles with document frequency above the
+    * cap are removed from BOTH the index and the per-doc sizes —
+    * the result is then the exact Jaccard over each document's
+    * RARE-shingle profile (stop-shingle removal), a well-defined
+    * approximation of full-profile Jaccard. None = exact. */
   def ngramJaccardNearDup(docs: DataFrame, num: Int = 1, den: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxPostingList: Option[Int] = None): DataFrame = {
     // Consumed three times (sizes + both sides of the inverted-index
     // self-join) — persist to compute the shingle pipeline once.
-    val shingles = shingleHashes(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allShingles = shingleHashes(docs, textCol, idCol)
+    val shingles = (maxPostingList match {
+      case None => allShingles
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        allShingles
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
+          .filter(col("__df") <= cap).drop("__df")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingles.groupBy("id").agg(count(lit(1)).as("nsh"))
     val x = shingles.as("x"); val y = shingles.as("y")
     val inter = x.join(y, col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))

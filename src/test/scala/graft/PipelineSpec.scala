@@ -94,6 +94,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == Set((10L, 11L)))
   }
 
+  test("ngram jaccard posting-list cap computes rare-shingle jaccard") {
+    // docs 1,2 share ONLY a boilerplate shingle ("x y z", in all 3
+    // docs); docs 1,3 also share a rare one. With the cap at 2 the
+    // boilerplate posting list (df=3) is dropped from index AND
+    // sizes, so only the rare-shingle pair (1,3) survives.
+    val d = docs(
+      (1L, "x y z a b c"),
+      (2L, "x y z q r s"),
+      (3L, "x y z a b c t"))
+    val exact = Dedup.ngramJaccardNearDup(d, 1, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rare = Dedup.ngramJaccardNearDup(d, 1, 7, maxPostingList = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains(1L -> 2L))
+    assert(!rare.contains(1L -> 2L) && rare.contains(1L -> 3L))
+  }
+
   test("simhash: identical docs at hamming 0; blocking finds them") {
     val d = docs(
       (1L, "one two three four five six seven eight"),
