@@ -98,6 +98,41 @@ object Similarity {
     corpus.select(col(idCol).as("id"), bucketBits.reduce(_ + _).as("bucket"))
   }
 
+  /** K-means training for IVF cells: deterministic id-stride init
+    * (the same seeding [[annIvf]] uses untrained), then `iters`
+    * Lloyd steps — assign every vector to its nearest centroid
+    * (broadcast centroids, one codegen'd corpus pass) and recompute
+    * each cell's mean with the [[VectorMean]] custom aggregate
+    * (map-side partial buffers; vectors never shuffle). Returns
+    * (cid, cv) centroids ready to pass into an IVF search.
+    * Empty cells drop out (standard Lloyd behavior). */
+  def kmeansCentroids(corpus: DataFrame, stride: Int = 43, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecMean = udaf(VectorMean)
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    var cents = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val wAssign = Window.partitionBy("id").orderBy(col("c").desc, col("cid").asc)
+    (1 to iters).foreach { _ =>
+      val assigned = v.crossJoin(broadcast(cents))
+        .select(col("id"), col("v"), col("cid"),
+          cosineCol(corpus, col("v"), col("cv")).as("c"))
+        .withColumn("r", row_number().over(wAssign))
+        .filter(col("r") === 1)
+      cents = assigned.groupBy("cid").agg(vecMean(col("v")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** [[annIvf]] against TRAINED cells: k-means centroids replace the
+    * id-stride sample, everything else identical. */
+  def annIvfTrained(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int = 5, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    annIvfWith(corpus, queries, centroids, k, nprobe, idCol, vecCol)
+
   /** IVF-style ANN (inverted-file index): the corpus is partitioned
     * into cells around a small centroid set; a query probes only its
     * `nprobe` nearest cells. Centroids here are a deterministic
@@ -113,9 +148,16 @@ object Similarity {
   def annIvf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nprobe: Int = 2, centroidStride: Int = 43, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    annIvfWith(corpus, queries, cents, k, nprobe, idCol, vecCol)
+  }
+
+  /** Shared IVF search over an explicit (cid, cv) centroid set. */
+  private def annIvfWith(corpus: DataFrame, queries: DataFrame,
+      cents: DataFrame, k: Int, nprobe: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // index build: one codegen'd pass of corpus x broadcast centroids,
     // rank-1 cell per vector — the corpus never shuffles or broadcasts
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))

@@ -321,6 +321,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the true top-5 (the trade-off is tunable via planes / nprobe)
     assert(recall(lsh) >= 0.8, s"LSH recall ${recall(lsh)}")
     assert(recall(ivf) >= 0.8, s"IVF recall ${recall(ivf)}")
+
+    // k-means-trained cells (VectorMean custom aggregate): every
+    // trained centroid's dominant axis is a true cluster axis, and
+    // trained-IVF recall holds up
+    val cents = Similarity.kmeansCentroids(e, stride = 19, iters = 2)
+    cents.collect().foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.indexOf(v.max) < 3, s"centroid off-cluster: $v")
+    }
+    val trained = neighbors(
+      Similarity.annIvfTrained(e, queries, cents, k = 5, nprobe = 2))
+    assert(recall(trained) >= 0.8, s"trained-IVF recall ${recall(trained)}")
   }
 
   test("annIvf finds the same top neighbors as brute force when cells align") {
