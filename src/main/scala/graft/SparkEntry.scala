@@ -528,6 +528,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- T8: deterministic train/val split (salted-hash bucket; no
+    // rand() — rerun-stable and engine-reproducible) ----
+    "t8_train_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("split",
+          Text.splitAssign(col("doc_id"), "split-v1", 90, Some(s)))
+        .groupBy("lang", "split").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "split")),
+
+    // ---- T9: stratified reproducible sample — smallest salted hash
+    // per language stratum ----
+    "t9_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(Text.sampleRank(col("doc_id"), "sample-v1", Some(s)), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy("lang", "rn")
+    }),
+
     // ---- D5: line-level dedup (boilerplate chunks shared across docs) ----
     "d5_line_dedup" -> ((s, d) =>
       Dedup.lineDedup(Tables.documents(s, d)).orderBy("key")),
@@ -1246,6 +1267,23 @@ object SparkEntry {
         |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]+', '<PHONE>', 'g')) AS INTEGER) AS red_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t8_train_split" ->
+      s"""SELECT lang,
+         |  CASE WHEN ${hex60("CAST(doc_id AS VARCHAR) || '|split-v1'")} % 100 < 90
+         |    THEN 'train' ELSE 'val' END AS split,
+         |  COUNT(*) AS cnt
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "t9_stratified_sample" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${hex60("CAST(doc_id AS VARCHAR) || '|sample-v1'")}, doc_id)
+         |      AS INTEGER) AS rn
+         |  FROM documents)
+         |SELECT lang, rn, doc_id FROM r WHERE rn <= 20
+         |ORDER BY lang, rn""".stripMargin,
 
     "d5_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -123,6 +123,23 @@ object Text {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** Deterministic train/val split assignment: hash the id with a
+    * salt, take a percentile bucket. Reproducible across runs, engines
+    * and partitionings (no rand()) — re-running the pipeline never
+    * migrates a document across splits, and adding documents never
+    * reshuffles existing ones (the property rand-based splits lack). */
+  def splitAssign(id: Column, salt: String, trainPct: Int,
+      session: Option[org.apache.spark.sql.SparkSession] = None): Column =
+    when(pmod(hash60(concat(id.cast("string"), lit("|" + salt)), session),
+      lit(100L)) < trainPct, "train").otherwise("val")
+
+  /** Deterministic per-id sampling rank: order ids by their salted
+    * hash (ties impossible modulo md5 collisions). Taking rank <= n
+    * per stratum gives a reproducible stratified sample. */
+  def sampleRank(id: Column, salt: String,
+      session: Option[org.apache.spark.sql.SparkSession] = None): Column =
+    hash60(concat(id.cast("string"), lit("|" + salt)), session)
+
   /** Marker-word lists for the n-gram/marker language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "nicht"),
