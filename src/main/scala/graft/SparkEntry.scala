@@ -316,9 +316,12 @@ object SparkEntry {
         countDistinct(col("user_id")).as("exact"),
         approx_count_distinct(col("user_id"), 0.01).as("approx"),
         hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll"))
+        // zero guard: on an empty input 0/0 is NaN and ANSI-mode cast
+        // to long would throw instead of returning the row
         .withColumn("approx_err_permille",
-          (abs(col("approx") - col("exact")) * 1000L / col("exact"))
-            .cast("long"))),
+          when(col("exact") === 0, lit(0L))
+            .otherwise((abs(col("approx") - col("exact")) * 1000L / col("exact"))
+              .cast("long")))),
 
     // ---- A11: ROLLUP totals (year x value, with subtotal rows) ----
     "a11_rollup" -> ((s, d) =>
@@ -386,7 +389,12 @@ object SparkEntry {
     // distinct-user set of the corpus ----
     "o7_string_agg" -> ((s, d) => {
       val w = Window.partitionBy("event_type").orderBy("user_id")
-      ev(s, d).select(col("event_type"), col("user_id")).distinct()
+      // null ids are excluded BEFORE ranking: Spark sorts NULLS FIRST,
+      // so a null would otherwise consume a top-5 slot that
+      // collect_list then silently drops (and DuckDB ranks NULLS LAST
+      // — the filter keeps both sides aligned on nullable data)
+      ev(s, d).select(col("event_type"), col("user_id"))
+        .filter(col("user_id").isNotNull).distinct()
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .groupBy(col("event_type").as("value"))
@@ -995,7 +1003,8 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     "o7_string_agg" ->
-      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+        |           WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, user_id,
         |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY user_id) AS rn
         |      FROM d)

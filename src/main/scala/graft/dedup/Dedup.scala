@@ -27,6 +27,20 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Shared skew guard: drop rows whose group (by `cols`) exceeds
+    * `cap` members. The sizing window rides the same shuffle the
+    * downstream per-group join/aggregate needs. None = no-op. */
+  private def capGroupSize(df: DataFrame, cols: Seq[String],
+      cap: Option[Int]): DataFrame = cap match {
+    case None => df
+    case Some(c) =>
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(cols.map(col): _*)))
+        .filter(col("__n") <= c).drop("__n")
+  }
+
+
   /** Exact dedup on the md5 digest of lowercased text.
     * Returns one row per distinct content: (key, copies, canonical_id)
     * where canonical is the smallest id — the row a dedup pass keeps. */
@@ -90,14 +104,7 @@ object Dedup {
     * (band, bkey) shuffle the join needs anyway. */
   def lshCandidates(bands: DataFrame,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    val pruned = maxBucketSize match {
-      case None => bands
-      case Some(cap) =>
-        import org.apache.spark.sql.expressions.Window
-        bands.withColumn("__n",
-            count(lit(1)).over(Window.partitionBy("band", "bkey")))
-          .filter(col("__n") <= cap).drop("__n")
-    }
+    val pruned = capGroupSize(bands, Seq("band", "bkey"), maxBucketSize)
     val x = pruned.as("x"); val y = pruned.as("y")
     x.join(y, col("x.band") === col("y.band") &&
         col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
@@ -205,14 +212,7 @@ object Dedup {
         struct(lit(q).as("q"),
           shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFF).as("bk"))): _*)).as("blk"))
       .select(col("id"), col("simhash"), col("blk.q"), col("blk.bk"))
-    val blocks = maxBlockSize match {
-      case None => allBlocks
-      case Some(cap) =>
-        import org.apache.spark.sql.expressions.Window
-        allBlocks
-          .withColumn("__n", count(lit(1)).over(Window.partitionBy("q", "bk")))
-          .filter(col("__n") <= cap).drop("__n")
-    }
+    val blocks = capGroupSize(allBlocks, Seq("q", "bk"), maxBlockSize)
     val x = blocks.as("x"); val y = blocks.as("y")
     x.join(y, col("x.q") === col("y.q") && col("x.bk") === col("y.bk") &&
         col("x.id") < col("y.id"))
@@ -259,11 +259,11 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
-      // `next` is eagerly materialized, so the previous round's blocks
-      // can be released now (the dropped reference also lets the
-      // context cleaner reap the checkpointed RDD) — without this, up
-      // to maxIters label tables pile up in the block manager.
-      labels.unpersist()
+      // Dataset.unpersist can't release localCheckpoint blocks (they
+      // live outside the CacheManager); dropping the reference is the
+      // supported release path — the ContextCleaner reaps the
+      // checkpointed RDD once it is unreachable, so at most a couple
+      // of rounds' tables coexist between GC cycles.
       labels = next
       converged = changed == 0
       i += 1
@@ -371,14 +371,8 @@ object Dedup {
     // Consumed three times (sizes + both sides of the inverted-index
     // self-join) — persist to compute the shingle pipeline once.
     val allShingles = shingleHashes(docs, textCol, idCol)
-    val shingles = (maxPostingList match {
-      case None => allShingles
-      case Some(cap) =>
-        import org.apache.spark.sql.expressions.Window
-        allShingles
-          .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
-          .filter(col("__df") <= cap).drop("__df")
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingles = capGroupSize(allShingles, Seq("sh"), maxPostingList)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingles.groupBy("id").agg(count(lit(1)).as("nsh"))
     val x = shingles.as("x"); val y = shingles.as("y")
     val inter = x.join(y, col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))

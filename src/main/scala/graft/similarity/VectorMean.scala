@@ -29,8 +29,12 @@ object VectorMean extends Aggregator[Array[Double], (Array[Double], Long), Array
     if (b._2 == 0L) (a.clone(), 1L)
     else {
       val s = b._1
+      // ragged input is a data error — summing a prefix and still
+      // counting the row would silently bias the mean
+      require(a.length == s.length,
+        s"vector_mean: dimension mismatch (${a.length} vs ${s.length})")
       var i = 0
-      while (i < s.length && i < a.length) { s(i) += a(i); i += 1 }
+      while (i < s.length) { s(i) += a(i); i += 1 }
       (s, b._2 + 1L)
     }
   }
@@ -40,8 +44,10 @@ object VectorMean extends Aggregator[Array[Double], (Array[Double], Long), Array
     else if (y._2 == 0L) x
     else {
       val s = x._1
+      require(y._1.length == s.length,
+        s"vector_mean: dimension mismatch (${y._1.length} vs ${s.length})")
       var i = 0
-      while (i < s.length && i < y._1.length) { s(i) += y._1(i); i += 1 }
+      while (i < s.length) { s(i) += y._1(i); i += 1 }
       (s, x._2 + y._2)
     }
   }
