@@ -15,8 +15,10 @@ run / fork := true
 // Pass the forked process's stdout through verbatim: the Bench/Verify
 // contract is a machine-parsed JSON line on stdout, and sbt's default
 // LoggedOutput strategy prefixes every line with "[info] ", which
-// breaks a strict JSON-line parser.
+// breaks a strict JSON-line parser. Suppressing the "[success]" footer
+// additionally makes that JSON the LAST stdout line of the run.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
