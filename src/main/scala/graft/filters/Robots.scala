@@ -53,6 +53,30 @@ object Robots {
     patterns
   }
 
+  /** Load a pattern list from the bundled classpath resources — the
+    * shipped production lists (`graft/robots_ua.txt`,
+    * `graft/robots_ip.txt`; same format as [[loadPatterns]] files,
+    * analog of the reference's shipped default_robots_{ua,ip}.txt). */
+  def loadResourcePatterns(resource: String): Seq[String] = {
+    val in = getClass.getClassLoader.getResourceAsStream(resource)
+    require(in != null, s"robots resource $resource not on classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val patterns =
+      try src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+      finally src.close()
+    require(patterns.nonEmpty, s"robots resource $resource contains no patterns")
+    patterns
+  }
+
+  /** The shipped full UA list (~110 crawlers/tools). */
+  lazy val shippedUaPatterns: Seq[String] =
+    loadResourcePatterns("graft/robots_ua.txt")
+
+  /** The shipped full IP-prefix list. */
+  lazy val shippedIpPrefixes: Seq[String] =
+    loadResourcePatterns("graft/robots_ip.txt")
+
   /** True iff the UA matches any robot pattern (case-insensitive).
     * An empty pattern list classifies nothing as a robot (a bare
     * `rlike("")` would match every row). */

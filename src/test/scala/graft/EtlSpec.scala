@@ -210,6 +210,22 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("Robots: shipped resource lists load and classify known bots") {
+    val s = spark; import s.implicits._
+    assert(Robots.shippedUaPatterns.size >= 100)
+    assert(Robots.shippedIpPrefixes.size >= 25)
+    val df = Seq(
+      ("Mozilla/5.0 (compatible; Googlebot/2.1)", "66.249.1.2"),
+      ("GPTBot/1.0", "1.2.3.4"),
+      ("Mozilla/5.0 (X11; Linux) Chrome/99.0", "10.0.0.1")).toDF("ua", "ip")
+    val r = df.select(
+      Robots.isRobotUa(col("ua"), Robots.shippedUaPatterns).as("u"),
+      Robots.isRobotIp(col("ip"), Robots.shippedIpPrefixes).as("i")).collect()
+    assert(r(0).getBoolean(0) && r(0).getBoolean(1))  // googlebot + google range
+    assert(r(1).getBoolean(0) && !r(1).getBoolean(1)) // gptbot, clean ip
+    assert(!r(2).getBoolean(0) && !r(2).getBoolean(1)) // human
+  }
+
   test("Robots: empty pattern lists classify nothing as robots") {
     val s = spark; import s.implicits._
     val df = Seq(("Mozilla/5.0", "1.2.3.4")).toDF("ua", "ip")
