@@ -682,6 +682,21 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // same join through the whole-operator Catalyst stack
+    // (AsOfJoinPlan -> AsOfJoinStrategy -> sort-merge AsOfJoinExec)
+    "x2_asof_native" -> ((s, d) => {
+      val e = ev(s, d).withColumn("sec", unix_timestamp(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sec"), col("event_id"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("sec").as("vsec"), col("event_id").as("vid"))
+      graft.operators.AsOfJoin.leftAsOfNative(s, purchases, views, "user_id",
+          ltime = "sec", lid = "event_id", rtime = "vsec", rid = "vid")
+        .select(col("event_id").as("pid"), col("vid"),
+          (col("sec") - col("vsec")).as("lag_sec"))
+        .orderBy("pid")
+    }),
+
     // ---- A4 registry: all KPIs in ONE fact-table pass + ratio ----
     "kf_metrics" -> ((s, d) => {
       import graft.views.KeyFigures
@@ -1394,6 +1409,20 @@ object SparkEntry {
         |FROM keep WHERE kept GROUP BY 1, 2 ORDER BY id, value""".stripMargin,
 
     "x1_asof_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS vsec,
+        |         MAX(event_id) AS vid
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS psec,
+        |         event_id AS pid
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.pid, v.vid, p.psec - v.vsec AS lag_sec
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.psec >= v.vsec
+        |ORDER BY pid""".stripMargin,
+
+    "x2_asof_native" ->
       """WITH v AS (
         |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS vsec,
         |         MAX(event_id) AS vid

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,5 +53,35 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(col(key), col("__lid").as(lid), col("__t").as(ltime),
         col("__last_rid").as(rid), col("__last_rt").as(rtime))
+  }
+
+  /** Same semantics and output shape as [[leftAsOf]], executed by the
+    * whole-operator Catalyst stack ([[graft.plans.AsOfJoinPlan]] →
+    * [[graft.plans.AsOfJoinExec]], planned via the injected
+    * [[graft.plans.AsOfJoinStrategy]]). Each side shuffles
+    * independently on its own key (no unioned superset-schema
+    * exchange) and the merge is a one-pass zip of the sorted
+    * partitions. Right rows are pre-deduped to one per (key, time)
+    * with MAX(id), identical to [[leftAsOf]], so ties are
+    * deterministic. Both sides are re-aliased to fresh attributes
+    * before the node is built (self-join safety: the custom node is
+    * invisible to DeduplicateRelations).
+    */
+  def leftAsOfNative(spark: SparkSession, left: DataFrame, right: DataFrame,
+      key: String, ltime: String, lid: String, rtime: String, rid: String): DataFrame = {
+    val l = left.select(col(key).as("__lk"), col(ltime).as("__lt"),
+      col(lid).as("__lid"))
+    val r = right.groupBy(col(key).as("__rk"), col(rtime).as("__rt"))
+      .agg(max(col(rid)).as("__rid"))
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(sys.error(s"missing column $n"))
+    val lp = GraftBridge.analyzed(l)
+    val rp = GraftBridge.analyzed(r)
+    val plan = graft.plans.AsOfJoinPlan(lp, rp,
+      Seq(attr(lp, "__lk")), Seq(attr(rp, "__rk")),
+      attr(lp, "__lt"), attr(rp, "__rt"))
+    GraftBridge.ofRows(spark, plan)
+      .select(col("__lk").as(key), col("__lid").as(lid),
+        col("__lt").as(ltime), col("__rid").as(rid), col("__rt").as(rtime))
   }
 }

@@ -14,9 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
   *  - `cosine_sim(array<double>, array<double>) -> double`
   *    ([[CosineSimilarity]], codegen'd fused loop);
   *  - `hash60(string) -> long` ([[Hash60]], fused md5-prefix hash).
+  *
+  * Registered planner strategy:
+  *  - [[AsOfJoinStrategy]], planning the whole-operator
+  *    [[AsOfJoinPlan]] logical node to the sort-merge
+  *    [[AsOfJoinExec]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(spark => new AsOfJoinStrategy(spark))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
