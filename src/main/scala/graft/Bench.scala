@@ -15,7 +15,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "a1_daily_fact", "a2_sum_groupby", "o3_topn", "j1_set_join",
     "j2_grouping_join", "j3_semi_join", "w1_densify", "w8_sessionize",
-    "f3_repeat_lag", "x1_asof_attribution",
+    "f3_repeat_lag", "x1_asof_attribution", "x2_asof_native",
     "h1_pricing_summary", "h2_shipping_priority", "h3_top_orders",
     "h5_region_revenue", "h6_forecast_revenue",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_line_dedup",
