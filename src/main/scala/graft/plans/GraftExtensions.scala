@@ -19,10 +19,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
   *  - [[AsOfJoinStrategy]], planning the whole-operator
   *    [[AsOfJoinPlan]] logical node to the sort-merge
   *    [[AsOfJoinExec]].
+  *
+  * Registered optimizer rule:
+  *  - [[PushFilterThroughAsOf]], restoring filter pushdown across the
+  *    custom node (left-side predicates into the left child, key
+  *    predicates mirrored onto the right child pre-shuffle).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(spark => new AsOfJoinStrategy(spark))
+    ext.injectOptimizerRule(spark => PushFilterThroughAsOf)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -66,6 +66,72 @@ class AsOfNativeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).isNullAt(3))        // k=2: rt 6 > lt 5 -> no match
   }
 
+  /** Plan-inspection tests must stop ConvertToLocalRelation from
+    * folding the pushed Filter into the LocalRelation test input
+    * (folding it is itself proof the push happened, but leaves no
+    * node to assert on). */
+  private def withNoLocalFold[A](body: => A): A = {
+    val k = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("key filter above the join is pushed into BOTH children") { withNoLocalFold {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 10L, 1L), (2L, 10L, 2L)).toDF("k", "lt", "lid")
+    val right = Seq((1L, 3L, 7L), (2L, 3L, 8L)).toDF("k", "rt", "rid")
+    val df = AsOfJoin.leftAsOfNative(s, left, right, "k", "lt", "lid", "rt", "rid")
+      .filter(org.apache.spark.sql.functions.col("k") === 1L)
+    val optimized = org.apache.spark.sql.GraftBridge.analyzed(df)
+    val opt = df.queryExecution.optimizedPlan
+    // the filter must sit below the as-of node on both sides, not above it
+    val aj = opt.collectFirst { case a: graft.plans.AsOfJoinPlan => a }.get
+    def hasFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.nonEmpty => f }.nonEmpty
+    assert(hasFilter(aj.left), aj.left.toString)
+    assert(hasFilter(aj.right), aj.right.toString)
+    assert(!opt.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
+      || !opt.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
+        .condition.references.exists(_.name == "__lk"), opt.toString)
+    // and results are still correct
+    val rows = df.orderBy("lid").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L && rows(0).getLong(3) == 7L)
+    assert(optimized != null)
+  }}
+
+  test("left-only non-key filter pushes left but NOT right") { withNoLocalFold {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 10L, 1L), (1L, 2L, 3L)).toDF("k", "lt", "lid")
+    val right = Seq((1L, 3L, 7L)).toDF("k", "rt", "rid")
+    val df = AsOfJoin.leftAsOfNative(s, left, right, "k", "lt", "lid", "rt", "rid")
+      .filter(org.apache.spark.sql.functions.col("lt") > 5L)
+    val aj = df.queryExecution.optimizedPlan
+      .collectFirst { case a: graft.plans.AsOfJoinPlan => a }.get
+    assert(aj.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.nonEmpty)
+    // mirror must not reach the right side: lt is not a key
+    assert(aj.right.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.exists(_.name == "__rt") => f }.isEmpty)
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getLong(2) == 10L && rows(0).getLong(3) == 7L)
+  }}
+
+  test("filter on the right payload stays above the join (nulls preserved)") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 10L, 1L), (2L, 10L, 2L)).toDF("k", "lt", "lid")
+    val right = Seq((1L, 3L, 7L)).toDF("k", "rt", "rid")
+    val df = AsOfJoin.leftAsOfNative(s, left, right, "k", "lt", "lid", "rt", "rid")
+      .filter(org.apache.spark.sql.functions.col("rid").isNull)
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 2L) // k=2 had no match
+  }
+
   test("physical plan is AsOfJoinExec with per-side exchanges, no union") {
     val s = spark; import s.implicits._
     val left = Seq((1L, 10L, 1L)).toDF("k", "lt", "lid")
