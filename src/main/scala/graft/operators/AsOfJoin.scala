@@ -77,6 +77,12 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(sys.error(s"missing column $n"))
     val lp = GraftBridge.analyzed(l)
     val rp = GraftBridge.analyzed(r)
+    // AsOfJoinExec merges with orderings built from the LEFT side's
+    // types — a long/int mismatch would compare garbage, so fail fast.
+    require(attr(lp, "__lk").dataType == attr(rp, "__rk").dataType,
+      s"as-of key types differ: ${attr(lp, "__lk").dataType} vs ${attr(rp, "__rk").dataType}")
+    require(attr(lp, "__lt").dataType == attr(rp, "__rt").dataType,
+      s"as-of time types differ: ${attr(lp, "__lt").dataType} vs ${attr(rp, "__rt").dataType}")
     val plan = graft.plans.AsOfJoinPlan(lp, rp,
       Seq(attr(lp, "__lk")), Seq(attr(rp, "__rk")),
       attr(lp, "__lt"), attr(rp, "__rt"))

@@ -86,23 +86,49 @@ class AsOfNativeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val right = Seq((1L, 3L, 7L), (2L, 3L, 8L)).toDF("k", "rt", "rid")
     val df = AsOfJoin.leftAsOfNative(s, left, right, "k", "lt", "lid", "rt", "rid")
       .filter(org.apache.spark.sql.functions.col("k") === 1L)
-    val optimized = org.apache.spark.sql.GraftBridge.analyzed(df)
     val opt = df.queryExecution.optimizedPlan
     // the filter must sit below the as-of node on both sides, not above it
     val aj = opt.collectFirst { case a: graft.plans.AsOfJoinPlan => a }.get
-    def hasFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
-      p.collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-        if f.condition.references.nonEmpty => f }.nonEmpty
-    assert(hasFilter(aj.left), aj.left.toString)
-    assert(hasFilter(aj.right), aj.right.toString)
-    assert(!opt.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
-      || !opt.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
-        .condition.references.exists(_.name == "__lk"), opt.toString)
+    def filters(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }
+    assert(filters(aj.left).nonEmpty, aj.left.toString)
+    assert(filters(aj.right).nonEmpty, aj.right.toString)
+    // no residual Filter anywhere above the join (root-to-node path):
+    // every Filter in the whole plan is inside one of the children
+    assert(filters(opt).size == filters(aj.left).size + filters(aj.right).size,
+      opt.toString)
     // and results are still correct
     val rows = df.orderBy("lid").collect()
     assert(rows.length == 1 && rows(0).getLong(0) == 1L && rows(0).getLong(3) == 7L)
-    assert(optimized != null)
   }}
+
+  test("error-throwing key predicate is pushed left but NOT mirrored right") { withNoLocalFold {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 10L, 1L), (2L, 10L, 2L)).toDF("k", "lt", "lid")
+    // right holds k=0: a mirrored `10 div k = 10` would raise
+    // DIVIDE_BY_ZERO under ANSI on a row the query never evaluates
+    val right = Seq((0L, 3L, 7L), (1L, 3L, 8L)).toDF("k", "rt", "rid")
+    val df = AsOfJoin.leftAsOfNative(s, left, right, "k", "lt", "lid", "rt", "rid")
+      .filter(org.apache.spark.sql.functions.expr("10 div k = 10"))
+    val aj = df.queryExecution.optimizedPlan
+      .collectFirst { case a: graft.plans.AsOfJoinPlan => a }.get
+    assert(aj.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.nonEmpty)
+    assert(aj.right.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.isEmpty,
+      aj.right.toString)
+    val rows = df.collect() // must not throw
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L && rows(0).getLong(3) == 8L)
+  }}
+
+  test("mismatched key types are rejected up front") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 10L, 1L)).toDF("k", "lt", "lid")
+    val right = Seq((1, 3L, 7L)).toDF("k", "rt", "rid") // k: INT vs LONG
+    intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOfNative(s, left, right, "k", "lt", "lid", "rt", "rid")
+    }
+  }
 
   test("left-only non-key filter pushes left but NOT right") { withNoLocalFold {
     val s = spark; import s.implicits._
