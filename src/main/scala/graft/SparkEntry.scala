@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.functions.Text
+import graft.functions.{FrequentItems, Text}
 import graft.model.Context
 import graft.multimodal.Multimodal
 import graft.processors.Processors
@@ -555,6 +555,41 @@ object SparkEntry {
         .filter(col("rn") <= 20)
         .select(col("lang"), col("rn"), col("doc_id"))
         .orderBy("lang", "rn")
+    }),
+
+    // ---- T10: frequent terms via the Misra–Gries mergeable sketch
+    // (the scale path of t5): one bounded capacity-entry map per
+    // partition crosses the shuffle instead of one row per token
+    // occurrence. Capacity above the corpus dictionary => exact, which
+    // is the regime the oracle gates; the lossy regime's error bounds
+    // are spec-tested (FrequentItemsSpec) ----
+    "t10_frequent_terms" -> ((s, d) => {
+      val sketch = udaf(new FrequentItems(1 << 16))
+      Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .agg(sketch(col("term")).as("sk"))
+        .select(explode(col("sk")).as(Seq("term", "cnt")))
+        .orderBy(col("cnt").desc, col("term")).limit(20)
+    }),
+
+    // ---- T11: TF-IDF term scoring, top-3 discriminative terms per
+    // doc. Integer score tf*1e6 div df (a monotone rational-idf
+    // variant) — log-idf is a cross-engine float hazard under the
+    // bit-exact oracle. The df dictionary aggregates far below the
+    // term-occurrence table, so it broadcasts: the big tf side joins
+    // without a second shuffle ----
+    "t11_tfidf" -> ((s, d) => {
+      val terms = Tables.documents(s, d).select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("score", expr("tf * 1000000 div df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("score"))
+        .orderBy("doc_id", "rn")
     }),
 
     // ---- D5: line-level dedup (boilerplate chunks shared across docs) ----
@@ -1308,6 +1343,27 @@ object SparkEntry {
          |  FROM documents)
          |SELECT lang, rn, doc_id FROM r WHERE rn <= 20
          |ORDER BY lang, rn""".stripMargin,
+
+    // exact regime: sketch capacity (65536) far exceeds the corpus
+    // dictionary, so the Misra–Gries counts equal the exact group-by
+    "t10_frequent_terms" ->
+      """SELECT term, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "t11_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * 1000000 // df.df AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * 1000000 // df.df DESC, tf.term) AS INTEGER) AS rn
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, rn, term, score FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
 
     "d5_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
