@@ -732,6 +732,41 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ---- X3: generic point-in-interval range join. Raw range
+    // predicates compile to BroadcastNestedLoopJoin in Spark (O(n·m));
+    // RangeJoin bucketizes intervals so the same exact semantics run
+    // as a hash join. DuckDB oracles the raw predicate via its native
+    // IEJoin — two engines, two strategies, one result ----
+    "x3_range_join" -> ((s, d) => {
+      val bands = Tables.nation(s, d).select(
+        col("n_nationkey").cast("long").as("band"),
+        (col("n_nationkey") * lit(7000.0)).as("lo"),
+        (col("n_nationkey") * lit(7000.0) + lit(15000.0)).as("hi"))
+      val pts = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.RangeJoin.pointInInterval(pts, bands,
+          "o_totalprice", "lo", "hi", bucketWidth = 5000.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("cnt"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+        .orderBy("band")
+    }),
+
+    // ---- J5: bloom-prefiltered exact semi-join (the F6 archive
+    // filter's scale path when the dim key set fits a few MB of bloom
+    // bits but not a broadcast hash relation; result provably equals
+    // the plain semi-join, which is what the oracle runs) ----
+    "j5_bloom_semi" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_totalprice") > lit(200000.0))
+      graft.operators.BloomJoin.semiJoinLong(
+          Tables.lineitem(s, d), dim, "l_orderkey", "o_orderkey",
+          expectedDimKeys = 1L << 17)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- A4 registry: all KPIs in ONE fact-table pass + ratio ----
     "kf_metrics" -> ((s, d) => {
       import graft.views.KeyFigures
@@ -1491,6 +1526,22 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.psec >= v.vsec
         |ORDER BY pid""".stripMargin,
+
+    "x3_range_join" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS band, COUNT(*) AS cnt,
+        |       MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok
+        |FROM orders JOIN nation
+        |  ON o_totalprice >= n_nationkey * 7000.0
+        | AND o_totalprice <  n_nationkey * 7000.0 + 15000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j5_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |       SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w8_sessionize" ->
       """WITH x AS (

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join: attach to each row of `points` every
+  * row of `intervals` whose half-open [lo, hi) contains the point's
+  * value. The reference's closest shape is the GeoIP lookup (ip-range
+  * dim, SURVEY §2.3 C1, `Processor/Access/Country.pm:18-105`), which
+  * `classify/Geo` special-cases with an /8-octet equi-join; this is
+  * the same idea generalized to any numeric axis (price bands, time
+  * slots, size buckets).
+  *
+  * Spark has no native range join: `a.join(b, pt >= lo && pt < hi)`
+  * compiles to BroadcastNestedLoopJoin — O(|points| × |intervals|)
+  * comparisons, a non-starter when either side is large. The standard
+  * scale-out rewrite (Databricks' range-join optimization, DuckDB's
+  * IEJoin play the same trick engine-side) is bucketization:
+  *
+  *  1. pick a bucket width w; an interval [lo, hi) is replicated to
+  *     every bucket floor(lo/w)..floor(hi/w) it touches;
+  *  2. a point belongs to exactly ONE bucket floor(pt/w);
+  *  3. equi-join on the bucket id — hash join, shuffle or broadcast,
+  *     AQE-planned like any other join;
+  *  4. re-check the exact [lo, hi) predicate to discard same-bucket
+  *     near-misses.
+  *
+  * Cost model: the interval side grows by avg(interval span / w)
+  * replicas; the point side pays one extra column. Pick w near the
+  * median interval width so replication stays O(1) per interval while
+  * buckets stay selective. The join result is EXACT — bucketization
+  * only prunes candidate pairs, the residual predicate decides.
+  */
+object RangeJoin {
+
+  private def bucketOf(c: Column, w: Double): Column =
+    floor(c / lit(w)).cast("long")
+
+  /** Inner point-in-interval join, exact semantics
+    * `points.pt ∈ [intervals.lo, intervals.hi)`.
+    *
+    * Output columns: all of `points` then all of `intervals` (minus
+    * the internal bucket id). `broadcastIntervals` should stay true
+    * whenever the *replicated* interval table fits in memory (dims of
+    * up to a few hundred MB) — the join then needs no shuffle on the
+    * big point side at all; at 100 TB that is the difference between
+    * a map-side join and repartitioning the fact table.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String, bucketWidth: Double,
+      broadcastIntervals: Boolean = true): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // sequence() is inclusive of floor(hi/w): when hi lands exactly on
+    // a bucket boundary that last replica can never match (hi is
+    // exclusive) — harmless, the residual predicate drops it.
+    val replicated = intervals.withColumn("__bucket",
+      explode(sequence(bucketOf(col(loCol), bucketWidth),
+        bucketOf(col(hiCol), bucketWidth))))
+    val build = if (broadcastIntervals) broadcast(replicated) else replicated
+    points.withColumn("__bucket", bucketOf(col(pointCol), bucketWidth))
+      .join(build, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+}

@@ -72,6 +72,38 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
   }
 
+  test("range join matches the naive range predicate and avoids the nested loop") {
+    val s = spark; import s.implicits._
+    // deliberately overlapping, non-bucket-aligned intervals,
+    // including boundary-exact points (pt == lo and pt == hi)
+    val intervals = Seq((0L, 5.0, 30.0), (1L, 25.0, 47.5), (2L, 30.0, 31.0))
+      .toDF("band", "lo", "hi")
+    val points = (0 to 100).map(i => (i.toLong, i / 2.0)).toDF("pid", "pt")
+    val got = graft.operators.RangeJoin.pointInInterval(
+      points, intervals, "pt", "lo", "hi", bucketWidth = 7.0)
+    val naive = points.join(intervals,
+      col("pt") >= col("lo") && col("pt") < col("hi"))
+    assert(got.select("pid", "band").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .sameElements(naive.select("pid", "band").collect().map(r => (r.getLong(0), r.getLong(1))).sorted))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin"), s"bucketized join fell back to nested loop:\n$plan")
+    assert(naive.queryExecution.executedPlan.toString.contains("NestedLoopJoin"),
+      "naive formulation should exercise the nested-loop path this operator replaces")
+  }
+
+  test("bloom-prefiltered semi-join is exact (false positives removed)") {
+    val s = spark; import s.implicits._
+    val fact = (1L to 5000L).map(k => (k % 1000, k)).toDF("key", "payload")
+    val dim = (0L until 1000L by 7L).toDF("dkey")
+    // fpp cranked high so false positives certainly occur pre-join
+    val got = graft.operators.BloomJoin.semiJoinLong(
+      fact, dim, "key", "dkey", expectedDimKeys = 150, fpp = 0.3)
+    val want = fact.join(dim, col("key") === col("dkey"), "left_semi")
+    assert(got.count() == want.count())
+    assert(got.agg(sum("payload")).head().getLong(0) ==
+      want.agg(sum("payload")).head().getLong(0))
+  }
+
   test("densify honors an explicit requested range") {
     val s = spark; import s.implicits._
     val series = Seq((java.sql.Date.valueOf("2024-03-10"), 5L))
