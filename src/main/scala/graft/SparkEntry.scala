@@ -767,6 +767,73 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- H7: customer distribution (TPC-H Q13 shape) — the one
+    // relational shape the reference lacks entirely: LEFT OUTER join
+    // preserving zero-order customers, then a second aggregation over
+    // the first. Orders are pre-aggregated per custkey BEFORE the
+    // join, so the outer join moves one row per customer, not one per
+    // order ----
+    "h7_custdist" -> ((s, d) => {
+      val perCust = Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- J6: anti-join — customers with NO orders ----
+    "j6_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt"),
+          min("c_custkey").as("min_ck"), max("c_custkey").as("max_ck"))),
+
+    // ---- A15: CUBE — all four (value × year) subtotal combinations
+    // in one pass (the multi-level generalization of a11's ROLLUP);
+    // subtotal NULLs folded to 'ALL' sentinels (neither column is
+    // nullable, so the sentinel is unambiguous) ----
+    "a15_cube" -> ((s, d) => {
+      val f = fact(s, d).withColumn("yr", year(col("date")))
+      f.cube(col("value"), col("yr"))
+        .agg(sum("count").as("total"))
+        .select(coalesce(col("value"), lit("ALL")).as("value"),
+          coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+          col("total"))
+        .orderBy("value", "yr")
+    }),
+
+    // ---- W9: RANGE-frame sliding window — trailing 7 calendar days
+    // per event type. A RANGE frame widens with calendar gaps where
+    // w7's ROWS frame would silently span them ----
+    "w9_range_frame" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(col("event_type").as("value"),
+          to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("value").orderBy("dn").rangeBetween(-6, 0)
+      daily
+        .withColumn("dn", datediff(col("d"), lit("2023-01-01").cast("date")).cast("long"))
+        .withColumn("win7", sum("cnt").over(w))
+        .select(col("value"), col("d"), col("win7"))
+        .orderBy("value", "d")
+    }),
+
+    // ---- O8: NTILE quartiles of customers by total spend (exact
+    // decimal money sums; global ranking over the customer dim — the
+    // one total-order sort, same posture as o3's top-N) ----
+    "o8_ntile" -> ((s, d) => {
+      val spend = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+      spend.withColumn("quartile", ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(count(lit(1)).as("cnt"), min("o_custkey").as("min_ck"),
+          sum(col("spend")).cast("double").as("total_spend"))
+        .orderBy("quartile")
+    }),
+
     // ---- A4 registry: all KPIs in ONE fact-table pass + ratio ----
     "kf_metrics" -> ((s, d) => {
       import graft.views.KeyFigures
@@ -1542,6 +1609,52 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "h7_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "j6_anti" ->
+      """SELECT COUNT(*) AS cnt, MIN(c_custkey) AS min_ck,
+        |       MAX(c_custkey) AS max_ck
+        |FROM customer c
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "a15_cube" ->
+      s"""WITH $factCte
+         |SELECT COALESCE(value, 'ALL') AS value,
+         |       COALESCE(CAST(yr AS VARCHAR), 'ALL') AS yr,
+         |       CAST(SUM(count) AS BIGINT) AS total
+         |FROM (SELECT value, CAST(EXTRACT(year FROM date) AS INTEGER) AS yr,
+         |             count FROM fact)
+         |GROUP BY CUBE(value, yr) ORDER BY value, yr""".stripMargin,
+
+    "w9_range_frame" ->
+      """WITH daily AS (
+        |  SELECT event_type AS value, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT value, d,
+        |  CAST(SUM(cnt) OVER (PARTITION BY value ORDER BY d
+        |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS win7
+        |FROM daily ORDER BY value, d""".stripMargin,
+
+    "o8_ntile" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |q AS (
+        |  SELECT o_custkey, spend,
+        |    CAST(NTILE(4) OVER (ORDER BY spend DESC, o_custkey) AS INTEGER)
+        |      AS quartile
+        |  FROM spend)
+        |SELECT quartile, COUNT(*) AS cnt, MIN(o_custkey) AS min_ck,
+        |       CAST(SUM(spend) AS DOUBLE) AS total_spend
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w8_sessionize" ->
       """WITH x AS (
