@@ -1,0 +1,89 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the lifetime-totals materialized view
+  * (SURVEY §2.4 A5). The reference RECOMPUTES per-eprint cumulative
+  * totals from all history on every ETL run (one query per eprint!,
+  * `Processor/EPrint/CacheDownloads.pm:34-59`); at 100 TB a
+  * full-history rescan per run is the difference between minutes and
+  * hours. This store merges only the fact partitions NEWER than the
+  * view's own high-watermark:
+  *
+  *   cost per refresh = O(|MV| + |new days|)   — not O(|history|)
+  *
+  * The delta read is `fact.filter(date > watermark)` over the
+  * date-partitioned table, so partition pruning skips all already
+  * merged days at listing time; the merge itself is a groupBy over
+  * (current MV ∪ delta), both small relative to the fact history.
+  *
+  * Crash safety via versioned commits: each refresh writes a NEW
+  * `v<N>` directory, then atomically advances a pointer file holding
+  * `version|watermark` as one record. A crash after writing v<N> but
+  * before the pointer flip leaves the pointer on v<N-1> with the OLD
+  * watermark — the next run re-merges the same delta into v<N-1> and
+  * nothing is double-counted. Orphaned version dirs are removed after
+  * a successful flip.
+  */
+object LifetimeMv {
+
+  private val PointerKey = "mv_current"
+
+  private def pointer(mvDir: String): Option[(Long, String)] =
+    FactStore.loadCheckpoint(mvDir, PointerKey).flatMap { s =>
+      s.split('|') match {
+        case Array(v, wm) => scala.util.Try((v.toLong, wm)).toOption
+        case _            => None
+      }
+    }
+
+  /** Current MV contents: (id, value, count) lifetime totals.
+    * Empty-schema-safe only after the first successful update. */
+  def read(spark: SparkSession, mvDir: String): Option[DataFrame] =
+    pointer(mvDir).map { case (v, _) =>
+      spark.read.parquet(s"$mvDir/v$v")
+    }
+
+  /** Merge fact days newer than the stored watermark into the view.
+    * Returns the number of day-partitions merged (0 = already fresh). */
+  def update(spark: SparkSession, mvDir: String, factDir: String): Long = {
+    if (!new java.io.File(factDir).isDirectory) return 0L
+    val cur = pointer(mvDir)
+    val fact = FactStore.read(spark, factDir)
+    val delta = cur match {
+      case Some((_, wm)) =>
+        fact.filter(col("date") > lit(java.sql.Date.valueOf(wm)))
+      case None => fact
+    }
+    val bounds = delta.agg(max(col("date")).as("mx"),
+      count_distinct(col("date")).as("days")).head()
+    if (bounds.isNullAt(0)) return 0L
+    val (newMax, days) = (bounds.getDate(0), bounds.getLong(1))
+
+    val deltaAgg = delta.groupBy("id", "value").agg(sum("count").as("count"))
+    val merged = cur.map { case (v, _) =>
+      spark.read.parquet(s"$mvDir/v$v").unionByName(deltaAgg)
+        .groupBy("id", "value").agg(sum("count").as("count"))
+    }.getOrElse(deltaAgg)
+
+    val nextV = cur.map(_._1 + 1).getOrElse(1L)
+    merged.write.mode("overwrite").parquet(s"$mvDir/v$nextV")
+    // the pointer flip is the commit point
+    FactStore.saveCheckpoint(mvDir, PointerKey, s"$nextV|$newMax")
+    // GC every version dir except the one just committed (a crash can
+    // orphan a HIGHER version too: vN written, pointer never flipped).
+    // Best-effort — failures leave harmless unreferenced dirs.
+    Option(new java.io.File(mvDir).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        scala.util.Try(f.getName.stripPrefix("v").toLong)
+          .toOption.exists(_ != nextV))
+      .foreach(deleteRec)
+    days
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).toSeq.flatten.foreach(deleteRec)
+    f.delete(): Unit
+  }
+}

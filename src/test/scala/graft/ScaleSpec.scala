@@ -104,6 +104,43 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.agg(sum("payload")).head().getLong(0))
   }
 
+  test("lifetime MV incremental merge equals full recompute; refresh is crash-safe") {
+    val s = spark; import s.implicits._
+    import graft.store.{FactStore, LifetimeMv}
+    val root = Files.createTempDirectory("mv").toString
+    val factDir = s"$root/fact"
+    val mvDir = s"$root/mv"
+    def day(d: String, rows: (Long, String, Long)*) =
+      rows.toSeq.map { case (id, v, c) => (java.sql.Date.valueOf(d), id, v, c) }
+        .toDF("date", "id", "value", "count")
+
+    FactStore.append(day("2024-01-01", (1L, "dl", 3L), (2L, "vw", 1L)), factDir)
+    FactStore.append(day("2024-01-02", (1L, "dl", 2L)), factDir)
+    assert(LifetimeMv.update(spark, mvDir, factDir) == 2L) // two days merged
+    FactStore.append(day("2024-01-03", (1L, "dl", 5L), (3L, "dl", 7L)), factDir)
+    assert(LifetimeMv.update(spark, mvDir, factDir) == 1L) // only the new day
+    assert(LifetimeMv.update(spark, mvDir, factDir) == 0L) // already fresh
+
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("value")),
+        r.getLong(r.fieldIndex("count")))).toSet
+    val full = FactStore.read(spark, factDir)
+      .groupBy("id", "value").agg(sum("count").as("count"))
+    assert(totals(LifetimeMv.read(spark, mvDir).get) == totals(full))
+
+    // crash between version write and pointer flip: fake an orphan
+    // v99 dir; the pointer still names the committed version, so the
+    // next update merges from it and the orphan is garbage-collected
+    val orphan = new java.io.File(s"$mvDir/v99")
+    orphan.mkdirs()
+    FactStore.append(day("2024-01-04", (2L, "vw", 10L)), factDir)
+    assert(LifetimeMv.update(spark, mvDir, factDir) == 1L)
+    val full2 = FactStore.read(spark, factDir)
+      .groupBy("id", "value").agg(sum("count").as("count"))
+    assert(totals(LifetimeMv.read(spark, mvDir).get) == totals(full2))
+  }
+
   test("densify honors an explicit requested range") {
     val s = spark; import s.implicits._
     val series = Seq((java.sql.Date.valueOf("2024-03-10"), 5L))
