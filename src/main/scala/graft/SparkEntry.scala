@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, Fuzzy}
 import graft.functions.{FrequentItems, Text}
 import graft.model.Context
 import graft.multimodal.Multimodal
@@ -604,6 +604,13 @@ object SparkEntry {
           Dedup.minhashNearDup(docs, num = 1, den = 2), docs)
         .orderBy("doc_id")
     }),
+
+    // ---- D7: blocked edit-distance pairs — character-level near-dup
+    // verify (prefix blocking + bounded Levenshtein; the linkage shape
+    // MinHash token overlap can't express) ----
+    "d7_fuzzy_pairs" -> ((s, d) =>
+      Fuzzy.levenshteinPairs(Tables.documents(s, d))
+        .orderBy("id1", "id2")),
 
     // ---- V5: IVF ANN — centroid cells + nprobe search (scale path) ----
     "v5_ann_ivf" -> ((s, d) => {
@@ -1478,6 +1485,21 @@ object SparkEntry {
         |  SELECT chunk, COUNT(*) AS copies, MIN(doc_id) AS canonical
         |  FROM ch GROUP BY chunk HAVING COUNT(*) > 1)
         |SELECT md5(chunk) AS key, copies, canonical FROM g ORDER BY key""".stripMargin,
+
+    // dist type: Spark's levenshtein returns INT, DuckDB's BIGINT
+    "d7_fuzzy_pairs" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 40) AS key,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 8) AS block
+        |  FROM documents),
+        |adm AS (SELECT block FROM k GROUP BY block HAVING COUNT(*) <= 64),
+        |kk AS (SELECT k.* FROM k JOIN adm USING (block))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+        |FROM kk a JOIN kk b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.key, b.key) <= 10
+        |ORDER BY id1, id2""".stripMargin,
 
     "v5_ann_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 43 = 0),

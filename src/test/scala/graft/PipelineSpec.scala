@@ -279,6 +279,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Map(10L -> 21L, 11L -> 22L, 12L -> -1L))
   }
 
+  test("fuzzy pairs: typo-distance match within block, cap drops hot blocks") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fux jumps over the lazy dog"), // 1 edit
+      (3L, "the quick brXwn f0x jumpZ over the lazy d__"), // several edits
+      (4L, "completely different text with no shared prefix"),
+      (5L, "the quick but far too different tail 0123456789abcdef"))
+      .toDF("doc_id", "text")
+    val pairs = graft.dedup.Fuzzy.levenshteinPairs(docs, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 1)))
+    assert(pairs.exists { case (a, b, _) => (a, b) == (1L, 3L) })
+    assert(!pairs.exists { case (a, b, _) => b == 4L || a == 4L })
+    // 5 shares the 8-char block but exceeds maxDist -> bounded
+    // levenshtein returns -1 and the pair is dropped
+    assert(!pairs.exists { case (a, b, _) => b == 5L || a == 5L })
+    // capping at maxBlock=1 admits no block with >1 member
+    assert(graft.dedup.Fuzzy.levenshteinPairs(docs, maxDist = 6, maxBlock = 1)
+      .count() == 0L)
+  }
+
   test("nearDupClusters propagates the min id across pair chains") {
     val s = spark; import s.implicits._
     // chain 5-3, 3-9 (one cluster, min 3); isolated pair 10-11; lone 20
