@@ -827,6 +827,21 @@ object SparkEntry {
         .orderBy("value", "d")
     }),
 
+    // ---- W10: ordered conversion funnel — each step's entry must be
+    // at-or-after the user's previous step entry ----
+    "w10_funnel" -> ((s, d) =>
+      graft.series.Behavior.funnel(
+        ev(s, d).withColumn("sec", unix_timestamp(col("ts"))),
+        "user_id", "event_type", "sec",
+        Seq("view", "click", "purchase"))),
+
+    // ---- W11: weekly cohort retention (users by first-seen week ×
+    // whole-week offset) ----
+    "w11_cohort" -> ((s, d) =>
+      graft.series.Behavior.cohortRetention(
+        ev(s, d).withColumn("d", to_date(col("ts"))),
+        "user_id", "d")),
+
     // ---- O8: NTILE quartiles of customers by total spend (exact
     // decimal money sums; global ranking over the customer dim — the
     // one total-order sort, same posture as o3's top-N) ----
@@ -1664,6 +1679,31 @@ object SparkEntry {
         |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS win7
         |FROM daily ORDER BY value, d""".stripMargin,
+
+    "w10_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |s1 AS (SELECT user_id, MIN(sec) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(sec) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND sec >= t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(sec) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND sec >= t2 GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS name, COUNT(*) AS users FROM s1
+        |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    "w11_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+        |  FROM events GROUP BY 1)
+        |SELECT date_trunc('week', d0) AS cohort,
+        |       CAST((CAST(ts AS DATE) - d0) // 7 AS INTEGER) AS wk,
+        |       COUNT(DISTINCT e.user_id) AS active
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "o8_ntile" ->
       """WITH spend AS (
