@@ -17,8 +17,10 @@ object Bench {
     "j2_grouping_join", "j3_semi_join", "w1_densify", "w8_sessionize",
     "f3_repeat_lag", "x1_asof_attribution", "x2_asof_native",
     "h1_pricing_summary", "h2_shipping_priority", "h3_top_orders",
-    "h5_region_revenue", "h6_forecast_revenue",
+    "h5_region_revenue", "h6_forecast_revenue", "h7_custdist",
+    "h8_large_orders", "x3_range_join", "j5_bloom_semi", "w10_funnel",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_line_dedup",
+    "d7_fuzzy_pairs",
     "v1_ann_bruteforce", "v5_ann_ivf", "t1_token_stats",
     "t4_fingerprint", "t6_quality_rules")
 

@@ -827,6 +827,21 @@ object SparkEntry {
         .orderBy("value", "d")
     }),
 
+    // ---- H8: large-order customers (TPC-H Q18 shape) — HAVING-driven
+    // build side: the lineitem aggregate shrinks ~100x before the join,
+    // so AQE broadcasts it instead of shuffling orders ----
+    "h8_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("sum_qty"),
+          col("o_totalprice"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // ---- W10: ordered conversion funnel — each step's entry must be
     // at-or-after the user's previous step entry ----
     "w10_funnel" -> ((s, d) =>
@@ -1679,6 +1694,15 @@ object SparkEntry {
         |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS win7
         |FROM daily ORDER BY value, d""".stripMargin,
+
+    "h8_large_orders" ->
+      """SELECT o_orderkey, o_custkey, sum_qty, o_totalprice
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) b
+        |  ON o_orderkey = b.l_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "w10_funnel" ->
       """WITH e AS (
