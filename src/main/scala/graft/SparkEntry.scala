@@ -592,6 +592,15 @@ object SparkEntry {
         .orderBy("doc_id", "rn")
     }),
 
+    // ---- T12: count-min sketch point frequencies, exact regime
+    // (width 27k ≫ 5 probe keys -> estimates equal exact counts and
+    // the plain GROUP BY oracle applies; lossy-regime bound is
+    // spec-tested in FrequentItemsSpec) ----
+    "t12_cms_counts" -> ((s, d) =>
+      graft.functions.Cms.termCounts(ev(s, d), "event_type",
+          Seq("view", "click", "purchase", "error", "signup"))
+        .orderBy("value")),
+
     // ---- D5: line-level dedup (boilerplate chunks shared across docs) ----
     "d5_line_dedup" -> ((s, d) =>
       Dedup.lineDedup(Tables.documents(s, d)).orderBy("key")),
@@ -1515,6 +1524,12 @@ object SparkEntry {
         |  SELECT chunk, COUNT(*) AS copies, MIN(doc_id) AS canonical
         |  FROM ch GROUP BY chunk HAVING COUNT(*) > 1)
         |SELECT md5(chunk) AS key, copies, canonical FROM g ORDER BY key""".stripMargin,
+
+    // exact regime: CMS width far exceeds the 5 probed keys, so the
+    // estimates equal the exact group-by counts
+    "t12_cms_counts" ->
+      """SELECT event_type AS value, COUNT(*) AS est
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // dist type: Spark's levenshtein returns INT, DuckDB's BIGINT
     "d7_fuzzy_pairs" ->

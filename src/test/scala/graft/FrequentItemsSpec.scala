@@ -75,4 +75,35 @@ class FrequentItemsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(sk(col("term")).as("sk")).head().getMap[String, Long](0).toMap
     assert(got == Map("a" -> 2L))
   }
+
+  test("count-min sketch: never undercounts; overcount within eps*N (lossy regime)") {
+    val s = spark; import s.implicits._
+    val terms = corpus
+    val exact = exactCounts(terms)
+    val n = terms.size.toLong
+    // eps = 0.05 -> width ~55 cells per row, far below the 200-term
+    // dictionary: collisions are certain, the bound must still hold
+    val eps = 0.05
+    val df = terms.toDF("term").repartition(8)
+    val probes = (1 to 200 by 7).map(i => s"term$i")
+    val got = graft.functions.Cms
+      .termCounts(df, "term", probes, eps = eps, confidence = 0.99)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    probes.foreach { t =>
+      assert(got(t) >= exact(t), s"$t undercounted: ${got(t)} < ${exact(t)}")
+      assert(got(t) <= exact(t) + (eps * n).toLong,
+        s"$t overcounted past eps*N: ${got(t)} vs ${exact(t)} + ${(eps * n).toLong}")
+    }
+  }
+
+  test("count-min sketch: exact regime equals exact counts") {
+    val s = spark; import s.implicits._
+    val terms = corpus
+    val exact = exactCounts(terms)
+    val probes = Seq("term1", "term2", "term50", "term200")
+    val got = graft.functions.Cms
+      .termCounts(terms.toDF("term").repartition(8), "term", probes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    probes.foreach(t => assert(got(t) == exact(t)))
+  }
 }
