@@ -1,6 +1,7 @@
 package graft.series
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over the event stream — the two classic
@@ -20,27 +21,37 @@ object Behavior {
   /** Ordered funnel: for each step i, the users whose step-i event
     * happens at-or-after their step-(i-1) entry time. Returns one row
     * per step: (step, name, users). `events` needs (user, type, sec)
-    * columns named by the params. */
+    * columns named by the params.
+    *
+    * Single-scan, single-shuffle: each step's entry time is a
+    * whole-partition window MIN whose condition references the
+    * previous step's window result — every window shares the one
+    * partitioning by user, so N steps cost one Exchange total (the
+    * naive per-step join-and-reaggregate form scans the events once
+    * PER STEP and shuffles each time). The per-user groupBy after the
+    * windows reuses the same hash layout, and only the final
+    * three-counter row crosses to the driver. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       secCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val u = col(userCol)
-    // fold: frame of (user, entryTime) survivors after each step
-    val survivors = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (step, _)) =>
-        val hits = events.filter(col(typeCol) === step)
-        val eligible = prev match {
-          case None => hits
-          case Some(p) => hits.join(p, userCol)
-            .filter(col(secCol) >= col("entry"))
-        }
-        Some(eligible.groupBy(u).agg(min(col(secCol)).as("t"))
-          .select(u, col("t").as("entry")))
-    }.flatten
-    survivors.zip(steps).zipWithIndex.map { case ((df, name), i) =>
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(i + 1).as("step"), lit(name).as("name"), col("users"))
-    }.reduce(_.unionByName(_)).orderBy("step")
+    val w = Window.partitionBy(col(userCol))
+    val withTimes = steps.zipWithIndex.foldLeft(events) {
+      case (df, (step, i)) =>
+        val ordered =
+          if (i == 0) col(typeCol) === step
+          else col(typeCol) === step && col(secCol) >= col(s"__t${i - 1}")
+        df.withColumn(s"__t$i", min(when(ordered, col(secCol))).over(w))
+    }
+    // window results are constant per user; max() just picks them
+    val perUser = withTimes.groupBy(col(userCol))
+      .agg(max(col("__t0")).as("t0"),
+        steps.indices.drop(1).map(i => max(col(s"__t$i")).as(s"t$i")): _*)
+    val counters = perUser.agg(count(col("t0")).as("c0"),
+      steps.indices.drop(1).map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    counters.select(explode(array(steps.zipWithIndex.map {
+      case (name, i) => struct(lit(i + 1).as("step"), lit(name).as("name"),
+        col(s"c$i").as("users"))
+    }: _*)).as("r")).select("r.step", "r.name", "r.users").orderBy("step")
   }
 
   /** Weekly cohort retention: users bucketed by the Monday of their
