@@ -48,14 +48,34 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String, bucketWidth: Double,
-      broadcastIntervals: Boolean = true): DataFrame = {
+      broadcastIntervals: Boolean = true,
+      maxReplicasPerInterval: Long = 65536L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!points.columns.contains("__bucket") &&
+      !intervals.columns.contains("__bucket"),
+      "__bucket is reserved by RangeJoin; rename the input column")
+    // Empty intervals (hi <= lo + same bucket) match nothing and are
+    // dropped up front — without this, sequence() would generate a
+    // DESCENDING bucket run for inverted (dirty) intervals and ship
+    // junk replicas to the join. The replica cap fails LOUDLY instead
+    // of letting one absurdly wide interval (dirty data / wrong
+    // bucketWidth) materialize a multi-GB in-row array: replication
+    // is the operator's cost knob and must stay O(span/width) small.
+    val nReplicas = bucketOf(col(hiCol), bucketWidth) -
+      bucketOf(col(loCol), bucketWidth) + lit(1L)
+    val replicated = intervals
+      .filter(col(loCol) < col(hiCol))
+      .withColumn("__bucket", explode(
+        when(nReplicas <= maxReplicasPerInterval,
+          sequence(bucketOf(col(loCol), bucketWidth),
+            bucketOf(col(hiCol), bucketWidth)))
+          .otherwise(raise_error(concat(
+            lit(s"RangeJoin: interval spans more than $maxReplicasPerInterval" +
+              " buckets at bucketWidth="), lit(bucketWidth),
+            lit(" — raise bucketWidth or maxReplicasPerInterval"))))))
     // sequence() is inclusive of floor(hi/w): when hi lands exactly on
     // a bucket boundary that last replica can never match (hi is
     // exclusive) — harmless, the residual predicate drops it.
-    val replicated = intervals.withColumn("__bucket",
-      explode(sequence(bucketOf(col(loCol), bucketWidth),
-        bucketOf(col(hiCol), bucketWidth))))
     val build = if (broadcastIntervals) broadcast(replicated) else replicated
     points.withColumn("__bucket", bucketOf(col(pointCol), bucketWidth))
       .join(build, Seq("__bucket"))

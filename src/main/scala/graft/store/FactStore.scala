@@ -71,11 +71,25 @@ object FactStore {
 
   /** St2 checkpoint: last fully-processed position (e.g. day or id),
     * stored as a one-line file — the analog of the reference's
-    * `current_<key>` internal rows (ref `Handler.pm:80-124`). */
+    * `current_<key>` internal rows (ref `Handler.pm:80-124`).
+    * Written to a temp file and atomically renamed into place: the
+    * checkpoint is a commit point (LifetimeMv's pointer flip, Etl's
+    * watermark), and an in-place truncate-then-write can be torn by a
+    * crash into a half-record that poisons every later run. */
   def saveCheckpoint(dir: String, key: String, value: String): Unit = {
     Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(dir, s"$key.ckpt"), value.getBytes("UTF-8"),
+    val tmp = Paths.get(dir, s"$key.ckpt.tmp")
+    Files.write(tmp, value.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try
+      Files.move(tmp, Paths.get(dir, s"$key.ckpt"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      // non-atomic fallback for filesystems without rename atomicity
+      Files.move(tmp, Paths.get(dir, s"$key.ckpt"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   def loadCheckpoint(dir: String, key: String): Option[String] = {

@@ -33,8 +33,12 @@ object LifetimeMv {
   private def pointer(mvDir: String): Option[(Long, String)] =
     FactStore.loadCheckpoint(mvDir, PointerKey).flatMap { s =>
       s.split('|') match {
-        case Array(v, wm) => scala.util.Try((v.toLong, wm)).toOption
-        case _            => None
+        // validate BOTH fields: a corrupt watermark must surface here
+        // (treated as no-pointer) rather than throw on every refresh
+        case Array(v, wm) => scala.util.Try {
+          java.time.LocalDate.parse(wm); (v.toLong, wm)
+        }.toOption
+        case _ => None
       }
     }
 
@@ -71,13 +75,18 @@ object LifetimeMv {
     merged.write.mode("overwrite").parquet(s"$mvDir/v$nextV")
     // the pointer flip is the commit point
     FactStore.saveCheckpoint(mvDir, PointerKey, s"$nextV|$newMax")
-    // GC every version dir except the one just committed (a crash can
-    // orphan a HIGHER version too: vN written, pointer never flipped).
-    // Best-effort — failures leave harmless unreferenced dirs.
+    // GC every version dir except the one just committed AND its
+    // predecessor: read() hands out LAZY frames, so a reader obtained
+    // before this refresh still resolves files from the previous
+    // version (readers are safe across ONE refresh; holding a frame
+    // across two is documented out of scope). A crash can also orphan
+    // a HIGHER version (vN written, pointer never flipped) — removed
+    // here too. Best-effort: failures leave harmless unreferenced dirs.
+    val keep = Set(nextV) ++ cur.map(_._1)
     Option(new java.io.File(mvDir).listFiles).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v") &&
         scala.util.Try(f.getName.stripPrefix("v").toLong)
-          .toOption.exists(_ != nextV))
+          .toOption.exists(!keep.contains(_)))
       .foreach(deleteRec)
     days
   }

@@ -91,6 +91,23 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "naive formulation should exercise the nested-loop path this operator replaces")
   }
 
+  test("range join drops inverted intervals and fails loudly past the replica cap") {
+    val s = spark; import s.implicits._
+    val points = Seq((1L, 10.0)).toDF("pid", "pt")
+    // inverted interval (hi < lo): zero matches, no junk replicas
+    val inverted = Seq((0L, 30.0, 5.0)).toDF("band", "lo", "hi")
+    assert(graft.operators.RangeJoin.pointInInterval(
+      points, inverted, "pt", "lo", "hi", bucketWidth = 1.0).count() == 0L)
+    // one absurdly wide interval must raise, not OOM
+    val wide = Seq((0L, 0.0, 1e9)).toDF("band", "lo", "hi")
+    val ex = intercept[Exception] {
+      graft.operators.RangeJoin.pointInInterval(
+        points, wide, "pt", "lo", "hi", bucketWidth = 1.0,
+        maxReplicasPerInterval = 1000L).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("bloom-prefiltered semi-join is exact (false positives removed)") {
     val s = spark; import s.implicits._
     val fact = (1L to 5000L).map(k => (k % 1000, k)).toDF("key", "payload")
