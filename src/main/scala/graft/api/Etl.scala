@@ -42,7 +42,12 @@ object Etl {
         * past) the still-growing UTC day file, losing its later events.
         * Overridable for tests / backfills. */
       today: java.time.LocalDate =
-        java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+        java.time.LocalDate.now(java.time.ZoneOffset.UTC),
+      /** Refresh each datatype's lifetime-totals view after the write
+        * (the reference's CacheDownloads/CacheViews ETL step, A5) —
+        * incremental via [[graft.store.LifetimeMv]]; a backfill that
+        * rewrites already-merged days triggers a full rebuild. */
+      maintainLifetimeMv: Boolean = true)
 
   /** One batch run; returns (datatype -> rows written). */
   def run(spark: SparkSession, cfg: Config): Map[String, Long] = {
@@ -108,6 +113,16 @@ object Etl {
       fact.unpersist()
       counts
     }.toMap
+
+    // A5 cache maintenance: refresh each written datatype's lifetime
+    // view from its fact table. The MV dir lives under `_mv` beside
+    // the datatype tables; `from` is passed as the rewritten-window
+    // start so a backfill that touched already-merged days rebuilds
+    // instead of double-merging.
+    if (cfg.maintainLifetimeMv) written.keys.foreach { dt =>
+      graft.store.LifetimeMv.update(spark, s"${cfg.factRoot}/_mv/$dt",
+        s"${cfg.factRoot}/$dt", rewrittenFrom = from): Unit
+    }
 
     // Checkpoint the newest fully-ingested FILE day, taken from the
     // PRE-filter scan: a closed day whose hits are all robots must

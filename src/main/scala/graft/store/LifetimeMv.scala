@@ -50,10 +50,36 @@ object LifetimeMv {
     }
 
   /** Merge fact days newer than the stored watermark into the view.
-    * Returns the number of day-partitions merged (0 = already fresh). */
-  def update(spark: SparkSession, mvDir: String, factDir: String): Long = {
-    if (!new java.io.File(factDir).isDirectory) return 0L
-    val cur = pointer(mvDir)
+    * Returns the number of day-partitions merged (0 = already fresh).
+    *
+    * `rewrittenFrom`: the start of a backfill window whose fact
+    * partitions were just REWRITTEN (Etl's St3 semantics). The delta
+    * merge assumes append-only history; if the rewritten window
+    * reaches at or below the view's watermark, already-merged days
+    * changed underneath it and the view rebuilds from the full fact
+    * table (committed the same versioned way — readers never see the
+    * rebuild in progress). A window strictly after the watermark
+    * leaves the fast path untouched. */
+  def update(spark: SparkSession, mvDir: String, factDir: String,
+      rewrittenFrom: Option[java.time.LocalDate] = None): Long = {
+    if (!new java.io.File(factDir).isDirectory) {
+      // a backfill can clear a table ENTIRELY (FactStore removes the
+      // root when no partitions remain); if that rewrite reached
+      // merged history the view must drop with it, not serve stale
+      // totals forever
+      pointer(mvDir).foreach { case (_, wm) =>
+        if (rewrittenFrom.exists(!_.isAfter(java.time.LocalDate.parse(wm))))
+          deleteRec(new java.io.File(mvDir))
+      }
+      return 0L
+    }
+    val committed = pointer(mvDir)
+    // drop the pointer (=> full rebuild) when the rewrite intersects
+    // merged history; version numbering still continues from the
+    // committed version so the swap/GC protocol is unaffected
+    val cur = committed.filter { case (_, wm) =>
+      rewrittenFrom.forall(_.isAfter(java.time.LocalDate.parse(wm)))
+    }
     val fact = FactStore.read(spark, factDir)
     val delta = cur match {
       case Some((_, wm)) =>
@@ -71,7 +97,7 @@ object LifetimeMv {
         .groupBy("id", "value").agg(sum("count").as("count"))
     }.getOrElse(deltaAgg)
 
-    val nextV = cur.map(_._1 + 1).getOrElse(1L)
+    val nextV = committed.map(_._1 + 1).getOrElse(1L)
     merged.write.mode("overwrite").parquet(s"$mvDir/v$nextV")
     // the pointer flip is the commit point
     FactStore.saveCheckpoint(mvDir, PointerKey, s"$nextV|$newMax")
@@ -82,7 +108,7 @@ object LifetimeMv {
     // across two is documented out of scope). A crash can also orphan
     // a HIGHER version (vN written, pointer never flipped) — removed
     // here too. Best-effort: failures leave harmless unreferenced dirs.
-    val keep = Set(nextV) ++ cur.map(_._1)
+    val keep = Set(nextV) ++ committed.map(_._1)
     Option(new java.io.File(mvDir).listFiles).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v") &&
         scala.util.Try(f.getName.stripPrefix("v").toLong)

@@ -119,5 +119,19 @@ class EtlEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dv3 = spark.read.parquet(s"$facts/downloads")
       .collect().map(_.getAs[java.sql.Date]("date").toString).toSet
     assert(dv3 == Set("2024-03-01", "2024-03-03"))
+
+    // A5 cache maintenance ran on every phase: the lifetime view must
+    // equal a full recompute even though the LAST run was a backfill
+    // that REWROTE days already merged into it (full-rebuild path —
+    // a delta merge here would have double-counted day 2's history)
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("value")),
+        r.getLong(r.fieldIndex("count")))).toSet
+    val mv = graft.store.LifetimeMv.read(spark, s"$facts/_mv/downloads").get
+    val full = spark.read.parquet(s"$facts/downloads")
+      .groupBy("id", "value")
+      .agg(org.apache.spark.sql.functions.sum("count").as("count"))
+    assert(totals(mv) == totals(full))
   }
 }
