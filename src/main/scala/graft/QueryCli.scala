@@ -19,6 +19,9 @@ import graft.store.FactStore
   * runMain graft.QueryCli /data/facts datatype=downloads range=6m \
   *   fields=date order_by=date order_desc=0
   * }}}
+  * Pass `cache_dir=<dir>` to enable the md5-keyed report file cache
+  * ([[graft.api.ReportCache]]): hits are served without starting
+  * Spark, misses populate the cache after rendering.
   */
 object QueryCli {
   def main(args: Array[String]): Unit = {
@@ -31,6 +34,17 @@ object QueryCli {
       }
     }.toMap
 
+    // Cache probe BEFORE the session: a warmed dashboard request is
+    // served from the .ir2 file without touching Spark at all (the
+    // reference CGI's file-cache probe precedes any DB work).
+    val cacheDir = params.get("cache_dir")
+    val view = params.getOrElse("view", "table")
+    val preCtx = Context.fromParams(params - "cache_dir" - "view")
+      .resolved(java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+    val cached = cacheDir.flatMap(d =>
+      graft.api.ReportCache.lookup(d, graft.api.ReportCache.paramsOf(preCtx, view)))
+    if (cached.isDefined) { println(cached.get); return }
+
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
@@ -41,8 +55,7 @@ object QueryCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val ctx = Context.fromParams(params)
-      .resolved(java.time.LocalDate.now())
+    val ctx = preCtx
     // Load ONLY the requested datatype: opening every fact table would
     // pay schema inference per table and make one broken/empty table
     // fail unrelated queries.
@@ -55,8 +68,12 @@ object QueryCli {
       Map(ctx.datatype -> FactStore.read(spark, dir.getAbsolutePath)))
 
     val result = QueryCompiler.compile(ctx, catalog)
-    println(Export.toJson(result,
-      context = params + ("datatype" -> ctx.datatype)))
+    val payload = Export.toJson(result,
+      context = params + ("datatype" -> ctx.datatype))
+    // populate the cache on miss so the next identical request is file-served
+    cacheDir.foreach(d => graft.api.ReportCache.store(d,
+      graft.api.ReportCache.paramsOf(ctx, view), payload))
+    println(payload)
     spark.stop()
   }
 }

@@ -47,7 +47,12 @@ object Etl {
         * (the reference's CacheDownloads/CacheViews ETL step, A5) —
         * incremental via [[graft.store.LifetimeMv]]; a backfill that
         * rewrites already-merged days triggers a full rebuild. */
-      maintainLifetimeMv: Boolean = true)
+      maintainLifetimeMv: Boolean = true,
+      /** Report cache to invalidate once new facts land (the
+        * reference clears `.ir2` files at the end of every ETL run,
+        * `process_stats:144-159`); re-warming is the caller's call
+        * via [[ReportCache.warm]] with its configured report specs. */
+      reportCacheDir: Option[String] = None)
 
   /** One batch run; returns (datatype -> rows written). */
   def run(spark: SparkSession, cfg: Config): Map[String, Long] = {
@@ -132,6 +137,9 @@ object Etl {
       FactStore.saveCheckpoint(cfg.checkpointDir, "access", maxDay.toString)
     filtered.unpersist()
     rawPersisted.unpersist()
+    // new facts invalidate every pre-rendered dashboard payload
+    if (written.valuesIterator.sum > 0)
+      cfg.reportCacheDir.foreach(ReportCache.clear)
     written
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -125,6 +127,56 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ctx.orderDesc)
     // bad range rejected
     assert(Context.fromParams(Map("range" -> "DROP TABLE")).range.isEmpty)
+  }
+
+  test("report cache: key is param-order invariant, value sensitive") {
+    import graft.api.ReportCache
+    val a = ReportCache.key(Map("datatype" -> "downloads", "view" -> "table"))
+    val b = ReportCache.key(Map("view" -> "table", "datatype" -> "downloads"))
+    assert(a == b)
+    assert(a != ReportCache.key(Map("datatype" -> "views", "view" -> "table")))
+    // empty values drop out of the canonical form
+    assert(a == ReportCache.key(Map(
+      "datatype" -> "downloads", "view" -> "table", "grouping" -> "")))
+  }
+
+  test("report cache: hit skips compute; lock forces a miss; clear empties") {
+    import graft.api.ReportCache
+    val dir = Files.createTempDirectory("ir2cache").toString
+    val params = Map("datatype" -> "downloads", "view" -> "counter")
+    var computes = 0
+    def render() = { computes += 1; s"""{"n":$computes}""" }
+    assert(ReportCache.getOrCompute(dir, params)(render()) == """{"n":1}""")
+    assert(ReportCache.getOrCompute(dir, params)(render()) == """{"n":1}""")
+    assert(computes == 1)
+    // an in-progress write (lock present) must not be served
+    val lock = new java.io.File(dir,
+      ReportCache.key(params) + ".ir2.lock")
+    lock.createNewFile()
+    assert(ReportCache.lookup(dir, params).isEmpty)
+    lock.delete()
+    // nightly clear: entries (and stale locks) gone, next read recomputes
+    ReportCache.clear(dir)
+    assert(ReportCache.getOrCompute(dir, params)(render()) == """{"n":2}""")
+  }
+
+  test("report cache: warmed entries are hittable by an equivalent get") {
+    import graft.api.ReportCache
+    val dir = Files.createTempDirectory("ir2warm").toString
+    val cat = Catalog(facts = Map("downloads" -> fact()))
+    val today = java.time.LocalDate.of(2024, 6, 15)
+    val spec = Report.Spec("warm",
+      base = Context(datatype = "downloads", fields = Seq("value"),
+        range = Some("2024")),
+      items = Seq(Report.Item("counter")))
+    val warmed = ReportCache.warm(dir, spec, cat, today)
+    // a later request arriving as raw params resolves to the same key:
+    // range literal vs the warmed (resolved) from/to bounds
+    val got = Context.fromParams(Map("datatype" -> "downloads",
+      "fields" -> "value", "range" -> "2024")).resolved(today)
+    val served = ReportCache.lookup(dir, ReportCache.paramsOf(got, "counter"))
+    assert(served.contains(warmed("counter")))
+    assert(served.get.contains("\"report\": \"warm\""))
   }
 
   test("exporters: csv quoting, json envelope, xml escaping") {
