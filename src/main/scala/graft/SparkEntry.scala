@@ -305,6 +305,26 @@ object SparkEntry {
         .agg(sum((col("l_extendedprice") * col("l_discount"))
           .cast("decimal(18,4)")).cast("double").as("revenue"))),
 
+    // ---- H4: TPC-H Q4 shape — EXISTS-driven priority count. A LEFT
+    // SEMI join carries the equi key plus a CROSS-TABLE residual
+    // (shipped >60 days after the order date; the testdata carries no
+    // commit/receipt dates, so lateness is expressed against the
+    // order date — same correlated-EXISTS plan shape as Q4 proper).
+    // Semi-join semantics mean matching lineitems are never
+    // materialized or deduplicated, and the quarter filter prunes
+    // orders before the shuffle. ----
+    "h4_order_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- A14: sketch-based approximate distinct. No DuckDB oracle
     // (sketch implementations differ across engines → driver records
     // a rows-only check); the exact/approx columns let the result
@@ -1150,6 +1170,16 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "h4_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "a11_rollup" ->
       s"""WITH $factCte,
