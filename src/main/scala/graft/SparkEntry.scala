@@ -245,9 +245,14 @@ object SparkEntry {
       val rev = l.groupBy(col("l_orderkey").as("o_orderkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double").as("revenue"))
-      rev.join(o, "o_orderkey")
+      // Top-N BEFORE the join: revenue is complete per orderkey after
+      // the group-by and every lineitem orderkey exists in orders
+      // (TPC-H referential integrity), so the limit commutes with the
+      // join — 10 rows broadcast into the orders lookup instead of
+      // every aggregated orderkey shuffling through a full join.
+      val top = rev.orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+      o.join(broadcast(top), "o_orderkey")
         .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"), col("revenue"))
     }),
 

@@ -76,9 +76,14 @@ object Text {
     "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
     "to", "was", "were", "will", "with")
 
-  /** Count of stopword occurrences among tokens. */
+  /** Count of stopword occurrences among tokens. Token semantics
+    * (maximal non-whitespace runs of the lowercased text, whole-token
+    * match) expressed as ONE compiled regex with zero-width bounds —
+    * equivalent to `filter(tokens(text), _.isin(stopwords))` but
+    * codegen'd instead of an interpreted per-element HOF lambda. */
   def stopwordCount(text: Column): Column =
-    size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*)))
+    size(regexp_extract_all(lower(text),
+      lit(s"(?<=^|\\s)(?:${stopwords.mkString("|")})(?=\\s|$$)"), lit(0)))
 
   /** Exact integer division (Spark's `/` on longs returns double). */
   private def intDiv(a: Column, b: Column): Column =
