@@ -746,7 +746,11 @@ object SparkEntry {
     // native ASOF LEFT JOIN; Spark lacks the operator, composed here
     // from union + last-ignoring-nulls window) ----
     "x1_asof_attribution" -> ((s, d) => {
-      val e = ev(s, d).withColumn("sec", unix_timestamp(col("ts")))
+      // null user_ids are dropped: AsOfJoin keys compare null-safely
+      // (nulls group together) while the SQL ASOF oracle uses equality
+      // (nulls never match) — only the non-null universe agrees.
+      val e = ev(s, d).filter(col("user_id").isNotNull)
+        .withColumn("sec", unix_timestamp(col("ts")))
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("sec"), col("event_id"))
       val views = e.filter(col("event_type") === "view")
@@ -761,7 +765,9 @@ object SparkEntry {
     // same join through the whole-operator Catalyst stack
     // (AsOfJoinPlan -> AsOfJoinStrategy -> sort-merge AsOfJoinExec)
     "x2_asof_native" -> ((s, d) => {
-      val e = ev(s, d).withColumn("sec", unix_timestamp(col("ts")))
+      // same null-key rationale as x1
+      val e = ev(s, d).filter(col("user_id").isNotNull)
+        .withColumn("sec", unix_timestamp(col("ts")))
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("sec"), col("event_id"))
       val views = e.filter(col("event_type") === "view")
@@ -1706,7 +1712,7 @@ object SparkEntry {
 
     "j5_bloom_semi" ->
       """SELECT l_returnflag, COUNT(*) AS cnt,
-        |       SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
@@ -1748,7 +1754,7 @@ object SparkEntry {
     "h8_large_orders" ->
       """SELECT o_orderkey, o_custkey, sum_qty, o_totalprice
         |FROM orders JOIN (
-        |  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |  FROM lineitem GROUP BY 1
         |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) b
         |  ON o_orderkey = b.l_orderkey

@@ -99,20 +99,29 @@ object Etl {
         else p.provides.map(dt => dt -> fact.filter(col("value") === dt))
       val counts = outputs.map { case (dt, df) =>
         val n = df.count()
-        // Backfill idempotency: when the run has an explicit window
-        // start, clear ALL the datatype's in-window partitions first —
-        // dynamic overwrite alone only replaces days present in the
-        // recomputed frame, so a previously-populated day whose
-        // recount goes to zero (e.g. tightened robot filters) would
-        // otherwise keep its stale partition. Clearing is gated on a
-        // KNOWN window start: with from=None (first run / missing
-        // checkpoint) nothing is deleted — a lost checkpoint must
-        // never be able to wipe a datatype's history.
-        from.foreach(f =>
-          FactStore.clearPartitionsFrom(s"${cfg.factRoot}/$dt", Some(f)))
-        // n == 0 additionally writes nothing: a parquet dir with no
-        // data files breaks schema inference for later readers.
+        // n == 0 writes nothing: a parquet dir with no data files
+        // breaks schema inference for later readers.
         if (n > 0) FactStore.overwritePartitions(df, s"${cfg.factRoot}/$dt")
+        // Backfill idempotency, write-THEN-delete: dynamic overwrite
+        // only replaces days present in the recomputed frame, so a
+        // previously-populated in-window day whose recount goes to
+        // zero (e.g. tightened robot filters) must be deleted
+        // explicitly — but only AFTER the new data is published, and
+        // only the days ABSENT from the recomputed frame (diff-based
+        // delete). A crash between the two steps then leaves a stale
+        // partition the rerun removes, never an empty window that the
+        // next incremental run (starting past it) would silently skip.
+        // Deletion is gated on a KNOWN window start: with from=None
+        // (first run / missing checkpoint) nothing is deleted — a lost
+        // checkpoint must never be able to wipe a datatype's history.
+        from.foreach { f =>
+          val daysWritten: Set[String] =
+            if (n == 0) Set.empty
+            else df.select(col("date").cast("string")).distinct()
+              .collect().map(_.getString(0)).toSet
+          FactStore.clearPartitionsFrom(s"${cfg.factRoot}/$dt", Some(f),
+            keep = daysWritten)
+        }
         dt -> n
       }
       fact.unpersist()

@@ -28,15 +28,18 @@ object ReportCache {
 
   private val Ext = ".ir2"
 
-  /** Cache key: md5 over the k=v pairs sorted by key (the reference
-    * md5s a canonically-sorted JSON of the params — same idea, same
-    * invariance to request param order). Empty values are dropped so
-    * `grouping=` and an absent grouping key alike. */
+  /** Cache key: md5 over a length-prefixed encoding of the k/v pairs
+    * sorted by key (the reference md5s a canonically-sorted JSON of
+    * the params — same idea, same invariance to request param order).
+    * Length-prefixing each field makes the encoding injective, so
+    * values containing `=`/`&` cannot collide two distinct param maps
+    * into one key the way naive `k=v&...` joining can. Empty values
+    * are dropped so `grouping=` and an absent grouping key alike. */
   def key(params: Map[String, String]): String = {
     val canonical = params.toSeq
       .filter { case (k, v) => k.nonEmpty && v.nonEmpty }
       .sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }
+      .map { case (k, v) => s"${k.length}:$k=${v.length}:$v" }
       .mkString("&")
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(canonical.getBytes(UTF_8))

@@ -36,10 +36,15 @@ object FactStore {
       .partitionBy("date").parquet(path)
 
   /** Clear the day partitions of a fact table from `from` onward (all
-    * partitions when `from` is None). Complements dynamic overwrite in
-    * a backfill: overwrite only replaces days PRESENT in the
-    * recomputed frame, so in-window days whose recount went to zero
-    * must be deleted explicitly or the rerun is not idempotent.
+    * partitions when `from` is None), except days listed in `keep`.
+    * Complements dynamic overwrite in a backfill: overwrite only
+    * replaces days PRESENT in the recomputed frame, so in-window days
+    * whose recount went to zero must be deleted explicitly or the
+    * rerun is not idempotent. Callers run this AFTER the overwrite
+    * with `keep` = the recomputed frame's days (diff-based delete):
+    * a crash mid-backfill then leaves at worst a stale partition that
+    * the same rerun removes — never an empty window that a later
+    * incremental run (starting past it) would silently skip.
     * Driver-side directory surgery — the partition layout
     * (`date=YYYY-MM-DD` subdirs) is the table format this store owns.
     * If no partitions remain afterwards the table root is removed too:
@@ -47,18 +52,20 @@ object FactStore {
     * whereas an absent table reads as "no data yet", same as before
     * its first write. */
   def clearPartitionsFrom(path: String,
-      from: Option[java.time.LocalDate]): Unit = {
+      from: Option[java.time.LocalDate],
+      keep: Set[String] = Set.empty): Unit = {
     val root = new java.io.File(path)
     if (!root.isDirectory) return
     val parts = Option(root.listFiles).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.startsWith("date="))
     parts.filter { d =>
-      from match {
+      val day = d.getName.stripPrefix("date=")
+      !keep.contains(day) && (from match {
         case None => true
         case Some(f) =>
-          scala.util.Try(java.time.LocalDate.parse(d.getName.stripPrefix("date=")))
+          scala.util.Try(java.time.LocalDate.parse(day))
             .toOption.exists(!_.isBefore(f))
-      }
+      })
     }.foreach(rm)
     val anyLeft = Option(root.listFiles).toSeq.flatten
       .exists(d => d.isDirectory && d.getName.startsWith("date="))
