@@ -52,10 +52,11 @@ object Bench {
     }
 
     val results = names.map { name =>
-      // best-of-2 measured runs: a single sample on a shared machine
-      // carries ±30% scheduler noise; the minimum is the standard
-      // low-variance estimator of the query's actual cost
-      val times = (1 to 2).map { _ =>
+      // best-of-3 measured runs: a single sample on a shared machine
+      // carries ±30% scheduler noise (round-2 driver runs showed
+      // sustained 3-8x inflation vs local best), and the minimum is
+      // the standard low-variance estimator of the query's actual cost
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { qs(name)(spark, sfDir).collect(); true }

@@ -653,6 +653,28 @@ object SparkEntry {
           k = 5, nprobe = 2, centroidStride = 43)
         .orderBy("query_id", "rank")
     }),
+
+    // ---- T13: repetition signals (Gopher rep/dup fractions) —
+    // duplicate-token and top-bigram coverage permille per document ----
+    "t13_repetition" -> ((s, d) =>
+      Text.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- T14: sequence packing — fixed-token-budget training packs,
+    // next-fit by id within each source shard (pure prefix sum) ----
+    "t14_pack" -> ((s, d) =>
+      Text.packSequences(Tables.documents(s, d), "doc_id", "text",
+          shardCol = "source", budget = 512L)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
+        .orderBy("source", "pack_id")),
+
+    // ---- D9: semantic dedup — IVF-cell-blocked greedy near-dup drop
+    // (the embedding-space scale path of v2's all-pairs cosine) ----
+    "d9_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d),
+          threshold = 0.46, centroidStride = 43)
+        .orderBy("id")),
   )
 
   /** Deterministic UA / referrer strings per event_type — the driver
@@ -880,6 +902,99 @@ object SparkEntry {
           col("o_totalprice"))
         .orderBy(col("sum_qty").desc, col("o_orderkey"))
         .limit(10)
+    }),
+
+    // ---- H9: returned-item revenue per customer (TPC-H Q10 shape) —
+    // the quarter filter shrinks orders ~25x, so the FILTERED orders
+    // side broadcasts into the lineitem scan (no lineitem shuffle);
+    // revenue pre-aggregates on custkey before the small customer and
+    // nation dims broadcast in; top-20 is TakeOrderedAndProject ----
+    "h9_returned_revenue" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d).filter(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      val rev = l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      rev.join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ---- H10: priority-class line counts (TPC-H Q12 shape) —
+    // conditional aggregation (CASE inside SUM) after an equi join;
+    // the shipdate window prunes lineitem at the scan, orders
+    // broadcasts (3 columns of a 10%-of-fact dim) ----
+    "h10_priority_class" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).filter(
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // ---- H11: supplier diversity per part group (TPC-H Q16 shape) —
+    // COUNT(DISTINCT) over a joined key: part prunes+broadcasts, the
+    // distinct expands to a two-phase aggregate (partial distinct on
+    // (brand,type,suppkey) map-side, exact count after one shuffle) ----
+    "h11_supplier_cnt" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_size").between(1, 5))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
+      Tables.lineitem(s, d).filter(col("l_quantity") < 10)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+        .limit(10)
+    }),
+
+    // ---- H12: disjunctive-predicate join (TPC-H Q19 shape) — the OR
+    // residual can't be a join key, but its per-branch ranges imply
+    // CONJUNCTIVE envelopes (qty 1-30, size 1-15) that push to both
+    // scans and shrink the broadcast build side before the exact OR
+    // evaluates on the joined row ----
+    "h12_disjunctive_join" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_size").between(1, 15))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = Tables.lineitem(s, d).filter(col("l_quantity").between(1, 30))
+      val branch = (col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#24" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(branch)
+        .agg(count(lit(1)).as("cnt"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
+    // ---- O9: per-group top-N (rank window under a partition key —
+    // the distributed form of "top users per metric"; contrast with
+    // o3's GLOBAL top-N, which is a TakeOrderedAndProject) ----
+    "o9_group_topn" -> ((s, d) => {
+      val cnt = ev(s, d).filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("user_id"))
+      cnt.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("user_id"), col("cnt"),
+          col("rk").cast("int").as("rk"))
+        .orderBy("event_type", "rk")
     }),
 
     // ---- W10: ordered conversion funnel — each step's entry must be
@@ -1609,6 +1724,57 @@ object SparkEntry {
         |       FROM cand)
         |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
         |FROM rr WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "t13_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |u AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS d FROM t),
+        |bgs AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(toks) - 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bg
+        |  FROM t),
+        |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, MAX(c) AS m FROM bc GROUP BY 1)
+        |SELECT u.doc_id,
+        |  CAST(((u.n - u.d) * 1000) // u.n AS BIGINT) AS dup_tok_pm,
+        |  CAST((bm.m * 1000) // (u.n - 1) AS BIGINT) AS top_bigram_pm
+        |FROM u JOIN bm ON u.doc_id = bm.doc_id ORDER BY u.doc_id""".stripMargin,
+
+    "t14_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+        |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+
+    "d9_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |           WHERE vec_id % 43 = 0),
+        |s AS (SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+        |        list_cosine_similarity(e.embedding, c.cv) AS cos
+        |      FROM embeddings e CROSS JOIN c),
+        |r AS (SELECT id, v, cid,
+        |        ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rk
+        |      FROM s),
+        |assign AS (SELECT id, v, cid FROM r WHERE rk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.id AS id
+        |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.46)
+        |SELECT e.vec_id AS id,
+        |  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id
+        |ORDER BY id""".stripMargin,
   )
 
   /** Golden oracles for the classifier queries: the synthetic UA /
@@ -1759,6 +1925,61 @@ object SparkEntry {
         |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) b
         |  ON o_orderkey = b.l_orderkey
         |ORDER BY sum_qty DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "h9_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "h10_priority_class" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "h11_supplier_cnt" ->
+      """SELECT p_brand, p_type,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size BETWEEN 1 AND 5 AND l_quantity < 10
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 10""".stripMargin,
+
+    "h12_disjunctive_join" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "o9_group_topn" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS cnt FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY cnt DESC, user_id) AS rk
+        |      FROM c)
+        |SELECT event_type, user_id, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
 
     "w10_funnel" ->
       """WITH e AS (

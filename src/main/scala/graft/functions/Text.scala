@@ -180,4 +180,65 @@ object Text {
     when(n >= 3, array_min(transform(shingles, s => hash60(s))))
       .otherwise(hash60(lower(text)))
   }
+
+  /** Gopher-style repetition signals, integer permille per document:
+    *  - `dup_tok_pm`  = 1000·(n_tokens − n_distinct) div n_tokens
+    *    (fraction of tokens that are repeats of an earlier token);
+    *  - `top_bigram_pm` = 1000·max_bigram_count div (n_tokens − 1)
+    *    (how much of the text the single most frequent bigram covers).
+    * High values mark degenerate/templated text (keyword stuffing,
+    * boilerplate loops) that per-token quality scores miss.
+    *
+    * Dataflow: ONE posexplode of the token stream feeds both signals —
+    * unigram distinctness aggregates directly; bigrams come from a
+    * per-doc `lead` window over token positions (codegen'd; the HOF
+    * array-building alternative is interpreted per element and ~3x
+    * slower at scale). Each path is a partial-agg-friendly groupBy on
+    * (doc, gram) — the token stream shuffles once per path, already
+    * combined map-side. Documents under 2 tokens are dropped (no
+    * bigram denominator). */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .filter(tokenCount(col(textCol)) >= 2)
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val uni = toks.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_dist"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val bigramMax = toks
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col(idCol), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max("c").as("max_bg"))
+    uni.join(bigramMax, idCol)
+      .select(col(idCol),
+        intDiv((col("n_tok") - col("n_dist")) * 1000L, col("n_tok"))
+          .as("dup_tok_pm"),
+        intDiv(col("max_bg") * 1000L, col("n_tok") - 1).as("top_bigram_pm"))
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * packs. Deterministic next-fit by id order WITHIN each shard: a
+    * document's pack is its starting token offset div `budget`
+    * (documents may straddle a boundary — the standard
+    * pack-then-truncate trade-off, chosen because it is a pure
+    * prefix-sum: one window over (shard, id), no sequential state).
+    * Sharding is what scales it — each shard's packing is independent,
+    * so the window shuffle partitions by shard instead of forcing a
+    * single global ordering (a global pack order at 100 TB would
+    * serialize on one task). Returns one row per document:
+    * (shard, id, n_tok, pack_id). */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, shardCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(shardCol), col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("pack_id", intDiv(col("cum") - col("n_tok"), lit(budget)))
+      .drop("cum")
+  }
 }

@@ -194,6 +194,47 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor"))
   }
 
+  /** Semantic (embedding-space) dedup: the scale path of
+    * [[cosineNearDup]]. All-pairs cosine is O(n²) and unshardable;
+    * blocking by IVF cell makes it O(Σ cell²) with every stage
+    * shuffle-partitioned by cell:
+    *  1. assign each vector to its nearest centroid (one codegen'd
+    *     pass against the BROADCAST centroid set — same index build as
+    *     [[annIvf]], the corpus never shuffles to be indexed);
+    *  2. self-join WITHIN cells only (shuffle on cid; the cell cap is
+    *     the skew guard the LSH/simhash paths use);
+    *  3. a vector is dropped iff some SMALLER-id vector in its cell is
+    *     within `threshold` cosine — greedy keep-first, deterministic.
+    * Recall < 1 across cell boundaries (standard blocking trade-off;
+    * raise centroid count to shrink cells, or run twice with different
+    * strides for higher recall). Output: (id, kept 0/1) for every
+    * corpus vector. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+      centroidStride: Int = 43, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val wAssign = Window.partitionBy("id").orderBy(col("c").desc, col("cid").asc)
+    val assigned = v.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"),
+        cosineCol(corpus, col("v"), col("cv")).as("c"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("id"), col("v"), col("cid"))
+    val a = assigned.select(col("cid"), col("id").as("a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("id").as("b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("a") < col("b"))
+      .filter(cosineCol(corpus, col("va"), col("vb")) >= threshold)
+      .select(col("b").as("id")).distinct()
+    corpus.select(col(idCol).as("id"))
+      .join(dropped.withColumn("dropFlag", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("dropFlag").isNotNull, lit(0)).otherwise(lit(1)).as("kept"))
+  }
+
   /** Bucketed ANN: same contract as [[annBruteForce]] but candidates
     * are restricted to the query's hyperplane bucket — the scale path.
     * Recall < 1 by construction; pair with multiple tables for recall

@@ -357,6 +357,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall(trained) >= 0.8, s"trained-IVF recall ${recall(trained)}")
   }
 
+  test("repetitionStats: hand-computed dup-token and top-bigram permille") {
+    val d = docs(
+      (1L, "a b a b c"),   // n=5 d=3 dup=400; bigram "a b" x2 of 4 -> 500
+      (2L, "x y z"),       // all distinct -> dup=0; every bigram unique -> 500
+      (3L, "w w w w"),     // n=4 d=1 dup=750; "w w" x3 of 3 -> 1000
+      (4L, "solo"))        // 1 token: dropped (no bigram denominator)
+    val r = Text.repetitionStats(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(1L -> (400L, 500L), 2L -> (0L, 500L), 3L -> (750L, 1000L)))
+  }
+
+  test("packSequences: next-fit by start offset within each shard") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      ("X", 1L, "t t t t"),               // start 0  -> pack 0
+      ("X", 2L, "t t t t t"),             // start 4  -> pack 0
+      ("X", 3L, "t t t t"),               // start 9  -> pack 0 (straddles)
+      ("X", 4L, "t t t t t t t t t"),     // start 13 -> pack 1
+      ("Y", 5L, "t t t t t t t t t t t t") // start 0 -> pack 0 (own shard)
+    ).toDF("source", "doc_id", "text")
+    val r = Text.packSequences(d, "doc_id", "text", "source", budget = 10L)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(3)).toMap
+    assert(r == Map(("X", 1L) -> 0L, ("X", 2L) -> 0L, ("X", 3L) -> 0L,
+      ("X", 4L) -> 1L, ("Y", 5L) -> 0L))
+  }
+
+  test("semanticDedup keeps the smallest id of each within-cell near-dup set") {
+    val s = spark; import s.implicits._
+    // centroids = stride-43 ids {0, 43}; cell A = {0,1,2,3}, cell B = {43,44}
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.05f)),
+      (2L, Array(0.98f, 0.1f)),
+      (3L, Array(0.9f, 0.4f)),  // same cell, below threshold: kept
+      (43L, Array(0.0f, 1.0f)), (44L, Array(0.05f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(e, threshold = 0.97, centroidStride = 43)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 1, 43L -> 1, 44L -> 0))
+  }
+
   test("annIvf finds the same top neighbors as brute force when cells align") {
     val s = spark; import s.implicits._
     // two tight clusters; centroids = ids 0 and 43 (stride sample)
