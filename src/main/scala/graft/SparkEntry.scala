@@ -997,6 +997,42 @@ object SparkEntry {
         .orderBy("event_type", "rk")
     }),
 
+    // ---- A16: salted two-stage aggregation — A2's hot-key scale
+    // path. event_type has 5 values over the whole fact table (every
+    // key is hot); the salt spreads each key over 16 reducers before
+    // the tiny (key x salt) partial set collapses. Result-identical
+    // to the direct groupBy — the oracle is plain SQL ----
+    "a16_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedSum(fact(s, d), Seq("value"), "count",
+          sumName = "count", nSalts = 16)
+        .orderBy(col("count").desc, col("value"))),
+
+    // ---- J7: salted equi-join — J1's skew path when the fact side
+    // concentrates on few join keys and the dim can't broadcast. Dim
+    // rows replicate x8, fact rows salt deterministically; the shuffle
+    // splits each hot key across 8 partitions. Row-identical to the
+    // plain join (oracle) ----
+    "j7_salted_join" -> ((s, d) =>
+      graft.store.Bucketing.saltedJoin(
+          Tables.lineitem(s, d),
+          Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey"),
+          key = "l_orderkey", saltFactor = 8, saltSource = "l_partkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("o_orderpriority")),
+
+    // ---- W12: gap-fill by linear interpolation (every 3rd observed
+    // day kept as the sparse input; W1 densify answers zero-traffic,
+    // this answers feed-gap) ----
+    "w12_interpolate" -> ((s, d) => {
+      val daily = ev(s, d).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).cast("long").as("v"))
+      val sparse = daily.filter(pmod(dayofmonth(col("d")), lit(3)) === 0)
+      Series.interpolate(sparse, "d", "v").orderBy("d")
+    }),
+
     // ---- W10: ordered conversion funnel — each step's entry must be
     // at-or-after the user's previous step entry ----
     "w10_funnel" -> ((s, d) =>
@@ -1980,6 +2016,43 @@ object SparkEntry {
         |SELECT event_type, user_id, CAST(cnt AS BIGINT) AS cnt,
         |       CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+
+    "a16_salted_agg" ->
+      s"""WITH $factCte
+         |SELECT value, CAST(SUM(count) AS BIGINT) AS count
+         |FROM fact GROUP BY value ORDER BY count DESC, value""".stripMargin,
+
+    "j7_salted_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w12_interpolate" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS v FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |sparse AS (SELECT d, v FROM daily WHERE EXTRACT(day FROM d) % 3 = 0),
+        |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM sparse),
+        |cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+        |j AS (SELECT cal.d AS d, sparse.v AS v
+        |      FROM cal LEFT JOIN sparse ON cal.d = sparse.d),
+        |wnd AS (SELECT d, v,
+        |  last_value(v IGNORE NULLS) OVER
+        |    (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER
+        |    (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |  first_value(v IGNORE NULLS) OVER
+        |    (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER
+        |    (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT d,
+        |  CAST(COALESCE(v, pv + CAST(floor(
+        |    ((nv - pv) * date_diff('day', pd, d))::DOUBLE /
+        |    date_diff('day', pd, nd)) AS BIGINT)) AS BIGINT) AS v,
+        |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS interpolated
+        |FROM wnd ORDER BY d""".stripMargin,
 
     "w10_funnel" ->
       """WITH e AS (

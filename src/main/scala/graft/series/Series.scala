@@ -110,4 +110,55 @@ object Series {
       .select(col(dateCol), col(countCol))
       .orderBy(col(dateCol))
   }
+
+  /** W12 gap-fill with linear interpolation: densify the calendar
+    * between each series' own first and last observation, then fill
+    * missing days by integer-linear interpolation between the nearest
+    * known neighbors (`floor` division, so results are exact integers
+    * reproducible across engines). W1 densify's zero-fill answers "no
+    * traffic that day"; interpolation answers "sensor/feed gap" —
+    * both gap semantics exist in real log pipelines.
+    *
+    * Dataflow: per-series bounds (one aggregate) → `sequence`-exploded
+    * calendar → left join of the observations → ONE window pass
+    * computing last-known-before and first-known-after (value AND
+    * date) with `last/first(ignoreNulls)` frames. With `partCols` the
+    * window partitions by series — the shuffle is by series key, no
+    * global ordering bottleneck; empty `partCols` = one global series
+    * (the reference's per-chart case, bounded by the 20y range cap).
+    */
+  def interpolate(series: DataFrame, dateCol: String = "d",
+      valueCol: String = "v", partCols: Seq[String] = Nil): DataFrame = {
+    val parts = partCols.map(col)
+    val bounds =
+      if (partCols.isEmpty)
+        series.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+      else series.groupBy(parts: _*)
+        .agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+    val calendar = bounds.select((parts :+
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+        .as(dateCol)): _*)
+    val joined = calendar.join(series, partCols :+ dateCol, "left")
+    val w = Window.partitionBy(parts: _*).orderBy(col(dateCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownDate = when(col(valueCol).isNotNull, col(dateCol))
+    // interior gaps always have both neighbors (bounds are observed
+    // rows), so the interpolation expression is total
+    val lerp = col("_pv") + floor(
+      ((col("_nv") - col("_pv")) * datediff(col(dateCol), col("_pd")))
+        .cast("double") / datediff(col("_nd"), col("_pd")).cast("double"))
+      .cast("long")
+    joined
+      .withColumn("_pv", last(col(valueCol), ignoreNulls = true).over(wPrev))
+      .withColumn("_pd", last(knownDate, ignoreNulls = true).over(wPrev))
+      .withColumn("_nv", first(col(valueCol), ignoreNulls = true).over(wNext))
+      .withColumn("_nd", first(knownDate, ignoreNulls = true).over(wNext))
+      .withColumn("_filled",
+        when(col(valueCol).isNotNull, col(valueCol)).otherwise(lerp))
+      .select((parts :+ col(dateCol) :+
+        col("_filled").as(valueCol) :+
+        when(col(valueCol).isNotNull, lit(0)).otherwise(lit(1))
+          .cast("int").as("interpolated")): _*)
+  }
 }

@@ -158,6 +158,49 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totals(LifetimeMv.read(spark, mvDir).get) == totals(full2))
   }
 
+  test("salted aggregation equals direct groupBy on a hot-key table") {
+    val s = spark; import s.implicits._
+    // one key holds 90% of rows — the aggregation-skew pathology
+    val rows = (1 to 1000).map(i =>
+      (if (i <= 900) "hot" else s"k${i % 13}", i.toLong))
+    val df = rows.toDF("key", "v")
+    assert(graft.operators.Skew.skewRatio(df, "key") > 10.0)
+    val direct = df.groupBy("key").agg(sum("v").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.operators.Skew
+      .saltedSum(df, Seq("key"), "v", "total", nSalts = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("interpolate fills interior gaps linearly, flags filled rows") {
+    val s = spark; import s.implicits._
+    val sparse = Seq(("2024-03-01", 10L), ("2024-03-04", 40L),
+        ("2024-03-06", 30L))
+      .map { case (d, v) => (java.sql.Date.valueOf(d), v) }.toDF("d", "v")
+    val out = graft.series.Series.interpolate(sparse, "d", "v")
+      .orderBy("d").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      ("2024-03-01", 10L, 0), ("2024-03-02", 20L, 1), ("2024-03-03", 30L, 1),
+      ("2024-03-04", 40L, 0), ("2024-03-05", 35L, 1), ("2024-03-06", 30L, 0)))
+  }
+
+  test("interpolate partitions by series key independently") {
+    val s = spark; import s.implicits._
+    val sparse = Seq(("a", "2024-03-01", 0L), ("a", "2024-03-03", 10L),
+        ("b", "2024-03-02", 4L), ("b", "2024-03-05", 1L))
+      .map { case (k, d, v) => (k, java.sql.Date.valueOf(d), v) }
+      .toDF("k", "d", "v")
+    val out = graft.series.Series.interpolate(sparse, "d", "v", Seq("k"))
+      .orderBy("k", "d").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("a", "2024-03-01", 0L), ("a", "2024-03-02", 5L), ("a", "2024-03-03", 10L),
+      ("b", "2024-03-02", 4L), ("b", "2024-03-03", 3L), ("b", "2024-03-04", 2L),
+      ("b", "2024-03-05", 1L)))
+  }
+
   test("densify honors an explicit requested range") {
     val s = spark; import s.implicits._
     val series = Seq((java.sql.Date.valueOf("2024-03-10"), 5L))
