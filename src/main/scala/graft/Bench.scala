@@ -18,11 +18,13 @@ object Bench {
     "f3_repeat_lag", "x1_asof_attribution", "x2_asof_native",
     "h1_pricing_summary", "h2_shipping_priority", "h3_top_orders",
     "h5_region_revenue", "h6_forecast_revenue", "h7_custdist",
-    "h8_large_orders", "x3_range_join", "j5_bloom_semi", "w10_funnel",
+    "h8_large_orders", "h9_returned_revenue", "h11_supplier_cnt",
+    "h12_disjunctive_join", "x3_range_join", "j5_bloom_semi",
+    "j7_salted_join", "a16_salted_agg", "w10_funnel",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_line_dedup",
-    "d7_fuzzy_pairs",
+    "d7_fuzzy_pairs", "d9_semantic_dedup",
     "v1_ann_bruteforce", "v5_ann_ivf", "t1_token_stats",
-    "t4_fingerprint", "t6_quality_rules")
+    "t4_fingerprint", "t6_quality_rules", "t13_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

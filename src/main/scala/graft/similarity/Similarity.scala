@@ -223,12 +223,15 @@ object Similarity {
       .withColumn("r", row_number().over(wAssign))
       .filter(col("r") === 1)
       .select(col("id"), col("v"), col("cid"))
-    val a = assigned.select(col("cid"), col("id").as("a"), col("v").as("va"))
-    val b = assigned.select(col("cid"), col("id").as("b"), col("v").as("vb"))
-    val dropped = a.join(b, Seq("cid"))
-      .filter(col("a") < col("b"))
-      .filter(cosineCol(corpus, col("va"), col("vb")) >= threshold)
-      .select(col("b").as("id")).distinct()
+    // self-join via aliases of the SAME frame: both sides shuffle the
+    // identical (cid, id, v) subplan, so the assignment pass and its
+    // exchange are computed once and reused (ReusedExchange), not
+    // twice as two differently-projected copies would be
+    val x = assigned.alias("x"); val y = assigned.alias("y")
+    val dropped = x.join(y, col("x.cid") === col("y.cid") &&
+        col("x.id") < col("y.id"))
+      .filter(cosineCol(corpus, col("x.v"), col("y.v")) >= threshold)
+      .select(col("y.id").as("id")).distinct()
     corpus.select(col(idCol).as("id"))
       .join(dropped.withColumn("dropFlag", lit(1)), Seq("id"), "left")
       .select(col("id"),
