@@ -669,6 +669,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
         .orderBy("source", "pack_id")),
 
+    // ---- T15: overlapping token chunking — RAG/long-doc chunk spans
+    // from token counts alone (O(chunks), zero shuffle) ----
+    "t15_chunk_spans" -> ((s, d) =>
+      Text.chunkSpans(Tables.documents(s, d), "doc_id", "text",
+          size = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")),
+
     // ---- D9: semantic dedup — IVF-cell-blocked greedy near-dup drop
     // (the embedding-space scale path of v2's all-pairs cosine) ----
     "d9_semantic_dedup" -> ((s, d) =>
@@ -1792,6 +1799,23 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_tok) AS BIGINT) AS tok_sum
         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+
+    "t15_chunk_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        CASE WHEN n <= 64 THEN 1
+        |             ELSE ((n - 64 + 47) // 48) + 1 END AS nch
+        |      FROM t),
+        |k AS (SELECT doc_id, n,
+        |        unnest(generate_series(0, nch - 1)) AS chunk_id
+        |      FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(chunk_id * 48 AS BIGINT) AS start_pos,
+        |       CAST(LEAST(64, n - chunk_id * 48) AS BIGINT) AS n_tok
+        |FROM k ORDER BY doc_id, chunk_id""".stripMargin,
 
     "d9_semantic_dedup" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings

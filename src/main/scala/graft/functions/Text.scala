@@ -219,6 +219,31 @@ object Text {
         intDiv(col("max_bg") * 1000L, col("n_tok") - 1).as("top_bigram_pm"))
   }
 
+  /** Overlapping fixed-size token chunking (the RAG / long-document
+    * training chunker): chunk k of a document covers token positions
+    * [k·stride, k·stride + size) where stride = size − overlap; the
+    * last chunk is the partial tail. Pure arithmetic on the token
+    * COUNT — no token rows materialize, just an exploded `sequence`
+    * of chunk indices per document, so the operator's cost is
+    * O(chunks), not O(tokens), and it parallelizes per document with
+    * no shuffle at all. Returns (id, chunk_id, start_pos, n_tok).
+    * Slicing the actual text is `slice(tokens, start+1, n_tok)` when
+    * the consumer wants payloads; spans keep the planning pass cheap. */
+  def chunkSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    val n = tokenCount(col(textCol)).cast("long")
+    // ceil((n - size) / stride) + 1 for n > size, else 1
+    val nch = when(n <= size, lit(1L))
+      .otherwise(intDiv(n - size + (stride - 1), lit(stride)) + 1L)
+    df.select(col(idCol), n.as("n"),
+        explode(sequence(lit(0L), nch - 1L)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_pos"),
+        least(lit(size.toLong), col("n") - col("chunk_id") * stride).as("n_tok"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * packs. Deterministic next-fit by id order WITHIN each shard: a
     * document's pack is its starting token offset div `budget`

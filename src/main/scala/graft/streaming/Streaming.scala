@@ -105,4 +105,29 @@ object Streaming {
           }
       }
   }
+
+  /** Stream-stream interval join: attribute each purchase to the
+    * views by the same user within the preceding `maxLagSec` — the
+    * streaming twin of the batch as-of join (x1/x2), with the standard
+    * streaming relaxation: ALL views in the window match (picking only
+    * the latest would need unbounded per-key state; downstream dedup
+    * or a windowed max gets "latest" when needed).
+    *
+    * Both sides carry watermarks and the join condition bounds event
+    * time on BOTH ends, so Spark derives a state-retention horizon for
+    * each side (watermark + lag) and evicts joined state — the state
+    * store stays O(in-flight window), not O(history). Left-outer so
+    * unattributed purchases still emit (with null view columns) once
+    * the view-side watermark passes their window.
+    *
+    * Column contract: `purchases` has (user_id, ts, ...); `views` must
+    * be pre-renamed to (v_user_id, v_ts, ...) — stream-stream joins
+    * need disjoint names because both sides survive in the output. */
+  def attributionStream(purchases: DataFrame, views: DataFrame,
+      maxLagSec: Long, lateness: String = "10 minutes"): DataFrame =
+    purchases.withWatermark("ts", lateness)
+      .join(views.withWatermark("v_ts", lateness),
+        expr(s"""user_id = v_user_id AND
+                 v_ts BETWEEN ts - INTERVAL $maxLagSec SECONDS AND ts"""),
+        "leftOuter")
 }

@@ -383,6 +383,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("X", 4L) -> 1L, ("Y", 5L) -> 0L))
   }
 
+  test("chunkSpans: overlapping windows cover every token, tail partial") {
+    val d = docs(
+      (1L, (1 to 11).map(i => s"w$i").mkString(" ")), // 11 toks, size 4/ov 1
+      (2L, "a b"))                                    // under size: one chunk
+    val r = Text.chunkSpans(d, "doc_id", "text", size = 4, overlap = 1)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // stride 3: ceil((11-4)/3)+1 = 4 chunks at 0,3,6,9 — the last is
+    // the 2-token partial tail
+    assert(r.toSeq == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L), (1L, 3L, 9L, 2L),
+      (2L, 0L, 0L, 2L)))
+    // coverage: every position 0..10 falls in some chunk
+    val covered = r.filter(_._1 == 1L)
+      .flatMap(t => t._3 until (t._3 + t._4)).toSet
+    assert(covered == (0L until 11L).toSet)
+  }
+
   test("semanticDedup keeps the smallest id of each within-cell near-dup set") {
     val s = spark; import s.implicits._
     // centroids = stride-43 ids {0, 43}; cell A = {0,1,2,3}, cell B = {43,44}

@@ -66,6 +66,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join attributes purchases to windowed views") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime + sec * 1000L)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val views = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streaming.attributionStream(
+        purchases.toDF().toDF("user_id", "ts", "pid"),
+        views.toDF().toDF("v_user_id", "v_ts", "vid"),
+        maxLagSec = 60, lateness = "5 seconds")
+      .select("pid", "vid")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+
+    // user 1: two views inside the 60s window, one outside; user 2: none
+    views.addData((1L, ts(0), "v-old"), (1L, ts(100), "v1"), (1L, ts(110), "v2"))
+    purchases.addData((1L, ts(120), "p1"), (2L, ts(125), "p2"))
+    q.processAllAvailable()
+    // advance both watermarks far past the window so p2's outer (null)
+    // row is emitted and v-old's state is evicted
+    views.addData((9L, ts(1000), "v-z"))
+    purchases.addData((9L, ts(1000), "p-z"))
+    q.processAllAvailable()
+    views.addData((8L, ts(2000), "v-y"))
+    purchases.addData((8L, ts(2000), "p-y"))
+    q.processAllAvailable()
+
+    val rows = spark.table("attr").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    q.stop()
+    // p1 matched v1 and v2 (inside window), NOT v-old (outside);
+    // p2 emitted unattributed after the watermark passed
+    assert(rows.contains(("p1", Some("v1"))))
+    assert(rows.contains(("p1", Some("v2"))))
+    assert(!rows.contains(("p1", Some("v-old"))))
+    assert(rows.contains(("p2", None)))
+  }
+
   test("file-source stream ingests TSV day files end-to-end") {
     import java.util.zip.GZIPOutputStream
     val dir = java.nio.file.Files.createTempDirectory("stream-access").toFile
