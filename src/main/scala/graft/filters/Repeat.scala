@@ -27,32 +27,37 @@ import org.apache.spark.sql.functions._
 object Repeat {
 
   /** Faithful per-key scan: keep a hit iff `sec - lastKept > timeout`
-    * (first hit always kept). Input needs columns `key` (string) and
-    * `sec` (long); emits the kept rows unchanged.
+    * (first hit always kept); emits the kept rows unchanged.
     *
-    * Rows are sorted in-group by (sec, tieBreak) for determinism. */
+    * Secondary-sort dataflow: hash-repartition by key, then
+    * `sortWithinPartitions(key, sec, tieBreak)` — the sort runs in
+    * Tungsten's spillable sorter (codegen'd comparators, off-heap),
+    * NOT in per-group heap arrays — and one `mapPartitions` streams
+    * each partition once, resetting one long of state at key
+    * boundaries. No group is ever materialized, so a pathological key
+    * (a scraper hammering one item for months) costs O(1) memory
+    * instead of O(chain); the `groupByKey.flatMapGroups` formulation
+    * would buffer and sort that chain on the executor heap. */
   def sequential(df: DataFrame, keyCols: Seq[String], secCol: String,
       timeout: Long, tieBreakCol: String): DataFrame = {
-    val spark = df.sparkSession
     val schema = df.schema
     val secIdx = schema.fieldIndex(secCol)
-    val tieIdx = schema.fieldIndex(tieBreakCol)
-    val keyIdxs = keyCols.map(schema.fieldIndex)
+    val keyIdxs = keyCols.map(schema.fieldIndex).toList
     implicit val enc = RowEncoder.encoderFor(schema)
-    import spark.implicits._
-    df.groupByKey(r => keyIdxs.map(i => String.valueOf(r.get(i))).mkString("\u0000"))
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(r => (r.getLong(secIdx), r.getLong(tieIdx)))
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(
+        (keyCols.map(col) :+ col(secCol) :+ col(tieBreakCol)): _*)
+      .mapPartitions { it =>
+        var curKey: List[Any] = null
         var lastKept = Long.MinValue
-        for (r <- rows) {
+        it.filter { r =>
+          val k = keyIdxs.map(r.get)
+          if (curKey == null || k != curKey) { curKey = k; lastKept = Long.MinValue }
           val sec = r.getLong(secIdx)
-          if (lastKept == Long.MinValue || sec - lastKept > timeout) {
-            out += r
-            lastKept = sec
-          }
+          val keep = lastKept == Long.MinValue || sec - lastKept > timeout
+          if (keep) lastKept = sec
+          keep
         }
-        out.iterator
       }
   }
 

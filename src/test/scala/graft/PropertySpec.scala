@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 
 import graft.filters.Repeat
+import graft.functions.Text
 import graft.series.Series
 
 /** Property tests for the invariants SURVEY.md §5 calls out:
@@ -164,6 +165,89 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         a.sliding(2).foreach {                   // all kept gaps > timeout
           case Array(x, y) => assert(y - x > 3600L)
           case _ =>
+        }
+      }
+    }
+  }
+
+  test("saltedSum equals direct groupBy for arbitrary key/value data") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      keys <- Gen.listOfN(n, Gen.choose(0, 4))  // few keys = all hot
+      vs <- Gen.listOfN(n, Gen.choose(-100L, 100L))
+      salts <- Gen.choose(2, 9)
+    } yield (keys.zip(vs), salts)
+    forAllSeeded(gen, n = 8) { case (rows, nSalts) =>
+      val s = spark; import s.implicits._
+      val df = rows.map { case (k, v) => (s"k$k", v) }.toDF("key", "v")
+      val direct = df.groupBy("key").agg(sum("v").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val salted = graft.operators.Skew
+        .saltedSum(df, Seq("key"), "v", "t", nSalts)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(salted == direct)
+    }
+  }
+
+  test("chunkSpans: full coverage, in-bounds, correct overlap for any shape") {
+    val gen = for {
+      nTok <- Gen.choose(1, 200)
+      size <- Gen.choose(2, 50)
+      overlap <- Gen.choose(0, size - 1)
+    } yield (nTok, size, overlap)
+    forAllSeeded(gen, n = 15) { case (nTok, size, overlap) =>
+      val s = spark; import s.implicits._
+      val d = Seq((1L, (1 to nTok).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val spans = Text.chunkSpans(d, "doc_id", "text", size, overlap)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      // chunk ids are 0..n-1 contiguous
+      assert(spans.map(_._1).toSeq == spans.indices.map(_.toLong))
+      // every span in bounds, nonempty, at the right stride
+      spans.foreach { case (k, start, len) =>
+        assert(start == k * (size - overlap))
+        assert(len >= 1 && len <= size && start + len <= nTok)
+      }
+      // last span reaches the end; union covers every position
+      assert(spans.last._2 + spans.last._3 == nTok.toLong)
+      val covered = spans.flatMap(sp => sp._2 until (sp._2 + sp._3)).toSet
+      assert(covered == (0L until nTok.toLong).toSet)
+    }
+  }
+
+  test("interpolate: known rows unchanged, filled rows between neighbors") {
+    val gen = for {
+      n <- Gen.choose(2, 15)
+      days <- Gen.listOfN(n, Gen.choose(0, 60)).map(_.distinct).suchThat(_.size >= 2)
+      vs <- Gen.listOfN(60, Gen.choose(0L, 1000L))
+    } yield days.sorted.zip(vs)
+    forAllSeeded(gen, n = 8) { rows =>
+      val df = toDf(rows.map { case (d, v) => (d, v) })
+        .withColumnRenamed("cnt", "v")
+      val out = Series.interpolate(df, "d", "v").orderBy("d").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getInt(2)))
+      val known = rows.map { case (d, v) =>
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d).toString -> v
+      }.toMap
+      // calendar is contiguous over the observed extent
+      assert(out.length ==
+        (rows.map(_._1).max - rows.map(_._1).min + 1))
+      out.foreach { case (d, v, flag) =>
+        known.get(d) match {
+          case Some(kv) => assert(flag == 0 && v == kv)
+          case None =>
+            assert(flag == 1)
+            // filled values lie within [min, max] of the two neighbors
+            val dd = java.time.LocalDate.parse(d).toEpochDay
+            val (pd, pv) = rows.map { case (x, xv) =>
+              (java.time.LocalDate.of(2024, 1, 1).plusDays(x).toEpochDay, xv)
+            }.filter(_._1 < dd).maxBy(_._1)
+            val (nd, nv) = rows.map { case (x, xv) =>
+              (java.time.LocalDate.of(2024, 1, 1).plusDays(x).toEpochDay, xv)
+            }.filter(_._1 > dd).minBy(_._1)
+            assert(v >= math.min(pv, nv) && v <= math.max(pv, nv),
+              s"$d: $v outside [$pv, $nv] (pd=$pd nd=$nd)")
         }
       }
     }
