@@ -716,6 +716,33 @@ object SparkEntry {
         .orderBy("browser")
     }),
 
+    // ---- C3: URL parse quirks (numeric -> localhost, protocol
+    // forcing) through the REAL parser; golden oracle pins each
+    // synthetic referrer's known (proto, host, path) ----
+    "c3_url_parse" -> ((s, d) => {
+      val u = graft.classify.Classify.parseUrl(syntheticReferrer)
+      ev(s, d).select(col("event_type"),
+          u.getField("protocol").as("proto"),
+          u.getField("host").as("host"), u.getField("path").as("path"))
+        .groupBy("event_type", "proto", "host", "path")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // ---- C4: percent-decoding (url_decode: %XX and '+') ----
+    "c4_percent_decode" -> ((s, d) => {
+      val t = col("event_type")
+      val encoded = when(t === "view", "spark+sql+engine")
+        .when(t === "click", "a%2Fb%3Fc")
+        .when(t === "purchase", "fast%20query%20plans")
+        .when(t === "signup", "100%25")
+        .otherwise("plain")
+      ev(s, d).select(t.as("event_type"),
+          graft.classify.Classify.percentDecode(encoded).as("decoded"))
+        .groupBy("event_type", "decoded").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
     // ---- C5: referrer classification cascade ----
     "c5_referrer" -> ((s, d) =>
       ev(s, d).withColumn("ref", syntheticReferrer)
@@ -986,6 +1013,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
+    // ---- H13: groupwise argmin (TPC-H Q2's essence — the row
+    // ACHIEVING a per-group minimum, not just the minimum). min_by
+    // with a (price, tiebreak) struct does it in ONE hash aggregate:
+    // no join-back (two shuffles) and no per-group sort (window) —
+    // the cheapest of the three classic argmin strategies ----
+    "h13_min_cost" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_size") <= 3)
+        .select(col("p_partkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("pc"),
+          col("l_orderkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(min(col("pc")).as("min_price_c"),
+          min_by(col("l_orderkey"), struct(col("pc"), col("l_orderkey")))
+            .as("witness"))
+        .orderBy("partkey")
     }),
 
     // ---- O9: per-group top-N (rank window under a partition key —
@@ -1850,6 +1898,36 @@ object SparkEntry {
         |FROM events WHERE event_type <> 'error'
         |GROUP BY 1 ORDER BY browser""".stripMargin,
 
+    "c3_url_parse" ->
+      """SELECT event_type,
+        |  CASE event_type WHEN 'signup' THEN 'http'
+        |       WHEN 'error' THEN 'http' ELSE 'https' END AS proto,
+        |  CASE event_type
+        |    WHEN 'view' THEN 'www.google.com'
+        |    WHEN 'click' THEN 'myrepo.org'
+        |    WHEN 'purchase' THEN 'search.yahoo.com'
+        |    WHEN 'signup' THEN ''
+        |    ELSE 'partner.example.com' END AS host,
+        |  CASE event_type
+        |    WHEN 'view' THEN '/search'
+        |    WHEN 'click' THEN '/123'
+        |    WHEN 'purchase' THEN '/search'
+        |    WHEN 'signup' THEN ''
+        |    ELSE '/docs' END AS path,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
+
+    "c4_percent_decode" ->
+      """SELECT event_type,
+        |  CASE event_type
+        |    WHEN 'view' THEN 'spark sql engine'
+        |    WHEN 'click' THEN 'a/b?c'
+        |    WHEN 'purchase' THEN 'fast query plans'
+        |    WHEN 'signup' THEN '100%'
+        |    ELSE 'plain' END AS decoded,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+
     "c5_referrer" ->
       """SELECT CASE event_type
         |    WHEN 'view' THEN 'Google'
@@ -2028,6 +2106,21 @@ object SparkEntry {
         |        AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "h13_min_cost" ->
+      """WITH c AS (
+        |  SELECT l_partkey,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+        |         l_orderkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 3),
+        |r AS (SELECT l_partkey, pc, l_orderkey,
+        |        ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |          ORDER BY pc, l_orderkey) AS rk
+        |      FROM c)
+        |SELECT l_partkey AS partkey, pc AS min_price_c,
+        |       l_orderkey AS witness
+        |FROM r WHERE rk = 1 ORDER BY partkey""".stripMargin,
 
     "o9_group_topn" ->
       """WITH c AS (
