@@ -669,6 +669,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
         .orderBy("source", "pack_id")),
 
+    // ---- T16: benchmark decontamination — eval docs (source src1)
+    // sharing any sliding 8-gram with the train split ----
+    "t16_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+          train = docs.filter(col("source") =!= "src1"),
+          evalDocs = docs.filter(col("source") === "src1"), n = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- T15: overlapping token chunking — RAG/long-doc chunk spans
     // from token counts alone (O(chunks), zero shuffle) ----
     "t15_chunk_spans" -> ((s, d) =>
@@ -1847,6 +1857,20 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_tok) AS BIGINT) AS tok_sum
         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+
+    "t16_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 7),
+         |    i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))))) AS key
+         |  FROM t WHERE len(toks) >= 8),
+         |tr AS (SELECT DISTINCT key FROM g WHERE source <> 'src1'),
+         |ev AS (SELECT doc_id, key FROM g WHERE source = 'src1')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_grams
+         |FROM ev JOIN tr USING (key) GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "t15_chunk_spans" ->
       """WITH t AS (

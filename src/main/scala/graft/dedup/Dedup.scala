@@ -357,6 +357,47 @@ object Dedup {
       .filter(col("copies") > 1)
   }
 
+  /** Distinct sliding n-token-gram digests per document — the shared
+    * primitive of line dedup (stride-n chunks) and decontamination
+    * (stride-1 grams). Same dataflow as [[lineDedup]]: posexplode +
+    * lead windows build grams codegen'd; only (id, 32-hex digest)
+    * pairs survive the window, the gram text never shuffles. */
+  def slidingGramHashes(docs: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
+    val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
+    docs.select(col(idCol).as("id"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("id") +: col("pos") +: col("tok") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("id"), md5(concat_ws(" ", parts: _*)).as("key"))
+      .distinct()
+  }
+
+  /** Benchmark decontamination: which EVAL documents share at least
+    * one sliding n-token gram with ANY train document, and how many
+    * distinct grams hit. The standard pre-training hygiene check (an
+    * eval answer memorized verbatim in the corpus shows up as long
+    * n-gram overlap; n=8..13 is the usual window).
+    *
+    * Scale: both sides reduce to distinct (id, digest) pairs; the
+    * train side further collapses to a distinct digest set, and the
+    * join is a plain hash equi-join on the digest — shuffle carries
+    * 32-hex keys only. At extreme train sizes, prefilter the eval
+    * side with [[graft.operators.BloomJoin]] over the train digests
+    * (same exactness argument: bloom pass, exact join after). */
+  def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val trainKeys = slidingGramHashes(train, n, textCol, idCol)
+      .select("key").distinct()
+    slidingGramHashes(evalDocs, n, textCol, idCol)
+      .join(trainKeys, "key")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("hit_grams"))
+  }
+
   /** `maxPostingList` is the skew guard for the inverted index: a
     * shingle occurring in k documents contributes k^2 join rows, so a
     * boilerplate shingle shared by millions would dominate the

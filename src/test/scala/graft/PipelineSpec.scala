@@ -402,6 +402,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(covered == (0L until 11L).toSet)
   }
 
+  test("contamination finds planted n-gram overlap, counts distinct grams") {
+    val s = spark; import s.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated training text about spark plans")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      // contains train doc 1's 8-gram "quick brown ... dog" twice-ish
+      (10L, "she said the quick brown fox jumps over the lazy dog again"),
+      (11L, "no overlap here at all just novel words entirely")
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.contamination(train, eval_, n = 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // doc 10 shares two of train doc 1's 8-grams ("the quick ... lazy"
+    // and "quick ... dog"; the third train gram ends in "tonight" which
+    // doc 10 lacks); doc 11 is clean
+    assert(r.keySet == Set(10L))
+    assert(r(10L) == 2L)
+  }
+
   test("semanticDedup keeps the smallest id of each within-cell near-dup set") {
     val s = spark; import s.implicits._
     // centroids = stride-43 ids {0, 43}; cell A = {0,1,2,3}, cell B = {43,44}
