@@ -2006,11 +2006,13 @@ object SparkEntry {
       """WITH v AS (
         |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS vsec,
         |         MAX(event_id) AS vid
-        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |  FROM events WHERE event_type = 'view'
+        |    AND user_id IS NOT NULL GROUP BY 1, 2),
         |p AS (
         |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS psec,
         |         event_id AS pid
-        |  FROM events WHERE event_type = 'purchase')
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL)
         |SELECT p.pid, v.vid, p.psec - v.vsec AS lag_sec
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.psec >= v.vsec
@@ -2020,11 +2022,13 @@ object SparkEntry {
       """WITH v AS (
         |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS vsec,
         |         MAX(event_id) AS vid
-        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |  FROM events WHERE event_type = 'view'
+        |    AND user_id IS NOT NULL GROUP BY 1, 2),
         |p AS (
         |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS psec,
         |         event_id AS pid
-        |  FROM events WHERE event_type = 'purchase')
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL)
         |SELECT p.pid, v.vid, p.psec - v.vsec AS lag_sec
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.psec >= v.vsec

@@ -20,6 +20,8 @@ object TimeQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
+    args.filterNot(qs.contains)
+      .foreach(n => System.err.println(s"[timeq] unknown query: $n"))
     for (name <- args; fn <- qs.get(name)) {
       val times = (0 to 3).map { i =>
         val t0 = System.nanoTime()

@@ -98,7 +98,12 @@ object Etl {
         if (p.provides.size == 1) Seq(p.provides.head -> fact)
         else p.provides.map(dt => dt -> fact.filter(col("value") === dt))
       val counts = outputs.map { case (dt, df) =>
-        val n = df.count()
+        // ONE pass gives both the row count and the day set (the old
+        // count() + distinct-dates pair was two jobs over the same
+        // persisted frame)
+        val perDay = df.groupBy(col("date").cast("string").as("d"))
+          .agg(count(lit(1)).as("c")).collect()
+        val n = perDay.map(_.getLong(1)).sum
         // n == 0 writes nothing: a parquet dir with no data files
         // breaks schema inference for later readers.
         if (n > 0) FactStore.overwritePartitions(df, s"${cfg.factRoot}/$dt")
@@ -115,12 +120,8 @@ object Etl {
         // (first run / missing checkpoint) nothing is deleted — a lost
         // checkpoint must never be able to wipe a datatype's history.
         from.foreach { f =>
-          val daysWritten: Set[String] =
-            if (n == 0) Set.empty
-            else df.select(col("date").cast("string")).distinct()
-              .collect().map(_.getString(0)).toSet
           FactStore.clearPartitionsFrom(s"${cfg.factRoot}/$dt", Some(f),
-            keep = daysWritten)
+            keep = perDay.map(_.getString(0)).toSet)
         }
         dt -> n
       }

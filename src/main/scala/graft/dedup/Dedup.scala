@@ -339,31 +339,20 @@ object Dedup {
     * chunk-1 lead columns; the per-doc window sort is the only
     * shuffle, and only (chunk-string-hash) pairs shuffle afterwards. */
   def lineDedup(docs: DataFrame, chunkTokens: Int = 8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id").orderBy("pos")
-    val leads = (1 until chunkTokens).map(i => lead("tok", i).over(w).as(s"t$i"))
-    val parts = col("tok") +: (1 until chunkTokens).map(i => col(s"t$i"))
-    docs.select(col(idCol).as("id"),
-        posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
-      .select(col("id") +: col("pos") +: col("tok") +: leads: _*)
-      .filter(pmod(col("pos"), lit(chunkTokens)) === 0 &&
-        col(s"t${chunkTokens - 1}").isNotNull)
-      // group directly on the digest: 32 hex chars shuffle, never the
-      // chunk text (the digest is also the output key)
-      .select(col("id"), md5(concat_ws(" ", parts: _*)).as("key"))
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // stride == n: non-overlapping chunks of the shared gram pipeline
+    gramDigests(docs, chunkTokens, stride = chunkTokens, textCol, idCol)
       .groupBy("key")
       .agg(count(lit(1)).as("copies"), min("id").as("canonical"))
       .filter(col("copies") > 1)
-  }
 
-  /** Distinct sliding n-token-gram digests per document — the shared
-    * primitive of line dedup (stride-n chunks) and decontamination
-    * (stride-1 grams). Same dataflow as [[lineDedup]]: posexplode +
-    * lead windows build grams codegen'd; only (id, 32-hex digest)
-    * pairs survive the window, the gram text never shuffles. */
-  def slidingGramHashes(docs: DataFrame, n: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** The gram pipeline shared by [[lineDedup]] (stride = n chunks) and
+    * [[slidingGramHashes]] (stride 1): posexplode + lead windows build
+    * n-token grams codegen'd; only (id, 32-hex digest) rows leave the
+    * window — the gram text never shuffles. NOT distinct: callers
+    * choose (lineDedup counts copies; decontamination distincts). */
+  private def gramDigests(docs: DataFrame, n: Int, stride: Int,
+      textCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
@@ -371,10 +360,17 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
       .select(col("id") +: col("pos") +: col("tok") +: leads: _*)
-      .filter(col(s"t${n - 1}").isNotNull)
+      .filter(pmod(col("pos"), lit(stride)) === 0 &&
+        col(s"t${n - 1}").isNotNull)
       .select(col("id"), md5(concat_ws(" ", parts: _*)).as("key"))
-      .distinct()
   }
+
+  /** Distinct sliding n-token-gram digests per document — the
+    * stride-1 instantiation of the shared gram pipeline (see
+    * [[lineDedup]] for the stride-n chunk form). */
+  def slidingGramHashes(docs: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    gramDigests(docs, n, stride = 1, textCol, idCol).distinct()
 
   /** Benchmark decontamination: which EVAL documents share at least
     * one sliding n-token gram with ANY train document, and how many

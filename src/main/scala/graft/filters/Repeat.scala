@@ -49,10 +49,18 @@ object Repeat {
         (keyCols.map(col) :+ col(secCol) :+ col(tieBreakCol)): _*)
       .mapPartitions { it =>
         var curKey: List[Any] = null
+        var started = false
         var lastKept = Long.MinValue
+        // deepEquals per element: List[Any] `==` is reference equality
+        // for array/binary key columns, which would split every row
+        // into its own group and disable suppression silently
+        def sameKey(a: List[Any], b: List[Any]): Boolean =
+          a.corresponds(b)(java.util.Objects.deepEquals)
         it.filter { r =>
           val k = keyIdxs.map(r.get)
-          if (curKey == null || k != curKey) { curKey = k; lastKept = Long.MinValue }
+          if (!started || !sameKey(k, curKey)) {
+            started = true; curKey = k; lastKept = Long.MinValue
+          }
           val sec = r.getLong(secIdx)
           val keep = lastKept == Long.MinValue || sec - lastKept > timeout
           if (keep) lastKept = sec

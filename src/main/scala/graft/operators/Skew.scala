@@ -25,9 +25,12 @@ object Skew {
     *
     * Stage 1 groups by (keys, salt) — a hot key's rows spread over
     * `nSalts` reducers, each producing one partial sum; stage 2 groups
-    * the `nSalts` partials per key. SUM is commutative+associative, so
-    * the result is exactly the direct `groupBy(keys).sum` for any
-    * partitioning and any salt assignment.
+    * the `nSalts` partials per key. For EXACT sum types (integral,
+    * decimal) the result is identical to the direct
+    * `groupBy(keys).sum` under any partitioning and salt assignment;
+    * floating-point sums are order-dependent in ANY distributed
+    * aggregation (salted or not), so cast doubles to decimal first if
+    * bit-reproducibility matters (the engine-wide moneySum rule).
     *
     * The salt hashes the whole row (all columns), not a rowid: it is
     * deterministic for a given row, needs no shuffle-unsafe id
@@ -41,6 +44,8 @@ object Skew {
     */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
       sumName: String, nSalts: Int = 16): DataFrame = {
+    require(!df.columns.contains("_salt") && !df.columns.contains("_partial"),
+      "saltedSum reserves the _salt/_partial column names")
     val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(nSalts))
     val ks = keyCols.map(col)
     df.withColumn("_salt", salt)
@@ -58,6 +63,9 @@ object Skew {
     val g = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
       .agg(max("c").cast("double").as("mx"), avg("c").as("mean"))
       .head()
-    g.getDouble(0) / g.getDouble(1)
+    // empty input: no groups, NULL aggregates — report NaN (no skew
+    // evidence) instead of NPE-ing on the null unbox
+    if (g.isNullAt(0) || g.isNullAt(1)) Double.NaN
+    else g.getDouble(0) / g.getDouble(1)
   }
 }

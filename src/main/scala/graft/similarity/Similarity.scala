@@ -200,7 +200,8 @@ object Similarity {
     * shuffle-partitioned by cell:
     *  1. assign each vector to its nearest centroid (one codegen'd
     *     pass against the BROADCAST centroid set — same index build as
-    *     [[annIvf]], the corpus never shuffles to be indexed);
+    *     [[annIvf]]; only thin (id, cid, cos) rows cross the rank-1
+    *     window shuffle, vectors rejoin by id afterwards);
     *  2. self-join WITHIN cells only (shuffle on cid; the cell cap is
     *     the skew guard the LSH/simhash paths use);
     *  3. a vector is dropped iff some SMALLER-id vector in its cell is
@@ -217,12 +218,17 @@ object Similarity {
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val wAssign = Window.partitionBy("id").orderBy(col("c").desc, col("cid").asc)
-    val assigned = v.crossJoin(broadcast(cents))
-      .select(col("id"), col("v"), col("cid"),
+    // rank-1 assignment shuffles THIN rows — (id, cid, cos) through
+    // the n x k window, never the vector payload (which would multiply
+    // the exchange bytes by the centroid count); vectors rejoin on id
+    // afterwards, the same dataflow as annIvf's index build
+    val assignedThin = v.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
         cosineCol(corpus, col("v"), col("cv")).as("c"))
       .withColumn("r", row_number().over(wAssign))
       .filter(col("r") === 1)
-      .select(col("id"), col("v"), col("cid"))
+      .select(col("id"), col("cid"))
+    val assigned = assignedThin.join(v, "id")
     // self-join via aliases of the SAME frame: both sides shuffle the
     // identical (cid, id, v) subplan, so the assignment pass and its
     // exchange are computed once and reused (ReusedExchange), not

@@ -250,6 +250,23 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(dir, "date=2024-03-01").exists)
   }
 
+  test("FactStore.clearPartitionsFrom keeps the recomputed days (diff delete)") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("diffdelete").toString
+    val days = Seq("2024-03-01", "2024-03-02", "2024-03-03")
+      .map(java.sql.Date.valueOf)
+    FactStore.append(days.map(d => (d, 1L, "x", 1L))
+      .toDF("date", "id", "value", "count"), dir)
+    // backfill window starts 03-02; the recomputed frame contains only
+    // 03-03 (03-02's recount went to zero) — 03-02 must go, 03-03 and
+    // the out-of-window 03-01 must stay
+    FactStore.clearPartitionsFrom(dir,
+      Some(java.time.LocalDate.parse("2024-03-02")), keep = Set("2024-03-03"))
+    val rows = FactStore.read(spark, dir)
+      .collect().map(_.getAs[java.sql.Date]("date").toString).toSet
+    assert(rows == Set("2024-03-01", "2024-03-03"))
+  }
+
   test("KeyFigures: one-pass metrics + ratio") {
     val s = spark; import s.implicits._
     val fact = Seq(("downloads", 30L), ("views", 60L), ("downloads", 30L))
