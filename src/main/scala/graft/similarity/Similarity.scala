@@ -159,7 +159,12 @@ object Similarity {
       vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // index build: one codegen'd pass of corpus x broadcast centroids,
-    // rank-1 cell per vector — the corpus never shuffles or broadcasts
+    // rank-1 cell per vector. The rank<=1 filter triggers Spark's
+    // WindowGroupLimit rewrite, which runs a PARTIAL per-partition
+    // top-1 BELOW the exchange — so the n x k candidate rows collapse
+    // to ~n before shuffling (measured faster than the equivalent
+    // min_by hash aggregate, whose array-key hashing costs more than
+    // the group-limit's streaming comparison)
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val wAssign = Window.partitionBy("id").orderBy(col("c").desc, col("cid").asc)
     val assign = v.crossJoin(broadcast(cents))
@@ -217,18 +222,18 @@ object Similarity {
     val cents = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // rank-1 assignment via window + rank<=1: Spark's WindowGroupLimit
+    // rewrite runs a partial per-partition top-1 BELOW the exchange,
+    // so carrying the vector through the window costs ~n rows on the
+    // shuffle, not n x k (measured faster than both the min_by hash
+    // aggregate — array-key hashing — and a thin-assign-then-rejoin)
     val wAssign = Window.partitionBy("id").orderBy(col("c").desc, col("cid").asc)
-    // rank-1 assignment shuffles THIN rows — (id, cid, cos) through
-    // the n x k window, never the vector payload (which would multiply
-    // the exchange bytes by the centroid count); vectors rejoin on id
-    // afterwards, the same dataflow as annIvf's index build
-    val assignedThin = v.crossJoin(broadcast(cents))
-      .select(col("id"), col("cid"),
+    val assigned = v.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"),
         cosineCol(corpus, col("v"), col("cv")).as("c"))
       .withColumn("r", row_number().over(wAssign))
       .filter(col("r") === 1)
-      .select(col("id"), col("cid"))
-    val assigned = assignedThin.join(v, "id")
+      .select(col("id"), col("v"), col("cid"))
     // self-join via aliases of the SAME frame: both sides shuffle the
     // identical (cid, id, v) subplan, so the assignment pass and its
     // exchange are computed once and reused (ReusedExchange), not
