@@ -1025,6 +1025,25 @@ object SparkEntry {
             .cast("decimal(18,4)")).cast("double").as("revenue"))
     }),
 
+    // ---- H14: promo revenue share (TPC-H Q14 shape) — conditional
+    // ratio over a broadcast join, kept in exact integer money units
+    // (decimal x10000) so the permille is engine-reproducible ----
+    "h14_promo_share" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("isPromo"))
+      val rc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)") * 10000
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00")))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("isPromo"), rc).otherwise(lit(0))).cast("long").as("promo_c"),
+          sum(rc).cast("long").as("total_c"))
+        .select(col("promo_c"), col("total_c"),
+          expr("(1000 * promo_c) div total_c").as("promo_pm"))
+    }),
+
     // ---- H13: groupwise argmin (TPC-H Q2's essence — the row
     // ACHIEVING a per-group minimum, not just the minimum). min_by
     // with a (price, tiebreak) struct does it in ONE hash aggregate:
@@ -2134,6 +2153,21 @@ object SparkEntry {
         |        AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "h14_promo_share" ->
+      """WITH r AS (
+        |  SELECT p_type,
+        |    CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      * 10000 AS BIGINT) AS rc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00')
+        |SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS BIGINT) AS promo_c,
+        |  CAST(SUM(rc) AS BIGINT) AS total_c,
+        |  CAST((1000 * SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END))
+        |    // SUM(rc) AS BIGINT) AS promo_pm
+        |FROM r""".stripMargin,
 
     "h13_min_cost" ->
       """WITH c AS (
