@@ -176,6 +176,17 @@ object SparkEntry {
       ev(s, d).select(col("event_type").as("set_value"))
         .distinct().orderBy("set_value")),
 
+    // ---- A8b: set-finder LIKE — the author-search-box query (ref
+    // Handler.pm:778-821): rendered values narrowed to %substring%,
+    // collation-ordered. parts-with-"gear" stands in for the
+    // rendered-author dim ----
+    "a8_like_finder" -> ((s, d) =>
+      graft.sets.Sets.setFinder(
+        Tables.part(s, d).select(
+          col("p_partkey").cast("string").as("set_value"),
+          col("p_name").as("rendered")),
+        like = Some("gear"))),
+
     // ---- A3: grand total (sum_all) ----
     "a3_grand_total" -> ((s, d) =>
       fact(s, d).agg(sum("count").as("total"))),
@@ -330,23 +341,31 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
-    // ---- A14: sketch-based approximate distinct. No DuckDB oracle
-    // (sketch implementations differ across engines → driver records
-    // a rows-only check); the exact/approx columns let the result
-    // self-document its error. Sketches are THE distinct-count scale
-    // story: HLL buffers merge associatively, so 1000 executors
-    // combine map-side partials instead of shuffling raw ids. ----
+    // ---- A14: sketch-based approximate distinct. Sketches are THE
+    // distinct-count scale story: HLL buffers merge associatively, so
+    // 1000 executors combine map-side partials instead of shuffling
+    // raw ids. Raw sketch estimates differ across engines, so the
+    // oracle-compared output is (exact, within_2pct): Spark's HLL is
+    // deterministic for a fixed input, the 2%-band flag is therefore
+    // a stable integer, and DuckDB can compute the exact side and
+    // assert the flag — making the whole row hash-comparable while
+    // still gating the sketch's accuracy. ----
     "a14_approx_distinct" -> ((s, d) =>
       ev(s, d).agg(
-        countDistinct(col("user_id")).as("exact"),
+        countDistinct(col("user_id")).as("exact_distinct"),
         approx_count_distinct(col("user_id"), 0.01).as("approx"),
         hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll"))
-        // zero guard: on an empty input 0/0 is NaN and ANSI-mode cast
-        // to long would throw instead of returning the row
-        .withColumn("approx_err_permille",
-          when(col("exact") === 0, lit(0L))
-            .otherwise((abs(col("approx") - col("exact")) * 1000L / col("exact"))
-              .cast("long")))),
+        // both sketches must land within 20‰ of exact; empty input
+        // (exact = 0) trivially passes — avoids ANSI 0/0 NaN casts
+        .select(
+          col("exact_distinct"),
+          when(col("exact_distinct") === 0, lit(1L))
+            .otherwise(
+              (abs(col("approx") - col("exact_distinct")) * 1000L <=
+                 lit(20L) * col("exact_distinct") &&
+               abs(col("hll") - col("exact_distinct")) * 1000L <=
+                 lit(20L) * col("exact_distinct")).cast("long"))
+            .as("within_2pct"))),
 
     // ---- A11: ROLLUP totals (year x value, with subtotal rows) ----
     "a11_rollup" -> ((s, d) =>
@@ -1038,10 +1057,15 @@ object SparkEntry {
           col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00")))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .agg(
-          sum(when(col("isPromo"), rc).otherwise(lit(0))).cast("long").as("promo_c"),
-          sum(rc).cast("long").as("total_c"))
+          coalesce(sum(when(col("isPromo"), rc).otherwise(lit(0))), lit(0))
+            .cast("long").as("promo_c"),
+          coalesce(sum(rc), lit(0)).cast("long").as("total_c"))
+        // empty ship-date window: SUM over zero rows is NULL and the
+        // integer div would be engine-divergent (Spark NULL, DuckDB
+        // error) — emit an explicit 0 share instead
         .select(col("promo_c"), col("total_c"),
-          expr("(1000 * promo_c) div total_c").as("promo_pm"))
+          when(col("total_c") === 0, lit(0L))
+            .otherwise(expr("(1000 * promo_c) div total_c")).as("promo_pm"))
     }),
 
     // ---- H13: groupwise argmin (TPC-H Q2's essence — the row
@@ -1325,8 +1349,20 @@ object SparkEntry {
 
     "a7_count" -> "SELECT COUNT(*) AS n FROM events",
 
+    // Exact side computed by DuckDB; the 2%-accuracy flag is asserted
+    // (Spark's HLL is deterministic for fixed input, and rel_sd 0.01
+    // keeps both sketches well inside the 20‰ band at every SF).
+    "a14_approx_distinct" ->
+      """SELECT COUNT(DISTINCT user_id) AS exact_distinct,
+        |       CAST(1 AS BIGINT) AS within_2pct FROM events""".stripMargin,
+
     "a8_distinct" ->
       "SELECT DISTINCT event_type AS set_value FROM events ORDER BY set_value",
+
+    "a8_like_finder" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS set_value, p_name AS rendered
+        |FROM part WHERE p_name LIKE '%gear%'
+        |ORDER BY lower(p_name), p_name, set_value""".stripMargin,
 
     "a3_grand_total" ->
       s"WITH $factCte SELECT CAST(SUM(count) AS BIGINT) AS total FROM fact",
@@ -2163,10 +2199,12 @@ object SparkEntry {
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00')
         |SELECT
-        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS BIGINT) AS promo_c,
-        |  CAST(SUM(rc) AS BIGINT) AS total_c,
-        |  CAST((1000 * SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END))
-        |    // SUM(rc) AS BIGINT) AS promo_pm
+        |  CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END), 0)
+        |    AS BIGINT) AS promo_c,
+        |  CAST(COALESCE(SUM(rc), 0) AS BIGINT) AS total_c,
+        |  CASE WHEN COALESCE(SUM(rc), 0) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((1000 * SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END))
+        |         // SUM(rc) AS BIGINT) END AS promo_pm
         |FROM r""".stripMargin,
 
     "h13_min_cost" ->

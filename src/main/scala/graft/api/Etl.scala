@@ -101,7 +101,12 @@ object Etl {
         // ONE pass gives both the row count and the day set (the old
         // count() + distinct-dates pair was two jobs over the same
         // persisted frame)
-        val perDay = df.groupBy(col("date").cast("string").as("d"))
+        // date_format, not cast: the keep set is compared against
+        // `date=yyyy-MM-dd` partition dir names, and a processor that
+        // emits a timestamp-typed date would cast to
+        // 'yyyy-MM-dd HH:mm:ss' — the keep set would never match and
+        // the diff-delete below would wipe the partitions just written
+        val perDay = df.groupBy(date_format(col("date"), "yyyy-MM-dd").as("d"))
           .agg(count(lit(1)).as("c")).collect()
         val n = perDay.map(_.getLong(1)).sum
         // n == 0 writes nothing: a parquet dir with no data files

@@ -125,16 +125,32 @@ object Series {
     * date) with `last/first(ignoreNulls)` frames. With `partCols` the
     * window partitions by series — the shuffle is by series key, no
     * global ordering bottleneck; empty `partCols` = one global series
-    * (the reference's per-chart case, bounded by the 20y range cap).
+    * (the reference's per-chart case). The single-series form runs
+    * its window on ONE partition by construction, so it is only safe
+    * for bounded ranges: `maxSpanDays` (default = the reference's 20y
+    * request cap) is ENFORCED with a plan-level assertion on the
+    * observed bounds — a caller feeding an unbounded series fails
+    * fast instead of serializing a huge calendar onto one task. For
+    * many-series workloads pass `partCols`; each series is still
+    * capped, and the cap keeps any single exploded calendar small.
     */
   def interpolate(series: DataFrame, dateCol: String = "d",
-      valueCol: String = "v", partCols: Seq[String] = Nil): DataFrame = {
+      valueCol: String = "v", partCols: Seq[String] = Nil,
+      maxSpanDays: Int = 366 * 20): DataFrame = {
     val parts = partCols.map(col)
-    val bounds =
+    val bounds0 =
       if (partCols.isEmpty)
         series.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
       else series.groupBy(parts: _*)
         .agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+    // assert_true inside a FILTER (a projected column could be pruned
+    // away by the optimizer, a filter cannot): passes → NULL → isNull
+    // keeps the row; violated → the job fails with the range message.
+    // Cost is one codegen'd comparison per series row.
+    val bounds = bounds0.filter(
+      assert_true(datediff(col("hi"), col("lo")) <= maxSpanDays,
+        lit(s"interpolate: series span exceeds maxSpanDays=$maxSpanDays; " +
+          "pass partCols or raise the cap")).isNull)
     val calendar = bounds.select((parts :+
       explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
         .as(dateCol)): _*)

@@ -91,4 +91,28 @@ object Sets {
     val v = col("set_value")
     setDim.select(v, render.map(f => f(v)).getOrElse(v).as("rendered")).distinct()
   }
+
+  /** Set-finder lookup (ref `Handler.pm:778-821`): the rendered set
+    * values, optionally narrowed to `%substring%` — the query behind
+    * the author-search box, hit on every keystroke. User input is
+    * treated as a LITERAL substring: LIKE metacharacters (`%`, `_`,
+    * and the escape char itself) are escaped, mirroring the
+    * reference's `prep_like_value` (`Database.pm`), so a search for
+    * "100%" cannot turn into a wildcard scan of everything. Ordering
+    * is collation-aware (ref `:803-807`, MySQL utf8_unicode_ci):
+    * case-insensitive primary + raw value and key tiebreaks keep it
+    * total and engine-reproducible. The LIKE is a codegen'd substring
+    * scan over the (small, distinct) rendered-values dim — at 100 TB
+    * this table is set-cardinality-sized, not fact-sized, so a full
+    * scan per keystroke is the right plan (the reference also scans,
+    * via its dedicated rendered-values table). */
+  def setFinder(rendered: DataFrame, like: Option[String] = None,
+      valueCol: String = "set_value",
+      renderedCol: String = "rendered"): DataFrame = {
+    val narrowed = like.filter(_.nonEmpty).fold(rendered) { l =>
+      val esc = l.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      rendered.filter(col(renderedCol).like(s"%$esc%"))
+    }
+    narrowed.orderBy(lower(col(renderedCol)), col(renderedCol), col(valueCol))
+  }
 }

@@ -144,6 +144,27 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(anon.select("set_value").head().getString(0).matches("[0-9a-f]{32}"))
   }
 
+  test("Sets.setFinder: literal-substring LIKE with wildcard escaping") {
+    val s = spark; import s.implicits._
+    val dim = Seq(
+      ("1", "Smith, John"), ("2", "smithers, Ann"), ("3", "100% Cotton Co"),
+      ("4", "under_score"), ("5", "underXscore"), ("6", "Jones, Bob"))
+      .toDF("set_value", "rendered")
+    // case-sensitive LIKE narrows; collation order is case-insensitive
+    val smiths = Sets.setFinder(dim, Some("mith"))
+      .collect().map(_.getString(1)).toSeq
+    // lower("Smith,") < lower("smithers") because ',' sorts before 'e'
+    assert(smiths == Seq("Smith, John", "smithers, Ann"))
+    // % and _ in user input are literals, not wildcards
+    assert(Sets.setFinder(dim, Some("100%"))
+      .collect().map(_.getString(1)).toSeq == Seq("100% Cotton Co"))
+    assert(Sets.setFinder(dim, Some("der_s"))
+      .collect().map(_.getString(1)).toSeq == Seq("under_score"))
+    // empty / absent filter returns everything
+    assert(Sets.setFinder(dim, Some("")).count() == 6)
+    assert(Sets.setFinder(dim, None).count() == 6)
+  }
+
   test("Sets: ancestor closure climbs a 3-level tree") {
     val s = spark; import s.implicits._
     val asn = Seq(("c", 1L)).toDF("set_value", "id")

@@ -186,6 +186,20 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-03-04", 40L, 0), ("2024-03-05", 35L, 1), ("2024-03-06", 30L, 0)))
   }
 
+  test("interpolate enforces the span cap on the single-series path") {
+    val s = spark; import s.implicits._
+    val wide = Seq(("1990-01-01", 1L), ("2024-01-01", 2L))
+      .map { case (d, v) => (java.sql.Date.valueOf(d), v) }.toDF("d", "v")
+    val e = intercept[Exception] {
+      graft.series.Series.interpolate(wide, "d", "v").collect()
+    }
+    assert(e.getMessage.contains("maxSpanDays") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxSpanDays")))
+    // a raised cap lets the same range through
+    assert(graft.series.Series
+      .interpolate(wide, "d", "v", maxSpanDays = 13000).count() > 12000)
+  }
+
   test("interpolate partitions by series key independently") {
     val s = spark; import s.implicits._
     val sparse = Seq(("a", "2024-03-01", 0L), ("a", "2024-03-03", 10L),
