@@ -533,7 +533,10 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- M: multimodal binary-column plumbing (stubbed decode) ----
+    // ---- M: multimodal binary-column plumbing. The default decoder
+    // is the REAL UTF-8 text codec (lines × widest line in code
+    // points) — a genuine modality decode the oracle can recompute;
+    // image/audio kinds plug into the same Decoder seam ----
     "m1_multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFeatures(
         Multimodal.asMediaTable(Tables.documents(s, d)))
@@ -1740,11 +1743,15 @@ object SparkEntry {
          |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
          |FROM r WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+    // real text decode: height = line count (split -1 semantics),
+    // width = widest line in code points (DuckDB length() counts code
+    // points, matching the decoder's codePointCount)
     "m1_multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  CAST(64 + octet_length(encode(text)) % 193 AS INTEGER) AS width,
-        |  CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS height
+        |  CAST(list_max(list_transform(string_split(text, chr(10)),
+        |    x -> length(x))) AS INTEGER) AS width,
+        |  CAST(len(string_split(text, chr(10))) AS INTEGER) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "m2_frame_sample" ->

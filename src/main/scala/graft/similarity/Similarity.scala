@@ -59,14 +59,27 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor"))
   }
 
-  /** Cosine near-dup: all pairs (a < b) with cosine >= threshold.
-    * The self-join is blocked by nothing at small scale; at 100 TB the
-    * caller routes through [[hyperplaneBuckets]] first and joins
-    * within buckets. */
+  /** Cosine near-dup: all pairs (a < b) with cosine >= threshold —
+    * the EXACT small-scale form (golden sets, spot audits). All-pairs
+    * is quadratic by design; the scale paths are
+    * [[hyperplaneBuckets]]/[[annLshBucketed]] (approximate, blocked)
+    * and [[semanticDedup]] (IVF-cell blocked). To make it impossible
+    * to point this at a real corpus by accident, a plan-level
+    * row-count assertion (1-row aggregate broadcast into the left
+    * side — no extra driver action, fails at execution time) caps the
+    * input at `maxRows`. */
   def cosineNearDup(corpus: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRows: Long = 20000L): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val x = v.select(col("id").as("a"), col("v").as("va"))
+    val guard = v.agg(count(lit(1)).as("_n"))
+      .filter(assert_true(col("_n") <= maxRows,
+        lit(s"cosineNearDup is all-pairs O(n^2); input exceeds " +
+          s"maxRows=$maxRows — use the blocked forms (v3/v4/d9) at " +
+          "scale, or raise the cap deliberately")).isNull)
+      .select(lit(1).as("_guard"))
+    val x = v.crossJoin(broadcast(guard))
+      .select(col("id").as("a"), col("v").as("va"))
     val y = v.select(col("id").as("b"), col("v").as("vb"))
     x.join(y, col("a") < col("b"))
       .filter(cosineCol(corpus, col("va"), col("vb")) >= threshold)

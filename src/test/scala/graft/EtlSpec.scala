@@ -221,6 +221,60 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Robots.loadPatterns(empty.toString) }
   }
 
+  test("RobotList.load: fresh cache is used without a refresh") {
+    import graft.filters.RobotList
+    val dir = Files.createTempDirectory("robotlist")
+    val cache = dir.resolve("ua.txt")
+    Files.writeString(cache, "bot\ncrawler\n" + ("x" * 600) + "\n")
+    val cfg = RobotList.Config(cache.toString, "graft/robots_ua.txt",
+      minBytes = 100)
+    var called = 0
+    val r = RobotList.load(cfg, _ => called += 1)
+    assert(!r.refreshAttempted && called == 0)
+    assert(r.source == RobotList.FromCache)
+    assert(r.patterns.take(2) == Seq("bot", "crawler"))
+  }
+
+  test("RobotList.load: stale cache triggers refresh, new content wins") {
+    import graft.filters.RobotList
+    import java.time.{Duration, Instant}
+    val dir = Files.createTempDirectory("robotlist")
+    val cache = dir.resolve("ua.txt")
+    Files.writeString(cache, "oldbot\n" + ("x" * 600) + "\n")
+    // mtime 8 days ago → stale under the 7-day horizon
+    Files.setLastModifiedTime(cache, java.nio.file.attribute.FileTime
+      .from(Instant.now().minus(Duration.ofDays(8))))
+    val cfg = RobotList.Config(cache.toString, "graft/robots_ua.txt",
+      minBytes = 100)
+    val r = RobotList.load(cfg,
+      p => Files.writeString(p, "newbot\n" + ("y" * 600) + "\n"))
+    assert(r.refreshAttempted && r.source == RobotList.FromCache)
+    assert(r.patterns.head == "newbot")
+  }
+
+  test("RobotList.load: missing cache + failed refresh falls back to bundle") {
+    import graft.filters.RobotList
+    val dir = Files.createTempDirectory("robotlist")
+    val cfg = RobotList.Config(dir.resolve("absent.txt").toString,
+      "graft/robots_ua.txt", minBytes = 100)
+    // network down: refresher throws, exactly like a failed getstore
+    val r = RobotList.load(cfg, _ => sys.error("no route to host"))
+    assert(r.refreshAttempted && r.source == RobotList.FromFallback)
+    assert(r.patterns == Robots.shippedUaPatterns)
+  }
+
+  test("RobotList.load: undersized download reverts to the bundle") {
+    import graft.filters.RobotList
+    val dir = Files.createTempDirectory("robotlist")
+    val cache = dir.resolve("ua.txt")
+    val cfg = RobotList.Config(cache.toString, "graft/robots_ua.txt",
+      minBytes = 500)
+    // a 404 body / truncated download lands BELOW the floor
+    val r = RobotList.load(cfg, p => Files.writeString(p, "<html>404</html>"))
+    assert(r.refreshAttempted && r.source == RobotList.FromFallback)
+    assert(r.patterns.nonEmpty)
+  }
+
   test("sessionize numbers sessions by gap within each key") {
     val s = spark; import s.implicits._
     val df = Seq(

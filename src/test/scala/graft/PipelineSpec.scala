@@ -152,6 +152,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pairs = Similarity.cosineNearDup(e, 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((0L, 1L)))
+    // the all-pairs guard: exceeding maxRows fails at execution time
+    val err = intercept[Exception] {
+      Similarity.cosineNearDup(e, 0.99, maxRows = 2L).collect()
+    }
+    assert(err.getMessage.contains("maxRows") ||
+      Option(err.getCause).exists(_.getMessage.contains("maxRows")))
   }
 
   test("hyperplane buckets put identical vectors together") {
@@ -200,13 +206,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.head().isNullAt(0))
   }
 
-  test("multimodal decode: deterministic fake dims from bytes") {
-    val d = docs((7L, "abcd"))
+  test("multimodal decode: real UTF-8 text decoder reports line box") {
+    // 2 lines + trailing newline = 3 rendered lines; widest = 5 chars;
+    // the accented char is 2 UTF-8 bytes but 1 code point
+    val d = docs((7L, "abcé\nxyzzy\n"))
     val r = Multimodal.decodeFeatures(Multimodal.asMediaTable(d)).head()
     assert(r.getLong(0) == 7L)
-    assert(r.getInt(1) == 4)                      // n_bytes
-    assert(r.getInt(2) == 64 + 4 % 193)           // width
-    assert(r.getInt(3) == 64 + ('a'.toInt % 64))  // height
+    assert(r.getInt(1) == 12)  // n_bytes: 11 chars + 1 for the é byte
+    assert(r.getInt(2) == 5)   // width: widest line "xyzzy"
+    assert(r.getInt(3) == 3)   // height: lines incl. trailing empty
+  }
+
+  test("multimodal decode: decoder seam accepts the image stub") {
+    val d = docs((7L, "abcd"))
+    val r = Multimodal.decodeFeatures(
+      Multimodal.asMediaTable(d, kind = Multimodal.FakeImageDecoder.kind),
+      decoder = Multimodal.FakeImageDecoder).head()
+    assert(r.getInt(2) == 64 + 4 % 193)           // stub width
+    assert(r.getInt(3) == 64 + ('a'.toInt % 64))  // stub height
   }
 
   test("multimodal resize keeps the media schema and updates meta") {
