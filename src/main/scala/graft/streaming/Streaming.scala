@@ -19,6 +19,28 @@ import graft.model.AccessEvent
   */
 object Streaming {
 
+  /** RocksDB state store provider class (bundled with Spark). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Session confs for the 100 TB streaming-state posture: per-key
+    * state in [[repeatFilterStream]]/[[dedupStream]]/
+    * [[attributionStream]] is tiny, but key CARDINALITY at scale
+    * (every active requester/doc pair) exceeds executor heap — the
+    * default in-memory HDFS-backed store OOMs exactly when traffic
+    * peaks. RocksDB keeps state off-heap on local disk with block
+    * cache, and changelog checkpointing ships per-batch deltas
+    * instead of full SST snapshots, so checkpoint cost is O(changed
+    * keys), not O(total state). Apply at session build
+    * (`configs.foreach { case (k, v) => builder.config(k, v) }`) or
+    * `spark.conf.set` before starting the query — the provider is
+    * picked up at query start. */
+  def rocksDbStateStoreConfs(changelogCheckpointing: Boolean = true)
+      : Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      changelogCheckpointing.toString)
+
   /** File-source stream of access events (one day file at a time). */
   def readAccessStream(spark: SparkSession, root: String,
       maxFilesPerTrigger: Int = 1): DataFrame =

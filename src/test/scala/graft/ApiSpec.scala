@@ -129,6 +129,35 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Context.fromParams(Map("range" -> "DROP TABLE")).range.isEmpty)
   }
 
+  test("fp_stats: front-page trio end-to-end, MV-answered + cache-warmed") {
+    import graft.views.FrontPage
+    val s = spark; import s.implicits._
+    val meta = Seq(
+      (1L, "public"), (2L, "restricted"), (3L, "none"), (4L, "public"))
+      .toDF("eprintid", "full_text_status")
+    // lifetime MV poisoned ×1000: proves the all-time counter is
+    // answered from the MV, not by scanning the fact table
+    val mv = fact().groupBy("id", "value").agg(sum("count").as("count"))
+      .withColumn("count", col("count") * 1000)
+    val cat = Catalog(facts = Map("downloads" -> fact()),
+      lifetime = Map("downloads" -> mv))
+    val dir = Files.createTempDirectory("fpstats").toString
+    val today = java.time.LocalDate.of(2024, 6, 15)
+    val out = FrontPage.stats(meta, cat, today, cacheDir = Some(dir))
+    assert(out(FrontPage.FullTextsAll) == "3")
+    assert(out(FrontPage.DownloadsAll) == "15,000")  // MV total 15000
+    assert(out(FrontPage.DownloadsYear) == "15")     // 1y window, fact scan
+    // cache-warm path: both counter payloads are retrievable under the
+    // keys a request with the same resolved context would probe
+    val specc = FrontPage.spec()
+    specc.items.foreach { item =>
+      val ctx = item.overrides(specc.base).resolved(today)
+      val hit = graft.api.ReportCache.lookup(dir,
+        graft.api.ReportCache.paramsOf(ctx, item.view))
+      assert(hit.isDefined && hit.get.contains("\"report\": \"fp_stats\""))
+    }
+  }
+
   test("report cache: key is param-order invariant, value sensitive") {
     import graft.api.ReportCache
     val a = ReportCache.key(Map("datatype" -> "downloads", "view" -> "table"))

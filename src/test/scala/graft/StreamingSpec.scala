@@ -46,6 +46,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq == Seq(0L, 5000L))
   }
 
+  test("St5 under RocksDB state store: same semantics, bounded-heap posture") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Streaming.rocksDbStateStoreConfs().foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val input = MemoryStream[Keyed]
+      val q = Streaming.repeatFilterStream(input.toDS(), timeoutSec = 3600,
+          stateTimeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+        .writeStream.format("memory").queryName("kept_rocks")
+        .outputMode("append").start()
+      input.addData(Keyed("k1", 0L), Keyed("k1", 1000L))
+      q.processAllAvailable()
+      // state written by batch 1 must survive INTO batch 2 through the
+      // RocksDB provider for 2000 to be suppressed
+      input.addData(Keyed("k1", 2000L), Keyed("k1", 5000L))
+      q.processAllAvailable()
+      val kept = spark.table("kept_rocks").as[Kept].collect().map(_.sec).sorted
+      // the query really ran on RocksDB: its progress carries the
+      // provider's custom metrics (rocksdb*), absent under the default
+      val progressJson = q.lastProgress.json
+      q.stop()
+      assert(kept.toSeq == Seq(0L, 5000L))
+      assert(progressJson.contains("rocksdb"))
+    } finally {
+      prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("St4: streaming dedup drops re-delivered records across batches") {
     val s = spark
     import s.implicits._
