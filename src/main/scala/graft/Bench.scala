@@ -13,18 +13,43 @@ object Bench {
   /** Headline subset: the canonical query shapes + heavy scale ops.
     * Must all be keys of [[SparkEntry.queries]]. */
   val headline: Seq[String] = Seq(
-    "a1_daily_fact", "a2_sum_groupby", "o3_topn", "j1_set_join",
-    "j2_grouping_join", "j3_semi_join", "w1_densify", "w8_sessionize",
-    "f3_repeat_lag", "x1_asof_attribution", "x2_asof_native",
+    // core query-compiler shapes
+    "a1_daily_fact", "a2_sum_groupby", "a3_grand_total", "a5_lifetime_mv",
+    "a9_running_avg", "a10_cumulative", "a11_rollup", "a12_median",
+    "a13_histogram", "a14_approx_distinct", "a16_salted_agg",
+    "o2_limit_offset", "o3_topn", "o5_data_min", "o6_pivot", "o7_string_agg",
+    "o8_ntile", "o9_group_topn", "a8_like_finder",
+    // joins
+    "j1_set_join", "j2_grouping_join", "j3_semi_join", "j5_bloom_semi",
+    "j6_anti", "j7_salted_join",
+    // time series / sessions
+    "w1_densify", "w2_regroup_month", "w6_compare_years", "w7_moving_avg",
+    "w8_sessionize", "w9_range_frame", "w10_funnel", "w11_cohort",
+    "w12_interpolate",
+    // filters / classifiers
+    "f3_repeat_lag", "f3_repeat_seq", "c1_geo_country", "c5_referrer",
+    "c6_search_terms",
+    // set ops
+    "u1_except", "u2_intersect",
+    // TPC-H-shaped analytics
     "h1_pricing_summary", "h2_shipping_priority", "h3_top_orders",
-    "h5_region_revenue", "h6_forecast_revenue", "h7_custdist",
-    "h8_large_orders", "h9_returned_revenue", "h11_supplier_cnt",
-    "h12_disjunctive_join", "x3_range_join", "j5_bloom_semi",
-    "j7_salted_join", "a16_salted_agg", "w10_funnel",
-    "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_line_dedup",
-    "d7_fuzzy_pairs", "d9_semantic_dedup",
-    "v1_ann_bruteforce", "v5_ann_ivf", "t1_token_stats",
-    "t4_fingerprint", "t6_quality_rules", "t13_repetition")
+    "h4_order_priority", "h5_region_revenue", "h6_forecast_revenue",
+    "h7_custdist", "h8_large_orders", "h9_returned_revenue",
+    "h10_priority_class", "h11_supplier_cnt", "h12_disjunctive_join",
+    "h13_min_cost", "h14_promo_share",
+    // custom operators
+    "x1_asof_attribution", "x2_asof_native", "x3_range_join",
+    // dedup family
+    "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
+    "d5_line_dedup", "d6_dedup_clusters", "d7_fuzzy_pairs",
+    "d9_semantic_dedup",
+    // similarity family
+    "v1_ann_bruteforce", "v3_lsh_buckets", "v4_ann_lsh", "v5_ann_ivf",
+    // text pipeline
+    "t1_token_stats", "t4_fingerprint", "t6_quality_rules", "t10_frequent_terms",
+    "t13_repetition", "t14_pack", "t15_chunk_spans", "t16_contamination",
+    // multimodal plumbing
+    "m1_multimodal_decode", "m2_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
