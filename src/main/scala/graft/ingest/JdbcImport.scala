@@ -10,9 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * range-predicated SELECTs on the id column — restartable, parallel,
   * no OFFSET scans.
   *
-  * Untestable in this environment (no reachable RDBMS) but the mapping
-  * is one call deep; the paging/tranche machinery of the reference is
-  * exactly what `partitionColumn` replaces. */
+  * Tested end-to-end against embedded Derby (JdbcImportSpec): rows
+  * outside the declared bounds still arrive exactly once (bounds
+  * stride, not filter) and engine predicates push down into the
+  * JDBC source's WHERE clause. The paging/tranche machinery of the
+  * reference is exactly what `partitionColumn` replaces. */
 object JdbcImport {
 
   def readAccessTable(spark: SparkSession, url: String, table: String,
