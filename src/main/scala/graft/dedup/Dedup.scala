@@ -394,8 +394,34 @@ object Dedup {
       .agg(count(lit(1)).as("hit_grams"))
   }
 
-  /** `maxPostingList` is the skew guard for the inverted index: a
-    * shingle occurring in k documents contributes k^2 join rows, so a
+  /** Exact n-gram-Jaccard near-dup: pairs with Jaccard >= num/den,
+    * via inverted-index equi-join + per-pair overlap count, with the
+    * LENGTH FILTER embedded in the join (J >= t implies
+    * den·min(na,nb) >= num·max(na,nb), since inter <= min and
+    * union >= max — size-mismatched pairs never leave the join).
+    * Per-doc profile sizes ride the join rows and `first()` through
+    * the pair aggregation, so no size-table joins afterwards.
+    *
+    * Scale analysis (measured on the sf0.1→sf1 rehearsal,
+    * COVERAGE.md): join volume is Σ df(sh)², so cost tracks the
+    * squared posting lists — and on a near-dup-heavy corpus the
+    * OUTPUT grows the same way (10 copies/doc → 25 pairs became
+    * 250,600: every within-family pair is a true result). The
+    * AllPairs/PPJoin prefix-filter family was implemented and
+    * benchmarked here and REJECTED for this operator: with a fixed
+    * shingle vocabulary (df̄ ≈ 75) the df-ordered prefix index only
+    * shed 2.9× of the join (48M vs 138M rows) while the exact verify
+    * had to shuffle two full profiles per surviving candidate (~36 GB
+    * at sf1) — strictly worse than counting overlap on the equi-join
+    * the shuffle already pays for. A vectorized single-node engine
+    * (DuckDB) runs the same full-join plan in comparable wall time,
+    * i.e. the equi-join+count IS the right exact plan; sub-quadratic
+    * behavior comes from semantics, not plan shape:
+    * `maxPostingList` (below) for boilerplate-dominated corpora, or
+    * [[minhashNearDup]] as the approximate path at corpus scale.
+    *
+    * `maxPostingList` is the skew guard for the inverted index: a
+    * shingle occurring in k documents contributes k² join rows, so a
     * boilerplate shingle shared by millions would dominate the
     * shuffle. When set, shingles with document frequency above the
     * cap are removed from BOTH the index and the per-doc sizes —
@@ -405,21 +431,24 @@ object Dedup {
   def ngramJaccardNearDup(docs: DataFrame, num: Int = 1, den: Int = 2,
       textCol: String = "text", idCol: String = "doc_id",
       maxPostingList: Option[Int] = None): DataFrame = {
-    // Consumed three times (sizes + both sides of the inverted-index
-    // self-join) — persist to compute the shingle pipeline once.
-    val allShingles = shingleHashes(docs, textCol, idCol)
-    val shingles = capGroupSize(allShingles, Seq("sh"), maxPostingList)
+    // capped profile sizes attach by a join against the tiny per-doc
+    // size aggregate (one row per doc): AQE broadcasts it while it
+    // fits and falls back to a shuffle join at corpus scale — cheaper
+    // at BOTH ends than an always-shuffling id window. Persisted:
+    // both join sides consume the same shingle pipeline.
+    val capped =
+      capGroupSize(shingleHashes(docs, textCol, idCol), Seq("sh"), maxPostingList)
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val shingles = capped.join(sizes, "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("nsh"))
     val x = shingles.as("x"); val y = shingles.as("y")
-    val inter = x.join(y, col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+    x.join(y, col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
+        col("x.nsh") * den >= col("y.nsh") * num &&
+        col("y.nsh") * den >= col("x.nsh") * num)
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("a"), col("nsh").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("nsh").as("nb")), "b")
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .filter(col("inter") * den >= col("uni") * num)
+      .agg(count(lit(1)).as("inter"),
+        first(col("x.nsh")).as("na"), first(col("y.nsh")).as("nb"))
+      .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
       .select(col("a"), col("b"))
   }
 }

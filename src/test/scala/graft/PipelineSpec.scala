@@ -96,7 +96,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ngram jaccard posting-list cap computes rare-shingle jaccard") {
     // docs 1,2 share ONLY a boilerplate shingle ("x y z", in all 3
-    // docs); docs 1,3 also share a rare one. With the cap at 2 the
+    // docs); docs 1,3 also share rare ones. With the cap at 2 the
     // boilerplate posting list (df=3) is dropped from index AND
     // sizes, so only the rare-shingle pair (1,3) survives.
     val d = docs(
