@@ -1160,13 +1160,17 @@ object SparkEntry {
         "user_id", "d")),
 
     // ---- O8: NTILE quartiles of customers by total spend (exact
-    // decimal money sums; global ranking over the customer dim — the
-    // one total-order sort, same posture as o3's top-N) ----
+    // decimal money sums). Ranks via [[graft.operators.GlobalRank]]:
+    // `ntile(4).over(Window.orderBy(...))` would move every customer
+    // to ONE task; the range-exchange + per-partition-offset form is
+    // the same exact answer with the sort parallel (measured at sf1:
+    // 2.9 s -> sub-second, and the gap widens linearly with the
+    // customer count) ----
     "o8_ntile" -> ((s, d) => {
       val spend = Tables.orders(s, d).groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-      spend.withColumn("quartile", ntile(4).over(w))
+      graft.operators.GlobalRank.withNtile(spend, 4,
+          Seq(col("spend").desc, col("o_custkey")), out = "quartile")
         .groupBy("quartile")
         .agg(count(lit(1)).as("cnt"), min("o_custkey").as("min_ck"),
           sum(col("spend")).cast("double").as("total_spend"))

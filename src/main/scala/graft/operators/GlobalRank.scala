@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranking without a single-partition window.
+  *
+  * `Window.orderBy(...)` with no partition key moves the ENTIRE input
+  * to one task (Spark warns and serializes) — fine for a bounded
+  * series, fatal for a table-sized rank at scale. This operator gets
+  * the same exact answer with every stage parallel:
+  *
+  *  1. `repartitionByRange` on the sort key — a sampled range
+  *     exchange, the same machinery as a global ORDER BY, so
+  *     partition i holds keys strictly before partition i+1;
+  *  2. per-partition row counts → prefix-sum offsets. The counts
+  *     frame has ONE ROW PER PARTITION, so its cumulative-sum window
+  *     is a bounded single-partition plan by construction (no driver
+  *     collect; the offsets broadcast back);
+  *  3. `row_number` windowed BY PARTITION ID (parallel) + offset =
+  *     the exact global rank.
+  *
+  * Ranks are total-order exact when the sort key is unique (pass a
+  * tiebreaker column, as any deterministic global rank requires).
+  *
+  * NTILE derives from (rank, n) arithmetically — SQL semantics: the
+  * first n mod k buckets get ceil(n/k) rows, the rest floor(n/k). */
+object GlobalRank {
+
+  /** Append `out` = exact global row_number under `order`. */
+  def withRowNumber(df: DataFrame, order: Seq[Column],
+      out: String = "rn", partitions: Int = 0): DataFrame = {
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    // one row per partition — bounded, its global window is safe
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
+    val offsets = counts.withColumn("__off",
+        coalesce(sum("__c").over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    val perPart = Window.partitionBy("__pid").orderBy(order: _*)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + row_number().over(perPart))
+      .drop("__pid", "__off")
+  }
+
+  /** Append `out` = exact NTILE(buckets) under `order` (SQL
+    * semantics, same rows-per-bucket split as the window function). */
+  def withNtile(df: DataFrame, buckets: Int, order: Seq[Column],
+      out: String = "ntile", partitions: Int = 0): DataFrame = {
+    require(buckets > 0, s"ntile buckets must be positive: $buckets")
+    // integer division via double floor — exact for counts < 2^52
+    def idiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("long")
+    val rn = withRowNumber(df, order, "__rn", partitions)
+    val n = rn.agg(count(lit(1)).as("__n"))
+    // size/extra in integer math; `greatest(size,1)` only guards the
+    // branch that is unreachable when size = 0 (div-by-zero)
+    val size = idiv(col("__n"), lit(buckets.toLong))
+    val extra = col("__n") % buckets
+    val bigSpan = (size + 1) * extra
+    val bucket0 = when(col("__rn") <= bigSpan,
+        idiv(col("__rn") - 1, size + 1))
+      .otherwise(extra + idiv(col("__rn") - 1 - bigSpan, greatest(size, lit(1L))))
+    rn.crossJoin(broadcast(n))
+      .withColumn(out, (bucket0 + 1).cast("int"))
+      .drop("__rn", "__n")
+  }
+}

@@ -226,4 +226,41 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 5)
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 0L, 5L, 0L, 0L))
   }
+
+  test("GlobalRank matches the single-partition window rank and ntile") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.GlobalRank
+    // 103 rows (not divisible by 4), duplicate sort values (ties
+    // broken by id), spread over many range partitions
+    val df = (1 to 103).map(i => (i.toLong, (i * 7 % 13).toLong))
+      .toDF("id", "v")
+    val order = Seq(col("v").desc, col("id"))
+    val viaOp = GlobalRank.withNtile(
+        GlobalRank.withRowNumber(df, order, "rn", partitions = 8),
+        4, order, "q", partitions = 8)
+      .select("id", "rn", "q")
+    val w = Window.orderBy(order: _*)
+    val viaWindow = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("q", ntile(4).over(w))
+      .select("id", "rn", "q")
+    assert(viaOp.except(viaWindow).isEmpty && viaWindow.except(viaOp).isEmpty)
+    // and every row_number window in the operator's plan is
+    // partitioned by the range-partition id (no global window)
+    val plan = viaOp.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"expected __pid-partitioned window:\n$plan")
+  }
+
+  test("GlobalRank ntile with fewer rows than buckets") {
+    val s = spark; import s.implicits._
+    import graft.operators.GlobalRank
+    val df = Seq((1L, 5L), (2L, 3L)).toDF("id", "v")
+    val out = GlobalRank.withNtile(df, 4, Seq(col("v").desc, col("id")), "q")
+      .select("id", "q").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // NTILE(4) over 2 rows: buckets 1 and 2
+    assert(out.toSeq == Seq((1L, 1), (2L, 2)))
+  }
 }
