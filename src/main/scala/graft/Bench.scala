@@ -36,7 +36,8 @@ object Bench {
     "h4_order_priority", "h5_region_revenue", "h6_forecast_revenue",
     "h7_custdist", "h8_large_orders", "h9_returned_revenue",
     "h10_priority_class", "h11_supplier_cnt", "h12_disjunctive_join",
-    "h13_min_cost", "h14_promo_share",
+    "h13_min_cost", "h14_promo_share", "h15_top_supplier", "h17_small_qty",
+    "h22_idle_rich", "o10_rank_sample",
     // custom operators
     "x1_asof_attribution", "x2_asof_native", "x3_range_join",
     // dedup family

@@ -1092,6 +1092,94 @@ object SparkEntry {
         .orderBy("partkey")
     }),
 
+    // ---- H15: top supplier by period revenue (TPC-H Q15 shape) —
+    // the revenue "view" is ONE shuffle on l_suppkey; the MAX is a
+    // 1-row aggregate of that view broadcast back as a scalar filter
+    // (no second shuffle, no global sort), and the supplier dim
+    // broadcasts into the surviving row(s). Money in integer
+    // hundredths-of-cents so the equality against MAX is exact ----
+    "h15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .select(col("l_suppkey"),
+          ((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)") * 10000).cast("long").as("rc"))
+        .groupBy("l_suppkey").agg(sum("rc").as("rev_c"))
+      val mx = rev.agg(max("rev_c").as("mx"))
+      Tables.supplier(s, d)
+        .join(broadcast(rev.join(broadcast(mx), col("rev_c") === col("mx"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey").as("suppkey"), col("s_name"), col("rev_c"))
+        .orderBy("suppkey")
+    }),
+
+    // ---- H17: small-quantity revenue (TPC-H Q17 shape — correlated
+    // per-part AVG). The classic self-agg join would scan lineitem
+    // TWICE and shuffle twice; a per-partkey window gets the same
+    // per-part totals with ONE scan and ONE exchange (the window key
+    // is the would-be join key). `qty < 0.2*avg` is multiplied
+    // through to `5*qty*cnt < sum_qty` — all-integer, no division,
+    // so the threshold is engine-exact ----
+    "h17_small_qty" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+        .select("p_partkey")
+      val l = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_c"))
+      val w = Window.partitionBy("l_partkey")
+      l.withColumn("sum_qty", sum("qty").over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("price_c"), lit(0L)).as("total_c"))
+    }),
+
+    // ---- H22: dormant rich customers (TPC-H Q22 essence —
+    // global-avg threshold + NOT EXISTS). The positive-balance
+    // average arrives as a 1-row broadcast compared multiplied-
+    // through in integer cents (`bal*cnt > sum` ⇔ `bal > avg`, no
+    // double division); "no order since 2000" is a shuffled LEFT
+    // ANTI on o_custkey — the unavoidable big-big step, one shuffle
+    // each side, with the date filter pushed to the orders scan ----
+    "h22_idle_rich" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long").as("bal_c"))
+      val thr = c.filter(col("bal_c") > 0)
+        .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("cnt"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >=
+          lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(thr))
+        .filter(col("bal_c") * col("cnt") > col("sum_c"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totbal_c"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- O10: systematic rank sample — every 100th customer by
+    // balance rank. Forces a FULL exact global ranking (unlike o3's
+    // top-N short-circuit), which is exactly what
+    // [[graft.operators.GlobalRank]] parallelizes: range exchange +
+    // per-partition offsets instead of a one-task global window ----
+    "o10_rank_sample" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long").as("bal_c"))
+      graft.operators.GlobalRank.withRowNumber(c,
+          Seq(col("bal_c").desc, col("c_custkey")), out = "rn")
+        .filter(col("rn") % 100 === 0)
+        .select(col("rn"), col("c_custkey"), col("bal_c"))
+        .orderBy("rn")
+    }),
+
     // ---- O9: per-group top-N (rank window under a partition key —
     // the distributed form of "top users per metric"; contrast with
     // o3's GLOBAL top-N, which is a TakeOrderedAndProject) ----
@@ -2232,6 +2320,62 @@ object SparkEntry {
         |SELECT l_partkey AS partkey, pc AS min_price_c,
         |       l_orderkey AS witness
         |FROM r WHERE rk = 1 ORDER BY partkey""".stripMargin,
+
+    "h15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey AS suppkey, s_name, rev_c
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
+        |ORDER BY suppkey""".stripMargin,
+
+    "h17_small_qty" ->
+      """WITH l AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |st AS (SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS cnt
+        |       FROM l GROUP BY l_partkey)
+        |SELECT COUNT(*) AS n,
+        |  CAST(COALESCE(SUM(price_c), 0) AS BIGINT) AS total_c
+        |FROM l JOIN st USING (l_partkey)
+        |WHERE qty * 5 * cnt < sum_qty""".stripMargin,
+
+    "h22_idle_rich" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM customer),
+        |thr AS (SELECT SUM(bal_c) AS sum_c, COUNT(*) AS cnt
+        |        FROM c WHERE bal_c > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(bal_c) AS BIGINT) AS totbal_c
+        |FROM c, thr
+        |WHERE bal_c * cnt > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "o10_rank_sample" ->
+      """WITH r AS (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c,
+        |    ROW_NUMBER() OVER (
+        |      ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        DESC, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT rn, c_custkey, bal_c FROM r
+        |WHERE rn % 100 = 0 ORDER BY rn""".stripMargin,
 
     "o9_group_topn" ->
       """WITH c AS (
