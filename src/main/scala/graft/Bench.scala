@@ -37,7 +37,7 @@ object Bench {
     "h7_custdist", "h8_large_orders", "h9_returned_revenue",
     "h10_priority_class", "h11_supplier_cnt", "h12_disjunctive_join",
     "h13_min_cost", "h14_promo_share", "h15_top_supplier", "h17_small_qty",
-    "h22_idle_rich", "o10_rank_sample",
+    "h20_part_suppliers", "h22_idle_rich", "o10_rank_sample",
     // custom operators
     "x1_asof_attribution", "x2_asof_native", "x3_range_join",
     // dedup family
@@ -46,6 +46,7 @@ object Bench {
     "d9_semantic_dedup",
     // similarity family
     "v1_ann_bruteforce", "v3_lsh_buckets", "v4_ann_lsh", "v5_ann_ivf",
+    "v6_sq_quantize",
     // text pipeline
     "t1_token_stats", "t4_fingerprint", "t6_quality_rules", "t10_frequent_terms",
     "t13_repetition", "t14_pack", "t15_chunk_spans", "t16_contamination",

@@ -1163,6 +1163,54 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // ---- H20: qualified part-suppliers (TPC-H Q20 shape — the
+    // nested semi-join chain). Tiny name-filtered part list
+    // broadcasts into the date-pruned lineitem scan; the
+    // HAVING-gated (supplier, part) aggregate pays the ONE shuffle;
+    // the surviving supplier keys semi-join the dim. No step
+    // materializes more than the aggregate's output ----
+    "h20_part_suppliers" -> ((s, d) => {
+      val red = Tables.part(s, d).filter(col("p_name").startsWith("red"))
+        .select("p_partkey")
+      val heavy = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .filter(col("q") > 50)
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"),
+          (col("s_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long").as("bal_c"))
+        .orderBy("suppkey")
+    }),
+
+    // ---- V6: int8 scalar quantization of embeddings — the
+    // compression half of large-scale ANN (4x smaller vectors before
+    // IVF/LSH probing). Pure per-row codegen'd array expressions, ZERO
+    // shuffle; min/max are exact float comparisons and the bucket
+    // arithmetic is all-double with one floor, so codes are
+    // engine-exact (summarized in integers for the oracle) ----
+    "v6_sq_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          array_min(col("embedding")).cast("double").as("mn"),
+          array_max(col("embedding")).cast("double").as("mx"),
+          col("embedding"))
+        .withColumn("codes", when(col("mx") === col("mn"),
+            expr("transform(embedding, x -> CAST(0 AS BIGINT))"))
+          .otherwise(expr("transform(embedding, x -> " +
+            "CAST(FLOOR(((CAST(x AS DOUBLE) - mn) * 255.0D) / (mx - mn)) AS BIGINT))")))
+        .select(col("vec_id"),
+          expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)")
+            .as("code_sum"),
+          expr("CAST(array_min(codes) AS BIGINT)").as("code_min"),
+          expr("CAST(array_max(codes) AS BIGINT)").as("code_max"))
+        .orderBy("vec_id")),
+
     // ---- O10: systematic rank sample — every 100th customer by
     // balance rank. Forces a FULL exact global ranking (unlike o3's
     // top-N short-circuit), which is exactly what
@@ -2365,6 +2413,42 @@ object SparkEntry {
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+
+    "h20_part_suppliers" ->
+      """SELECT s_suppkey AS suppkey, s_name,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 50)
+        |ORDER BY suppkey""".stripMargin,
+
+    "v6_sq_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx,
+        |    embedding
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = mn
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x ->
+        |        CAST(FLOOR(((CAST(x AS DOUBLE) - mn) * 255.0) / (mx - mn))
+        |          AS BIGINT))
+        |    END AS codes
+        |  FROM q)
+        |SELECT vec_id,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(list_min(codes) AS BIGINT) AS code_min,
+        |  CAST(list_max(codes) AS BIGINT) AS code_max
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "o10_rank_sample" ->
       """WITH r AS (
