@@ -17,8 +17,9 @@ object Bench {
     "a1_daily_fact", "a2_sum_groupby", "a3_grand_total", "a5_lifetime_mv",
     "a9_running_avg", "a10_cumulative", "a11_rollup", "a12_median",
     "a13_histogram", "a14_approx_distinct", "a16_salted_agg",
+    "a17_grouping_sets", "a18_approx_quantiles",
     "o2_limit_offset", "o3_topn", "o5_data_min", "o6_pivot", "o7_string_agg",
-    "o8_ntile", "o9_group_topn", "a8_like_finder",
+    "o8_ntile", "o9_group_topn", "o11_weighted_sample", "a8_like_finder",
     // joins
     "j1_set_join", "j2_grouping_join", "j3_semi_join", "j5_bloom_semi",
     "j6_anti", "j7_salted_join",
@@ -36,8 +37,10 @@ object Bench {
     "h4_order_priority", "h5_region_revenue", "h6_forecast_revenue",
     "h7_custdist", "h8_large_orders", "h9_returned_revenue",
     "h10_priority_class", "h11_supplier_cnt", "h12_disjunctive_join",
-    "h13_min_cost", "h14_promo_share", "h15_top_supplier", "h17_small_qty",
-    "h20_part_suppliers", "h22_idle_rich", "o10_rank_sample",
+    "h13_min_cost", "h14_promo_share", "h15_top_supplier", "h16_volume_shipping",
+    "h17_small_qty", "h18_market_share", "h19_nation_profit",
+    "h20_part_suppliers", "h21_waiting_supplier", "h22_idle_rich",
+    "o10_rank_sample",
     // custom operators
     "x1_asof_attribution", "x2_asof_native", "x3_range_join",
     // dedup family
@@ -46,10 +49,11 @@ object Bench {
     "d9_semantic_dedup",
     // similarity family
     "v1_ann_bruteforce", "v3_lsh_buckets", "v4_ann_lsh", "v5_ann_ivf",
-    "v6_sq_quantize",
+    "v6_sq_quantize", "v7_rrf_fusion",
     // text pipeline
     "t1_token_stats", "t4_fingerprint", "t6_quality_rules", "t10_frequent_terms",
     "t13_repetition", "t14_pack", "t15_chunk_spans", "t16_contamination",
+    "t17_ttr",
     // multimodal plumbing
     "m1_multimodal_decode", "m2_frame_sample")
 

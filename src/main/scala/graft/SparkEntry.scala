@@ -1391,6 +1391,232 @@ object SparkEntry {
         catalog(s, d).copy(lifetime = Map("events" -> mv)))
     }),
 
+    // ---- H16: volume shipping between a nation pair (TPC-H Q7
+    // shape). Supplier and customer dims each shrink to ~2/25 via the
+    // nation filter and BROADCAST into the two fact scans; the only
+    // big-big step is lineitem ⋈ orders on the order key (one shuffle
+    // each side — and AQE converts even that to broadcast once the
+    // customer filter has shrunk orders). Revenue in integer
+    // hundredth-cents ----
+    "h16_volume_shipping" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = Tables.orders(s, d)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)").multiply(10000).cast("long")).as("rev_c"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // ---- H18: market share (TPC-H Q8 shape) — of the revenue that
+    // AMERICA-region customers spent on STANDARD parts each order
+    // year, the permille supplied by NATION_3. The part filter
+    // broadcasts into lineitem FIRST (the most selective prune);
+    // supplier flags arrive as a broadcast; the customer-region
+    // restriction broadcasts into orders; lineitem ⋈ orders is the
+    // one shuffle. The share divides integer money permille —
+    // engine-exact, no double division ----
+    "h18_market_share" -> ((s, d) => {
+      val std = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val nat = Tables.nation(s, d)
+      val supFlag = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"),
+          (col("n_name") === "NATION_3").cast("int").as("is_target"))
+      val amer = Tables.customer(s, d)
+        .join(broadcast(nat
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(broadcast(amer), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.lineitem(s, d)
+        .join(broadcast(std), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supFlag), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)").multiply(10000).cast("long").as("rc"),
+          col("is_target"))
+        .groupBy("o_year")
+        .agg(sum(when(col("is_target") === 1, col("rc")).otherwise(0L)).as("target_c"),
+          sum("rc").as("total_c"))
+        .withColumn("share_pm",
+          when(col("total_c") === 0, lit(0L))
+            .otherwise(expr("CAST((1000 * target_c) DIV total_c AS BIGINT)")))
+        .orderBy("o_year")
+    }),
+
+    // ---- H19: nation profit contribution (TPC-H Q9 shape without a
+    // partsupp table — revenue for name-matched parts by supplier
+    // nation × order year). The '%bolt%' part list broadcasts into
+    // the lineitem scan; supplier→nation is a broadcast chain;
+    // lineitem ⋈ orders (for the order year) pays the one shuffle ----
+    "h19_nation_profit" -> ((s, d) => {
+      val bolts = Tables.part(s, d).filter(col("p_name").contains("bolt"))
+        .select("p_partkey")
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.lineitem(s, d)
+        .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)").multiply(10000).cast("long")).as("rev_c"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ---- H21: waiting suppliers (TPC-H Q21 essence with the columns
+    // this schema has — "late" = shipped >90 days after the order
+    // date). A supplier gets a strike for an order when the order had
+    // OTHER suppliers and the supplier was the ONLY late one. The
+    // classic form is a semi- PLUS anti- self-join on lineitem; here
+    // the lineitem ⋈ orders shuffle lands partitioned by l_orderkey
+    // and the per-order conditional aggregate REUSES that
+    // partitioning (no second exchange — both distinct counts and the
+    // lone-late witness come from one pass), then the supplier dim
+    // broadcasts into the survivors ----
+    "h21_waiting_supplier" -> ((s, d) => {
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+      // two stacked aggregates instead of multi-DISTINCT in one: a
+      // (order, supplier) rollup then a per-order fold. Both group
+      // keys contain l_orderkey, so BOTH reuse the join's hash
+      // partitioning (ClusteredDistribution accepts the subset) —
+      // zero extra exchanges and no 3x Expand from distinct-agg
+      // rewriting (measured 2.6 s -> 0.9 s at sf0.1)
+      val perSupp = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(late.cast("int")).as("is_late"))
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum("is_late").as("n_late"),
+          max(when(col("is_late") === 1, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+      Tables.supplier(s, d).filter(col("s_nationkey") < 5)
+        .join(perOrder, col("s_suppkey") === col("late_supp"))
+        .groupBy(col("s_suppkey").as("suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("suppkey")).limit(20)
+    }),
+
+    // ---- T17: type-token ratio — lexical-diversity quality signal
+    // (low TTR ⇒ repetitive/templated text; complements t13's
+    // dup-token permille with a distinct-type view). Pure per-row
+    // codegen'd array expressions, zero shuffle ----
+    "t17_ttr" -> ((s, d) => {
+      val toks = Text.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          size(array_distinct(toks)).cast("long").as("n_types"))
+        .withColumn("ttr_pm", expr("CAST((1000 * n_types) DIV n_tok AS BIGINT)"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- V7: hybrid retrieval with reciprocal-rank fusion — the
+    // standard way training-data pipelines combine lexical and
+    // embedding retrieval. Both rankers end in TakeOrderedAndProject
+    // (top-k commutes before any join; the corpus never shuffles) and
+    // the RRF-60 scores are integer division — engine-exact ----
+    "v7_rrf_fusion" -> ((s, d) =>
+      Similarity.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+        queryTerms = Seq("spark", "vector"), queryVecId = 0L)),
+
+    // ---- O11: weighted systematic sampling — downsample so picks
+    // land proportionally to a weight (customer balance), with NO
+    // rand(): a row is picked when its weight interval [cum-w, cum)
+    // crosses a multiple of the stride. The inclusive prefix sum
+    // comes from [[graft.operators.GlobalRank.withPrefixSum]] (range
+    // exchange + per-partition offsets — every row-level stage
+    // parallel, unlike the naive one-task global window). Integer DIV
+    // so the crossing test is engine-exact; rerun-stable ----
+    "o11_weighted_sample" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          (greatest((col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long"), lit(0L)) + 1L).as("w"))
+      graft.operators.GlobalRank
+        .withPrefixSum(c, col("w"), Seq(col("c_custkey")), out = "cum")
+        .filter(expr("cum DIV 5000000 > (cum - w) DIV 5000000"))
+        .select(col("c_custkey"), col("w"), col("cum"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- A17: GROUPING SETS — the explicit-sets sibling of A11's
+    // ROLLUP and A15's CUBE (exactly the one-dimension marginals,
+    // no grand total, no cross terms). One shuffle; Spark expands
+    // sets map-side ----
+    "a17_grouping_sets" -> ((s, d) => {
+      val f = fact(s, d).withColumn("y", year(col("date")))
+      f.groupingSets(Seq(Seq(col("y")), Seq(col("value"))),
+          col("y"), col("value"))
+        .agg(sum("count").as("count"))
+        .select(coalesce(col("y"), lit(-1)).as("y"),
+          coalesce(col("value"), lit("_ALL_")).as("value"), col("count"))
+        .orderBy("y", "value")
+    }),
+
+    // ---- A18: per-group approx quantiles gated against exact —
+    // the a14 pattern for percentile sketches: emit the exact
+    // per-group p50/p90 (hash-compared) plus a deterministic
+    // within-5% flag for the approx_percentile sketch (asserted
+    // literally by the oracle). Integer money units; the exact p90
+    // is rank-based (no cross-engine float interpolation) ----
+    "a18_approx_quantiles" -> ((s, d) => {
+      val base = ev(s, d).select(col("event_type"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("v"))
+      val med = base.groupBy("event_type")
+        .agg((percentile(col("v"), lit(0.5)) * 2).cast("long").as("p50_x2"))
+      val wr = Window.partitionBy("event_type").orderBy("v")
+      val p90 = base.withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === floor(lit(0.9) * (col("n") - 1)).cast("long") + 1)
+        .groupBy("event_type").agg(max("v").as("p90"))
+      val approx = base.groupBy("event_type")
+        .agg(percentile_approx(col("v"), lit(0.5), lit(10000)).as("a50"),
+          percentile_approx(col("v"), lit(0.9), lit(10000)).as("a90"))
+      med.join(p90, "event_type").join(approx, "event_type")
+        .select(col("event_type"), col("p50_x2"), col("p90"),
+          when(col("p50_x2") === 0 || col("p90") === 0, lit(1L))
+            .otherwise(
+              (abs(col("a50") * 2 - col("p50_x2")) * 1000L <=
+                 lit(50L) * abs(col("p50_x2")) &&
+               abs(col("a90") - col("p90")) * 1000L <=
+                 lit(50L) * abs(col("p90"))).cast("long"))
+            .as("approx_ok"))
+        .orderBy("event_type")
+    }),
+
     // ---- Sets: ancestor closure (nation -> region hierarchy) ----
     "set_closure" -> ((s, d) => {
       val c = Tables.customer(s, d); val n = Tables.nation(s, d)
@@ -1613,6 +1839,49 @@ object SparkEntry {
          |       CAST(SUM(count) AS BIGINT) AS count
          |FROM y GROUP BY ROLLUP(y, value) ORDER BY y, value""".stripMargin,
 
+    "a17_grouping_sets" ->
+      s"""WITH $factCte,
+         |y AS (SELECT CAST(year(date) AS INTEGER) AS y, value, count FROM fact)
+         |SELECT COALESCE(y, -1) AS y, COALESCE(value, '_ALL_') AS value,
+         |       CAST(SUM(count) AS BIGINT) AS count
+         |FROM y GROUP BY GROUPING SETS ((y), (value))
+         |ORDER BY y, value""".stripMargin,
+
+    "a18_approx_quantiles" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS p50_x2
+        |  FROM base GROUP BY event_type),
+        |r AS (
+        |  SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM base),
+        |p AS (
+        |  SELECT event_type, MAX(v) AS p90 FROM r
+        |  WHERE rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1
+        |  GROUP BY event_type)
+        |SELECT event_type, p50_x2, p90, CAST(1 AS BIGINT) AS approx_ok
+        |FROM med JOIN p USING (event_type) ORDER BY event_type""".stripMargin,
+
+    "o11_weighted_sample" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    GREATEST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), 0)
+        |      + 1 AS w
+        |  FROM customer),
+        |p AS (
+        |  SELECT c_custkey, w,
+        |    SUM(w) OVER (ORDER BY c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c)
+        |SELECT c_custkey, CAST(w AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum
+        |FROM p WHERE cum // 5000000 > (cum - w) // 5000000
+        |ORDER BY c_custkey""".stripMargin,
+
     "a12_median" ->
       """WITH base AS (
         |  SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
@@ -1774,6 +2043,57 @@ object SparkEntry {
       """SELECT term, COUNT(*) AS cnt FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "t17_ttr" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+        |  CAST((1000 * len(list_distinct(toks))) // len(toks) AS BIGINT)
+        |    AS ttr_pm
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "v7_rrf_fusion" ->
+      """WITH mm AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = mn
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x ->
+        |        CAST(FLOOR(((CAST(x AS DOUBLE) - mn) * 255.0) / (mx - mn))
+        |          AS BIGINT))
+        |    END AS codes
+        |  FROM mm),
+        |q AS (SELECT codes AS q_codes FROM codes WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, len(codes) + 1),
+        |      i -> codes[i] * q_codes[i])) AS BIGINT) AS dot
+        |  FROM codes, q),
+        |vec AS (
+        |  SELECT vec_id,
+        |    ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS vec_rank
+        |  FROM dots ORDER BY dot DESC, vec_id LIMIT 50),
+        |lex0 AS (
+        |  SELECT doc_id, len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('spark', 'vector'))) AS lex_score
+        |  FROM documents),
+        |lex AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rank
+        |  FROM lex0 WHERE lex_score > 0
+        |  ORDER BY lex_score DESC, doc_id LIMIT 50)
+        |SELECT COALESCE(doc_id, vec_id) AS doc_id,
+        |  CAST(COALESCE(100000 // (60 + lex_rank), 0)
+        |     + COALESCE(100000 // (60 + vec_rank), 0) AS BIGINT) AS rrf,
+        |  CAST(COALESCE(lex_rank, 0) AS INTEGER) AS lex_rank,
+        |  CAST(COALESCE(vec_rank, 0) AS INTEGER) AS vec_rank
+        |FROM lex FULL OUTER JOIN vec ON doc_id = vec_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "d1_exact_dedup" ->
       """WITH u AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
@@ -2427,6 +2747,83 @@ object SparkEntry {
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 50)
         |ORDER BY suppkey""".stripMargin,
+
+    "h16_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "h18_market_share" ->
+      """WITH amer AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'),
+        |l AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4)) * 10000 AS BIGINT) AS rc,
+        |    CASE WHEN n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_target
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_custkey IN (SELECT c_custkey FROM amer)),
+        |g AS (
+        |  SELECT o_year,
+        |    CAST(SUM(CASE WHEN is_target = 1 THEN rc ELSE 0 END) AS BIGINT)
+        |      AS target_c,
+        |    CAST(SUM(rc) AS BIGINT) AS total_c
+        |  FROM l GROUP BY o_year)
+        |SELECT o_year, target_c, total_c,
+        |  CASE WHEN total_c = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((1000 * target_c) // total_c AS BIGINT) END AS share_pm
+        |FROM g ORDER BY o_year""".stripMargin,
+
+    "h19_nation_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "h21_waiting_supplier" ->
+      """WITH po AS (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN l_suppkey END) AS n_late,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN l_suppkey END) AS late_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey)
+        |SELECT s_suppkey AS suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier JOIN po ON s_suppkey = late_supp
+        |WHERE s_nationkey < 5 AND n_supp > 1 AND n_late = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, suppkey LIMIT 20""".stripMargin,
 
     "v6_sq_quantize" ->
       """WITH q AS (

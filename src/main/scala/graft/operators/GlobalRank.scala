@@ -49,6 +49,38 @@ object GlobalRank {
       .drop("__pid", "__off")
   }
 
+  /** Append `out` = exact global INCLUSIVE prefix sum of `value`
+    * under `order`, without a single-partition window — the same
+    * range-exchange + per-partition-offset machinery as
+    * [[withRowNumber]], with partial SUMS as the offsets. The
+    * one-row-per-partition offsets frame keeps its cumulative window
+    * bounded; everything row-level stays parallel.
+    *
+    * Row-frame semantics (`ROWS UNBOUNDED PRECEDING`): exact when the
+    * sort key is unique — pass a tiebreaker, as any deterministic
+    * prefix sum requires. The weighted-systematic-sampling and
+    * sequence-packing operators build on this. */
+  def withPrefixSum(df: DataFrame, value: Column, order: Seq[Column],
+      out: String = "cum", partitions: Int = 0): DataFrame = {
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("__v", value)
+      .withColumn("__pid", spark_partition_id())
+    val sums = ranged.groupBy("__pid").agg(sum("__v").as("__s"))
+    val offsets = sums.withColumn("__off",
+        coalesce(sum("__s").over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    val perPart = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + sum("__v").over(perPart))
+      .drop("__pid", "__off", "__v")
+  }
+
   /** Append `out` = exact NTILE(buckets) under `order` (SQL
     * semantics, same rows-per-bucket split as the window function). */
   def withNtile(df: DataFrame, buckets: Int, order: Seq[Column],

@@ -291,4 +291,68 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor"))
   }
+
+  /** Int8 scalar quantization: per-vector affine map of each element
+    * onto 0..255 (min→0, max→255, floor buckets). 4x smaller vectors
+    * for ANN probing; all-double arithmetic with one floor, so codes
+    * are engine-exact and integer downstream math stays hash-safe.
+    * Constant vectors (max == min) map to all-zero codes. */
+  def quantizeInt8(vec: Column): Column = {
+    val mn = array_min(vec).cast("double")
+    val mx = array_max(vec).cast("double")
+    when(mx === mn, transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec, x =>
+        floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)).cast("long")))
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF).
+    *
+    * Two independent rankers — lexical (occurrences of the query
+    * terms among the whitespace tokens) and vector (int8-quantized
+    * dot product against the query embedding, [[quantizeInt8]]) —
+    * each produce a top-`k` list; fusion scores each doc
+    * `Σ_systems 100000 div (60 + rank)` (the classic RRF-60 shape in
+    * integer division, so scores are engine-exact) and the overall
+    * top-`topK` come out. Docs absent from a ranker contribute 0 for
+    * it and surface `rank = 0` in the output.
+    *
+    * Scale posture: each ranker is one corpus scan ending in a
+    * TakeOrderedAndProject (top-k commutes before any join — the
+    * corpus never shuffles); the query embedding reaches the scan as
+    * a 1-row broadcast; the two k-row ranked lists fuse with a
+    * trivially-small join. The post-limit rank windows are global but
+    * see only k rows by construction. */
+  def hybridRrf(docs: DataFrame, embs: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long, k: Int = 50, topK: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = array(queryTerms.map(lit): _*)
+    val lexScore = size(filter(Text.tokens(col(textCol)),
+      t => array_contains(terms, t))).cast("long")
+    val lexTop = docs.select(col(idCol).as("l_id"), lexScore.as("lex_score"))
+      .filter(col("lex_score") > 0)
+      .orderBy(col("lex_score").desc, col("l_id")).limit(k)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("lex_score").desc, col("l_id"))))
+    val codes = embs.select(col(vecIdCol).as("v_id"),
+      quantizeInt8(col(vecCol)).as("codes"))
+    val q = codes.filter(col("v_id") === queryVecId)
+      .select(col("codes").as("q_codes"))
+    val dot = aggregate(zip_with(col("codes"), col("q_codes"),
+      (a, b) => a * b), lit(0L), _ + _)
+    val vecTop = codes.crossJoin(broadcast(q))
+      .select(col("v_id"), dot.as("dot"))
+      .orderBy(col("dot").desc, col("v_id")).limit(k)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("dot").desc, col("v_id"))))
+    lexTop.join(vecTop, col("l_id") === col("v_id"), "full_outer")
+      .select(coalesce(col("l_id"), col("v_id")).as(idCol),
+        (coalesce(expr("100000 DIV (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("100000 DIV (60 + vec_rank)"), lit(0L)))
+          .cast("long").as("rrf"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).cast("int").as("vec_rank"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(topK)
+  }
 }

@@ -468,4 +468,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getAs[Long]("neighbor")).toSeq
     assert(ivf == brute)
   }
+
+  test("quantizeInt8 maps min to 0, max to 255, constant vectors to 0") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      (0L, Array(0.0f, 0.5f, 1.0f)),
+      (1L, Array(2.0f, 2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = e.select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("c"))
+      .orderBy("vec_id").collect()
+      .map(_.getAs[collection.Seq[Long]]("c").toList)
+    // 0.5 -> floor(0.5 * 255) = 127; max -> floor(255.0) = 255
+    assert(r(0) == List(0L, 127L, 255L))
+    assert(r(1) == List(0L, 0L, 0L))
+  }
+
+  test("hybridRrf fuses lexical and vector ranks, RRF-60 integer scores") {
+    val s = spark; import s.implicits._
+    val d = docs(
+      (0L, "spark query engine"),          // query doc: lex rank 2 (1 hit)
+      (1L, "spark spark vector"),          // 3 hits -> lex rank 1
+      (2L, "nothing relevant here"),       // lex absent
+      (3L, "one spark mention"))           // 1 hit -> lex rank 3 (tie by id)
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),             // the query vector
+      (1L, Array(0.0f, 1.0f)),             // orthogonal -> low dot
+      (2L, Array(0.9f, 0.1f)),             // close -> high dot
+      (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.hybridRrf(d, e, Seq("spark", "vector"), queryVecId = 0L,
+        k = 4, topK = 4)
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("rrf"),
+        x.getAs[Int]("lex_rank"), x.getAs[Int]("vec_rank")))
+    // vector ranks by quantized dot: 0 (self, 65025) > 2 > 3 > 1
+    // doc 0: lex 2, vec 1 -> 100000/62 + 100000/61 = 1612 + 1639 = 3251
+    assert(r.head == ((0L, 3251L, 2, 1)))
+    // every fused doc appears once, scores strictly ordered by (rrf, id)
+    assert(r.map(_._1).distinct.length == r.length)
+    val scores = r.map(_._2).toSeq
+    assert(scores == scores.sorted.reverse)
+    // doc 2 is lexically absent -> lex_rank 0, vec contribution only
+    val d2 = r.find(_._1 == 2L).get
+    assert(d2._3 == 0 && d2._4 == 2 && d2._2 == 100000L / 62)
+  }
 }

@@ -263,4 +263,26 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // NTILE(4) over 2 rows: buckets 1 and 2
     assert(out.toSeq == Seq((1L, 1), (2L, 2)))
   }
+
+  test("GlobalRank prefix sum matches the single-partition window sum") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.GlobalRank
+    // weights with duplicates in the sort value, ties broken by id
+    val df = (1 to 97).map(i => (i.toLong, (i * 5 % 11 + 1).toLong))
+      .toDF("id", "w")
+    val order = Seq(col("id"))
+    val viaOp = GlobalRank.withPrefixSum(df, col("w"), order, "cum",
+        partitions = 8)
+      .select("id", "cum")
+    val viaWindow = df.withColumn("cum", sum("w").over(
+        Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "cum")
+    assert(viaOp.except(viaWindow).isEmpty && viaWindow.except(viaOp).isEmpty)
+    // row-level window partitioned by range-partition id, not global
+    val plan = viaOp.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"expected __pid-partitioned window:\n$plan")
+  }
 }
