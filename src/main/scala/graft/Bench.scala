@@ -53,7 +53,7 @@ object Bench {
     // text pipeline
     "t1_token_stats", "t4_fingerprint", "t6_quality_rules", "t10_frequent_terms",
     "t13_repetition", "t14_pack", "t15_chunk_spans", "t16_contamination",
-    "t17_ttr",
+    "t17_ttr", "t18_source_budget",
     // multimodal plumbing
     "m1_multimodal_decode", "m2_frame_sample")
 

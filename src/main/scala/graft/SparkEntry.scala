@@ -1543,6 +1543,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- T18: per-source token-budget sampling — the source-mixing
+    // step of corpus assembly: each source contributes documents in a
+    // deterministic salted-hash order until its token budget fills.
+    // Per-source window, shard-parallel (no global ordering);
+    // rerun-stable like t8/t9 (md5 order, no rand()) ----
+    "t18_source_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tok"),
+          Text.hash60(concat(col("source"), lit("|"),
+            col("doc_id").cast("string"))).as("h"))
+      val w = Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      docs.withColumn("cum", sum("n_tok").over(w))
+        .filter(col("cum") <= 600)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("cum"))
+        .orderBy("source", "doc_id")
+    }),
+
     // ---- V7: hybrid retrieval with reciprocal-rank fusion — the
     // standard way training-data pipelines combine lexical and
     // embedding retrieval. Both rankers end in TakeOrderedAndProject
@@ -2052,6 +2071,20 @@ object SparkEntry {
         |  CAST((1000 * len(list_distinct(toks))) // len(toks) AS BIGINT)
         |    AS ttr_pm
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t18_source_budget" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+         |    ${hex60("source || '|' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT source, doc_id, n_tok, CAST(cum AS BIGINT) AS cum
+         |FROM c WHERE cum <= 600 ORDER BY source, doc_id""".stripMargin,
 
     "v7_rrf_fusion" ->
       """WITH mm AS (

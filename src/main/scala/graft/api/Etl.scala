@@ -97,18 +97,27 @@ object Etl {
       val outputs =
         if (p.provides.size == 1) Seq(p.provides.head -> fact)
         else p.provides.map(dt => dt -> fact.filter(col("value") === dt))
+      // ONE driver job per PROCESSOR (not per datatype): the day-level
+      // (datatype, day, count) rows for every provided datatype come
+      // back in a single pass over the persisted fact — rows = #days x
+      // #datatypes, still driver-tiny, but a multi-datatype processor
+      // no longer pays one sequential job per datatype.
+      // date_format, not cast: the keep set is compared against
+      // `date=yyyy-MM-dd` partition dir names, and a processor that
+      // emits a timestamp-typed date would cast to
+      // 'yyyy-MM-dd HH:mm:ss' — the keep set would never match and
+      // the diff-delete below would wipe the partitions just written
+      val dtCol =
+        if (p.provides.size == 1) lit(p.provides.head) else col("value")
+      val perDayByDt = fact
+        .groupBy(dtCol.as("dt"),
+          date_format(col("date"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("c")).collect()
+        .groupBy(_.getString(0))
       val counts = outputs.map { case (dt, df) =>
-        // ONE pass gives both the row count and the day set (the old
-        // count() + distinct-dates pair was two jobs over the same
-        // persisted frame)
-        // date_format, not cast: the keep set is compared against
-        // `date=yyyy-MM-dd` partition dir names, and a processor that
-        // emits a timestamp-typed date would cast to
-        // 'yyyy-MM-dd HH:mm:ss' — the keep set would never match and
-        // the diff-delete below would wipe the partitions just written
-        val perDay = df.groupBy(date_format(col("date"), "yyyy-MM-dd").as("d"))
-          .agg(count(lit(1)).as("c")).collect()
-        val n = perDay.map(_.getLong(1)).sum
+        val perDay = perDayByDt.getOrElse(dt,
+          Array.empty[org.apache.spark.sql.Row])
+        val n = perDay.map(_.getLong(2)).sum
         // n == 0 writes nothing: a parquet dir with no data files
         // breaks schema inference for later readers.
         if (n > 0) FactStore.overwritePartitions(df, s"${cfg.factRoot}/$dt")
@@ -126,7 +135,7 @@ object Etl {
         // checkpoint must never be able to wipe a datatype's history.
         from.foreach { f =>
           FactStore.clearPartitionsFrom(s"${cfg.factRoot}/$dt", Some(f),
-            keep = perDay.map(_.getString(0)).toSet)
+            keep = perDay.map(_.getString(1)).toSet)
         }
         dt -> n
       }
