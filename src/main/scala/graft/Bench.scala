@@ -29,7 +29,7 @@ object Bench {
     "w12_interpolate",
     // filters / classifiers
     "f3_repeat_lag", "f3_repeat_seq", "c1_geo_country", "c5_referrer",
-    "c6_search_terms",
+    "c6_search_terms", "c13_json_props",
     // set ops
     "u1_except", "u2_intersect",
     // TPC-H-shaped analytics

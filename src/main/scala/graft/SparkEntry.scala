@@ -1636,6 +1636,23 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- C13: semi-structured JSON extraction — the event `props`
+    // payload parsed ONCE per row with a TYPED schema (`from_json`
+    // is a codegen'd expression, no UDF and no schema inference
+    // pass), then bucketed and aggregated. The 100 TB shape for
+    // JSON event payloads: only the `props` column crosses the scan,
+    // the parsed struct never materializes beyond the projection ----
+    "c13_json_props" -> ((s, d) =>
+      ev(s, d).select(
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"),
+          col("event_type"))
+        .groupBy(expr("CAST(k DIV 10 AS BIGINT)").as("k_decade"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("k").as("k_sum"))
+        .orderBy("k_decade", "event_type")),
+
     // ---- Sets: ancestor closure (nation -> region hierarchy) ----
     "set_closure" -> ((s, d) => {
       val c = Tables.customer(s, d); val n = Tables.nation(s, d)
@@ -1857,6 +1874,14 @@ object SparkEntry {
          |SELECT COALESCE(y, -1) AS y, COALESCE(value, '_ALL_') AS value,
          |       CAST(SUM(count) AS BIGINT) AS count
          |FROM y GROUP BY ROLLUP(y, value) ORDER BY y, value""".stripMargin,
+
+    "c13_json_props" ->
+      """WITH j AS (
+        |  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, event_type
+        |  FROM events)
+        |SELECT CAST(k // 10 AS BIGINT) AS k_decade, event_type,
+        |  COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum
+        |FROM j GROUP BY 1, 2 ORDER BY k_decade, event_type""".stripMargin,
 
     "a17_grouping_sets" ->
       s"""WITH $factCte,
