@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for SparkEntry queries whose VALUE
+  * is the plan shape: the oracle gate proves the results, these prove
+  * the expensive rewrite stays gone. Runs over tiny synthetic parquet
+  * tables with the driver-table schemas (specs never read the
+  * driver's /root/testdata).
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .appName("plan-shape-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Minimal star-schema fixture matching TESTDATA.md layouts. */
+  lazy val dir: String = {
+    val d = Files.createTempDirectory("planshape").toString
+    val s = spark; import s.implicits._
+    val ts = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    (1 to 50).map(i => (i.toLong % 10, i.toLong % 7, i.toLong % 5, i,
+        5.0, 100.0, 0.1, 0.0, "N", "O", ts))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    (0L to 9L).map(i => (i, i % 3, "O", 10.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    (0L to 6L).map(i => (i, s"s$i", (i % 5).toInt, 1.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$d/supplier.parquet")
+    (0L to 4L).map(i => (i, s"c$i", (i % 5).toInt, 1.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.parquet(s"$d/customer.parquet")
+    (0 to 4).map(i => (i, s"NATION_$i", i % 3))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$d/nation.parquet")
+    (0 to 2).map(i => (i, s"REGION_$i"))
+      .toDF("r_regionkey", "r_name")
+      .write.parquet(s"$d/region.parquet")
+    (0L to 6L).map(i => (i, s"red bolt $i", "Brand#23", "STANDARD",
+        (i % 3).toInt, 10.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.parquet(s"$d/part.parquet")
+    (0L to 5L).map(i => (i, "spark vector data word", "en", "src0", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    (0L to 5L).map(i => (i, Array(1.0f, i.toFloat, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("h21 stays Expand-free: stacked aggs, not the multi-DISTINCT rewrite") {
+    val p = plan("h21_waiting_supplier")
+    assert(!p.contains("Expand"),
+      s"multi-distinct Expand reappeared in h21:\n$p")
+  }
+
+  test("v7 rankers compile to top-k; no cartesian beyond the 1-row query broadcast") {
+    val p = plan("v7_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected top-k rankers in v7:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in v7:\n$p")
+  }
+
+  test("h16 nation-pair query has no cartesian product") {
+    val p = plan("h16_volume_shipping")
+    assert(!p.contains("CartesianProduct"), s"cartesian in h16:\n$p")
+  }
+
+  test("h18/h19 broadcast their dim chains (no shuffled dim joins)") {
+    for (q <- Seq("h18_market_share", "h19_nation_profit")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcasts:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+    }
+  }
+}
