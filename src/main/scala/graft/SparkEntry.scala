@@ -1313,7 +1313,14 @@ object SparkEntry {
         .orderBy("quartile")
     }),
 
-    // ---- A4 registry: all KPIs in ONE fact-table pass + ratio ----
+    // ---- A4 registry: all KPIs in ONE pass per datatype + ratios.
+    // The reference issues one query per metric (KeyFigures.pm:13-61);
+    // here each datatype's metrics are conditional aggregates in a
+    // single scan: the events fact feeds the usage KPIs, and the
+    // doc_access fact (DocumentAccess.pm rewrites: total_fulltext,
+    // total_openaccess, deposits + the two ratio metrics,
+    // KeyFigures.pm:33-44,59-61) is ONE pass over archived items ⋈
+    // docs. The two 1-row boards meet in a trivial cross join ----
     "kf_metrics" -> ((s, d) => {
       import graft.views.KeyFigures
       import graft.views.KeyFigures.Metric
@@ -1324,7 +1331,23 @@ object SparkEntry {
         Metric("clicks", col("value") === "click"),
         Metric("errors", col("value") === "error"),
         Metric("signups", col("value") === "signup")))
-      KeyFigures.withRatio(m, "purchase_pct", "purchases", "views")
+      val usage = KeyFigures.withRatio(m, "purchase_pct", "purchases", "views")
+      val da = graft.processors.MetadataProcessors.DocumentAccess(
+          dateCol = "o_orderdate", idCol = "o_orderkey",
+          statusCol = "o_orderstatus", archiveValue = "F",
+          docs = Tables.lineitem(s, d), docIdCol = "l_orderkey",
+          publicPred = col("l_returnflag") === "N")
+        .process(Tables.orders(s, d))
+      // deposits (datafilter=archive) = one full-text status row per
+      // archived item, so it reads off the same scan
+      val daM = KeyFigures.compute(da, Seq(
+        Metric("deposits", col("value").isin("full_text", "no_full_text")),
+        Metric("total_fulltext", col("value") === "full_text"),
+        Metric("total_openaccess", col("value") === "open_access")))
+      val daBoard = KeyFigures.withRatio(
+        KeyFigures.withRatio(daM, "ratio_fulltext", "total_fulltext", "deposits"),
+        "ratio_openaccess", "total_openaccess", "deposits")
+      usage.crossJoin(daBoard)
     }),
 
     // ---- W5 sparkline: leading zero-count rows dropped ----
@@ -1353,6 +1376,21 @@ object SparkEntry {
         .groupBy(col("date"), col("value"))
         .agg(sum("count").as("count"))
         .orderBy("date", "value")),
+
+    // ---- P2: doc_access datatype (ref DocumentAccess.pm:20-75) —
+    // archived items classified full_text/no_full_text (any attached
+    // doc) and open_access/no_open_access (any PUBLIC attached doc).
+    // orders = items (archive gate o_orderstatus='F'), lineitem =
+    // attached docs, l_returnflag='N' = public ----
+    "p2_doc_access" -> ((s, d) =>
+      graft.processors.MetadataProcessors.DocumentAccess(
+          dateCol = "o_orderdate", idCol = "o_orderkey",
+          statusCol = "o_orderstatus", archiveValue = "F",
+          docs = Tables.lineitem(s, d), docIdCol = "l_orderkey",
+          publicPred = col("l_returnflag") === "N")
+        .process(Tables.orders(s, d))
+        .groupBy(col("value")).agg(sum("count").as("total"))
+        .orderBy("value")),
 
     // ---- O4: collation-aware ordering (case-insensitive) + limit ----
     "o4_collated_order" -> ((s, d) =>

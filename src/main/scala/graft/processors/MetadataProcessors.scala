@@ -1,6 +1,6 @@
 package graft.processors
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Metadata-driven metric processors (SURVEY.md §1.3; ref
@@ -39,6 +39,54 @@ object MetadataProcessors {
     def process(meta: DataFrame): DataFrame =
       Processors.dailyFact(meta, tsCol = dateCol, idCol = idCol,
         valueCol = formatCol)
+  }
+
+  /** doc_access: full-text / open-access status per day per item
+    * (ref `Processor/EPrint/DocumentAccess.pm:20-75`). For each item
+    * in `archive` status the reference emits TWO fact rows — a
+    * full-text status (`full_text` iff any document is attached, else
+    * `no_full_text`) and an open-access status (`open_access` iff any
+    * attached document is public, else `no_open_access`). The
+    * KeyFigures metrics `total_fulltext`/`total_openaccess` and the
+    * ratio metrics are datafilter rewrites onto this datatype
+    * (`View/KeyFigures.pm:33-44,59-61`).
+    *
+    * Shape: the reference loops item-by-item calling
+    * `get_all_documents` per record; here the documents table is
+    * pre-aggregated to one (id, has_public) row per item in a single
+    * map-side-combined aggregate, then joined to the items scan —
+    * both sides keyed on the item id, so at 100 TB this is one
+    * co-partitioned shuffle join (AQE will broadcast the doc side
+    * when the corpus is small). The two status rows per item come
+    * from one codegen'd `explode(array(...))`, not a self-union, so
+    * the joined intermediate is read once.
+    *
+    * @param docs      the documents table (one row per attached doc)
+    * @param docIdCol  column of `docs` holding the owning item id
+    * @param publicPred predicate over `docs` rows marking a PUBLIC
+    *                   document (the reference's `$doc->is_public`)
+    */
+  final case class DocumentAccess(dateCol: String, idCol: String,
+      statusCol: String, archiveValue: String,
+      docs: DataFrame, docIdCol: String, publicPred: Column)
+      extends MetricProcessor {
+    val provides = Seq("doc_access")
+    def process(meta: DataFrame): DataFrame = {
+      val docAgg = docs.groupBy(col(docIdCol).as("__docid"))
+        .agg(max(when(publicPred, 1).otherwise(0)).as("__pub"))
+      meta.filter(col(statusCol) === archiveValue)
+        .join(docAgg, col(idCol) === col("__docid"), "left")
+        .select(
+          to_date(col(dateCol)).as("date"),
+          col(idCol).cast("long").as("id"),
+          explode(array(
+            when(col("__docid").isNotNull, "full_text")
+              .otherwise("no_full_text"),
+            when(col("__pub") === 1, "open_access")
+              .otherwise("no_open_access"))).as("value"))
+        .groupBy("date", "id", "value")
+        .agg(count(lit(1)).as("count"))
+    }
   }
 
   /** history: repository actions per day by action type
