@@ -112,10 +112,42 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    // Full per-query map goes to a FILE (committed with the repo); the
+    // stdout contract line is kept under the driver's 2000-char tail
+    // buffer — BENCH_r04/r05 proved a 97-query single line gets its
+    // head clipped by that buffer and arrives unparseable.
+    val fullJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(benchOut, "UTF-8")
+      try w.println(
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullJson,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
+    }
+    // Contract line: entries added in measured order until the char
+    // budget is hit; 2 decimals; budget 1500 leaves headroom for any
+    // stray stdout after it inside the same tail window.
+    val budget = 1500
+    // Perf-tracked queries go first so they survive the budget cut.
+    val tracked = Seq("j1_set_join", "j2_grouping_join", "j5_bloom_semi",
+      "d6_dedup_clusters", "h1_pricing_summary", "d2_minhash_lsh",
+      "d4_ngram_jaccard", "v4_ann_lsh", "w8_sessionize", "x2_asof_native",
+      "h21_waiting_supplier", "a12_median", "o8_ntile", "t18_source_budget")
+    val ordered = results.sortBy { case (k, _) =>
+      val i = tracked.indexOf(k); if (i >= 0) i else tracked.length }
+    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","full":"$benchOut","queries":{"""
+    val sb = new StringBuilder(header)
+    var first = true
+    ordered.foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + "\"" + k + f"\":$v%.2f"
+      if (sb.length + entry.length + 2 <= budget) { sb.append(entry); first = false }
+    }
+    sb.append("}}")
+    println(sb.toString)
     spark.stop()
   }
 }

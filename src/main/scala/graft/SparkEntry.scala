@@ -3059,15 +3059,36 @@ object SparkEntry {
         |FROM ss GROUP BY 1 ORDER BY id""".stripMargin,
 
     "kf_metrics" ->
-      """SELECT
-        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
-        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
-        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
-        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
-        |  CAST(ROUND(100.0 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    / SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0) AS BIGINT) AS purchase_pct
-        |FROM events""".stripMargin,
+      """WITH usage AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+        |    CAST(ROUND(100.0 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      / SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0) AS BIGINT) AS purchase_pct
+        |  FROM events),
+        |da AS (
+        |  SELECT o.o_orderkey,
+        |         MAX(CASE WHEN l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS has_doc,
+        |         MAX(CASE WHEN l.l_returnflag = 'N' THEN 1 ELSE 0 END) AS has_pub
+        |  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |  GROUP BY 1),
+        |board AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS deposits,
+        |         CAST(COALESCE(SUM(has_doc), 0) AS BIGINT) AS total_fulltext,
+        |         CAST(COALESCE(SUM(has_pub), 0) AS BIGINT) AS total_openaccess
+        |  FROM da)
+        |SELECT usage.*, board.deposits, board.total_fulltext, board.total_openaccess,
+        |  CASE WHEN board.deposits <> 0 THEN
+        |    CAST(ROUND(100.0 * board.total_fulltext / board.deposits, 0) AS BIGINT)
+        |  END AS ratio_fulltext,
+        |  CASE WHEN board.deposits <> 0 THEN
+        |    CAST(ROUND(100.0 * board.total_openaccess / board.deposits, 0) AS BIGINT)
+        |  END AS ratio_openaccess
+        |FROM usage CROSS JOIN board""".stripMargin,
 
     "w5_sparkline" ->
       """SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events
@@ -3083,6 +3104,23 @@ object SparkEntry {
       """SELECT CAST(o_orderdate AS DATE) AS date, o_orderstatus AS value,
         |       COUNT(*) AS count
         |FROM orders GROUP BY 1, 2 ORDER BY date, value""".stripMargin,
+
+    "p2_doc_access" ->
+      """WITH da AS (
+        |  SELECT o.o_orderkey,
+        |         MAX(CASE WHEN l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS has_doc,
+        |         MAX(CASE WHEN l.l_returnflag = 'N' THEN 1 ELSE 0 END) AS has_pub
+        |  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |  GROUP BY 1),
+        |statuses AS (
+        |  SELECT CASE WHEN has_doc = 1 THEN 'full_text' ELSE 'no_full_text' END AS value
+        |  FROM da
+        |  UNION ALL
+        |  SELECT CASE WHEN has_pub = 1 THEN 'open_access' ELSE 'no_open_access' END
+        |  FROM da)
+        |SELECT value, CAST(COUNT(*) AS BIGINT) AS total
+        |FROM statuses GROUP BY 1 ORDER BY value""".stripMargin,
 
     "o4_collated_order" ->
       """SELECT c_custkey, c_name FROM customer

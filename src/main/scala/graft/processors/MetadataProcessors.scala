@@ -65,19 +65,29 @@ object MetadataProcessors {
     * @param docIdCol  column of `docs` holding the owning item id
     * @param publicPred predicate over `docs` rows marking a PUBLIC
     *                   document (the reference's `$doc->is_public`)
+    * @param fallbackDateCol optional second date column used when
+    *                   `dateCol` is null — the reference reads
+    *                   `datestamp` and falls back to `lastmod`
+    *                   (`DocumentAccess.pm:42`); without a fallback,
+    *                   null-dated items would silently aggregate into
+    *                   a null-date bucket
     */
   final case class DocumentAccess(dateCol: String, idCol: String,
       statusCol: String, archiveValue: String,
-      docs: DataFrame, docIdCol: String, publicPred: Column)
+      docs: DataFrame, docIdCol: String, publicPred: Column,
+      fallbackDateCol: Option[String] = None)
       extends MetricProcessor {
     val provides = Seq("doc_access")
     def process(meta: DataFrame): DataFrame = {
       val docAgg = docs.groupBy(col(docIdCol).as("__docid"))
         .agg(max(when(publicPred, 1).otherwise(0)).as("__pub"))
+      val eventDate = fallbackDateCol
+        .map(f => coalesce(to_date(col(dateCol)), to_date(col(f))))
+        .getOrElse(to_date(col(dateCol)))
       meta.filter(col(statusCol) === archiveValue)
         .join(docAgg, col(idCol) === col("__docid"), "left")
         .select(
-          to_date(col(dateCol)).as("date"),
+          eventDate.as("date"),
           col(idCol).cast("long").as("id"),
           explode(array(
             when(col("__docid").isNotNull, "full_text")
