@@ -71,7 +71,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
+    // local-iteration escape hatch: comma-separated subset of names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n)))
     // Per-query warmup run (unmeasured): measures steady-state operator
     // throughput, not one-off plan compilation / codegen / parquet
     // footer reads — the costs that amortize away on a long-lived

@@ -328,6 +328,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("nearDupClusters converges on a chain longer than maxIters (path halving)") {
+    val s = spark; import s.implicits._
+    // 61-vertex path graph: plain 1-hop min-label needs 60 rounds to
+    // reach the far end; path halving must close it within the
+    // default maxIters=20 (O(log diameter) rounds)
+    val n = 60L
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val docs = (0L to n).toDF("doc_id")
+    val r = Dedup.nearDupClusters(pairs, docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r.size == 61 && r.values.forall(_ == 0L))
+  }
+
   test("LSH and IVF ANN recall vs brute force on clustered vectors") {
     val s = spark; import s.implicits._
     // 3 well-separated clusters of 20 vectors in R^8: center + small
