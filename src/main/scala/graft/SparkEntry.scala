@@ -350,9 +350,16 @@ object SparkEntry {
     // a stable integer, and DuckDB can compute the exact side and
     // assert the flag — making the whole row hash-comparable while
     // still gating the sketch's accuracy. ----
+    // Shape note: dedup FIRST, then sketch+count the distinct set.
+    // HLL sketches are multiplicity-invariant, so the estimates are
+    // bit-identical to sketching the raw stream, but the plan becomes
+    // two clean hash aggregates (map-side partial dedup → shuffle of
+    // distinct keys only) instead of the Expand operator Spark plans
+    // for a mixed distinct/non-distinct aggregate, which duplicates
+    // every input row per aggregate family before the shuffle.
     "a14_approx_distinct" -> ((s, d) =>
-      ev(s, d).agg(
-        countDistinct(col("user_id")).as("exact_distinct"),
+      ev(s, d).select("user_id").distinct().agg(
+        count(lit(1)).as("exact_distinct"),
         approx_count_distinct(col("user_id"), 0.01).as("approx"),
         hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll"))
         // both sketches must land within 20‰ of exact; empty input
@@ -376,19 +383,37 @@ object SparkEntry {
         .orderBy("y", "value")),
 
     // ---- A12: exact percentiles — interpolated median (x2 keeps the
-    // only possible fraction, .5, integer) + rank-based discrete p90 ----
+    // only possible fraction, .5, integer) + rank-based discrete p90.
+    //
+    // Shape note: l_quantity is a small-domain integer (1..50), so the
+    // scan collapses to per-(rf, qty) counts FIRST — map-side combine
+    // makes the only full-data shuffle carry ≤ |rf|×|domain| rows —
+    // and both percentiles become rank lookups over the cumulative
+    // counts ("value at rank r" = min qty whose running count ≥ r).
+    // The previous shape (exact percentile agg + full-table
+    // row_number window) sorted the entire table inside one partition
+    // per group: a non-starter at 100 TB; this one never materializes
+    // more than the count table. ----
     "a12_median" -> ((s, d) => {
-      val base = Tables.lineitem(s, d)
+      val cnts = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("rf"), col("l_quantity").cast("long").as("qty"))
-      val med = base.groupBy("rf")
-        .agg((percentile(col("qty"), lit(0.5)) * 2).cast("long").as("med_x2"))
-      val wr = Window.partitionBy("rf").orderBy("qty")
-      val ranked = base.withColumn("rn", row_number().over(wr))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("rf")))
-      val p90 = ranked
-        .filter(col("rn") === floor(lit(0.9) * (col("n") - 1)).cast("long") + 1)
-        .groupBy("rf").agg(max("qty").as("p90"))
-      med.join(p90, "rf").orderBy("rf")
+        .groupBy("rf", "qty").agg(count(lit(1)).as("cnt"))
+      val byQty = Window.partitionBy("rf").orderBy("qty")
+      val all = Window.partitionBy("rf")
+      val cum = cnts
+        .withColumn("cum", sum("cnt").over(byQty))
+        .withColumn("n", sum("cnt").over(all))
+        // interpolated-median ranks (integer division): lo = hi for
+        // odd n, adjacent ranks for even n; med = (v_lo + v_hi) / 2
+        .withColumn("lo", floor((col("n") - 1) / 2).cast("long") + 1)
+        .withColumn("hi", floor(col("n") / 2).cast("long") + 1)
+        // discrete p90 rank, identical FP expression to the oracle
+        .withColumn("r90", floor(lit(0.9) * (col("n") - 1)).cast("long") + 1)
+      cum.groupBy("rf").agg(
+          (min(when(col("cum") >= col("lo"), col("qty"))) +
+            min(when(col("cum") >= col("hi"), col("qty")))).as("med_x2"),
+          min(when(col("cum") >= col("r90"), col("qty"))).as("p90"))
+        .orderBy("rf")
     }),
 
     // ---- A13: histogram — fixed-width bucketed counts ----

@@ -270,66 +270,83 @@ object Dedup {
         .get("spark.sql.shuffle.partitions").toInt
       catch { case _: Throwable => 200 }
     val p = math.max(1L, math.min(maxP.toLong, ecnt / 1000000L + 1)).toInt
-    // Pre-partition edges by source ONCE: the cached relation keeps
-    // HashPartitioning(x, p), so when labels outgrow broadcast and the
-    // message join goes sort-merge, edges never re-shuffle — only the
-    // per-round label table moves. Materialized by the init job below
-    // (no dedicated count action).
-    val edges = raw.repartition(p, col("x"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager) materializes round-0 labels and TRUNCATES
-    // lineage at the loop entry; inside the loop, rounds persist()
-    // instead — materialization then rides the convergence-sum action
-    // (one job per round, not checkpoint-job + agg-job), and a
-    // localCheckpoint every 5th round re-truncates the growing
-    // InMemoryRelation chain so eviction can never cascade far.
+    // Pre-partition edges by source ONCE and localCheckpoint (eager):
+    // the checkpointed LogicalRDD keeps HashPartitioning(x, p) — when
+    // labels outgrow broadcast and the message join goes sort-merge,
+    // edges never re-shuffle — AND it truncates the pair-generation
+    // lineage (a full LSH pipeline), so every round's plan sees a leaf
+    // table instead of re-analyzing that pipeline's plan tree. The
+    // re-analysis was measured at sf0.1 as the dominant per-round cost
+    // of the loop, dwarfing its actual 256-edge data movement.
+    val edges = raw.repartition(p, col("x")).localCheckpoint(true)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     raw.unpersist()
-    var prevSum: Option[java.math.BigDecimal] = None
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      // messages: my label, delivered to each neighbor
-      val msgs = edges.join(labels, edges("x") === labels("id"))
-        .select(col("y").as("id"), col("label"))
-      // pointer jump: label(label(id)) — path halving; the jumped-to
-      // label belongs to a reachable vertex, so the min stays
-      // component-local
-      val jump = labels.as("l1").join(labels.as("l2"),
-          col("l1.label") === col("l2.id"))
-        .select(col("l1.id").as("id"), col("l2.label").as("label"))
-      val next = labels.unionByName(msgs).unionByName(jump)
-        .repartition(p, col("id"))
-        .groupBy("id").agg(min("label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // Convergence costs no join: per-vertex labels are monotonically
-      // non-increasing (each vertex's own label rides the union), so
-      // the global sum strictly decreases until fixpoint. This ONE
-      // action both populates next's cache and returns the sum;
-      // decimal(38,0) is exact at any vertex count (no Long overflow).
-      val sumNow = Option(next
-        .agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
-      // compareTo, not equals: BigDecimal.equals is scale-sensitive
-      converged = (prevSum, sumNow) match {
-        case (Some(a), Some(b)) => a.compareTo(b) == 0
-        case (a, b) => a == b
+    val sess = docs.sparkSession
+    // AQE re-plans every exchange as its own query-stage job — the
+    // right trade on real data, pure scheduling latency on the loop's
+    // already-sized p-partition rounds. Disable it for the loop only.
+    val aqeBefore = try sess.conf.get("spark.sql.adaptive.enabled")
+      catch { case _: Throwable => "true" }
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var prevSum: Option[java.math.BigDecimal] = None
+      var converged = false
+      var i = 0
+      val dbg = sys.env.contains("GRAFT_DEBUG_CC")
+      var tRound = System.nanoTime()
+      while (!converged && i < maxIters) {
+        // messages: my label, delivered to each neighbor; plus the
+        // pointer jump label(label(id)) — path halving; the jumped-to
+        // label belongs to a reachable vertex, so the min stays
+        // component-local. Round 0's labels are the identity map, so
+        // both joins collapse to a projection of the edge list itself
+        // (and the jump to a no-op) — no join stages at all.
+        val delivered =
+          if (i == 0) edges.select(col("y").as("id"), col("x").as("label"))
+          else {
+            val msgs = edges.join(labels, edges("x") === labels("id"))
+              .select(col("y").as("id"), col("label"))
+            val jump = labels.as("l1").join(labels.as("l2"),
+                col("l1.label") === col("l2.id"))
+              .select(col("l1.id").as("id"), col("l2.label").as("label"))
+            msgs.unionByName(jump)
+          }
+        val next = labels.unionByName(delivered)
+          .repartition(p, col("id"))
+          .groupBy("id").agg(min("label").as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // Convergence costs no join: per-vertex labels are monotonically
+        // non-increasing (each vertex's own label rides the union), so
+        // the global sum strictly decreases until fixpoint. This ONE
+        // action both populates next's cache and returns the sum;
+        // decimal(38,0) is exact at any vertex count (no Long overflow).
+        val sumNow = Option(next
+          .agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        // compareTo, not equals: BigDecimal.equals is scale-sensitive
+        converged = (prevSum, sumNow) match {
+          case (Some(a), Some(b)) => a.compareTo(b) == 0
+          case (a, b) => a == b
+        }
+        prevSum = sumNow
+        val finished = converged || i + 1 >= maxIters
+        if (i % 5 == 4 && !finished) {
+          // periodic lineage truncation (extra job, 1 round in 5)
+          val ck = next.localCheckpoint(true)
+          next.unpersist(); labels.unpersist()
+          labels = ck
+        } else {
+          labels.unpersist()
+          labels = next
+        }
+        if (dbg) {
+          println(f"[cc] round $i: ${(System.nanoTime() - tRound) / 1e9}%.2f s sum=$sumNow")
+          tRound = System.nanoTime()
+        }
+        i += 1
       }
-      prevSum = sumNow
-      val finished = converged || i + 1 >= maxIters
-      if (i % 5 == 4 && !finished) {
-        // periodic lineage truncation (extra job, 1 round in 5)
-        val ck = next.localCheckpoint(true)
-        next.unpersist(); labels.unpersist()
-        labels = ck
-      } else {
-        labels.unpersist()
-        labels = next
-      }
-      i += 1
-    }
-    edges.unpersist()
+    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     // isolated docs: their own cluster; the paired-vertex label table
     // is tiny relative to the corpus, so AQE broadcasts it and the
     // corpus side joins without a shuffle.
