@@ -1728,6 +1728,34 @@ object SparkEntry {
         .groupBy("set_value").agg(count(lit(1)).as("cnt"))
         .orderBy("set_value")
     }),
+
+    // ---- Compound creators set (ref Sets.pm:100-132,378-392):
+    // reference-shaped array<struct{name:{family,given}, id}> metadata
+    // synthesized deterministically from customer columns — author 1
+    // carries an id (key = lc(id), display = NameCased "family,
+    // given", comma dropped when given is empty), author 2 has no id
+    // and is dropped per the reference's use_ids rule. One explode +
+    // codegen projection; dim-sized output, no joins ----
+    "set_compound" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val authorKey = (col("c_custkey") % 50).cast("string")
+      val meta = c.select(col("c_custkey").as("id"),
+        array(
+          struct(
+            struct(
+              concat(lit("cust"), authorKey).as("family"),
+              when(col("c_custkey") % 7 === 0, lit(""))
+                .otherwise(lower(col("c_mktsegment"))).as("given")).as("name"),
+            concat(lit("A"), authorKey).as("id")),
+          struct(
+            struct(lit("smith").as("family"), lit("anon").as("given")).as("name"),
+            lit(null).cast("string").as("id"))).as("creators"))
+      graft.sets.Sets.materializeCompound(meta,
+          graft.sets.Sets.CompoundSetDef("authors", "creators"))
+        .groupBy("set_value")
+        .agg(count(lit(1)).as("n_items"), max("rendered").as("rendered"))
+        .orderBy("set_value")
+    }),
   )
 
   def oracleSql: Map[String, String] =
@@ -3179,5 +3207,22 @@ object SparkEntry {
         |                JOIN region ON n_regionkey = r_regionkey)
         |SELECT set_value, COUNT(*) AS cnt FROM asn
         |GROUP BY 1 ORDER BY set_value""".stripMargin,
+
+    "set_compound" ->
+      """WITH authors AS (
+        |  SELECT DISTINCT
+        |    lower('A' || CAST(c_custkey % 50 AS VARCHAR)) AS set_value,
+        |    c_custkey AS id,
+        |    'Cust' || CAST(c_custkey % 50 AS VARCHAR) ||
+        |      CASE WHEN c_custkey % 7 = 0 THEN ''
+        |           -- NameCase's Mac-prefix rule recapitalizes the stem
+        |           -- (machinery -> MacHinery), as the reference's nc() does
+        |           WHEN c_mktsegment = 'MACHINERY' THEN ', MacHinery'
+        |           ELSE ', ' || upper(substr(lower(c_mktsegment), 1, 1))
+        |                     || substr(lower(c_mktsegment), 2) END AS rendered
+        |  FROM customer)
+        |SELECT set_value, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       MAX(rendered) AS rendered
+        |FROM authors GROUP BY 1 ORDER BY set_value""".stripMargin,
   )
 }

@@ -68,8 +68,16 @@ object NameCase {
 
   def apply(c: Column): Column = nameCaseUdf(c)
 
-  /** "family, given" display form (ref `Sets.pm:378-392`). */
-  def displayName(family: Column, given: Column): Column =
-    org.apache.spark.sql.functions.concat_ws(", ",
-      nameCaseUdf(family), nameCaseUdf(given))
+  /** "family, given" display form (ref `Sets.pm:487-500`
+    * `normalise_name`): both parts whitespace-trimmed, the comma
+    * dropped entirely when `given` is empty/null (the reference
+    * renders bare "family", never "family, "), and NameCase applied
+    * to the combined string as the reference's `nc(...)` does. */
+  def displayName(family: Column, given: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val f = trim(coalesce(family, lit("")))
+    val g = trim(coalesce(given, lit("")))
+    val combined = when(g === "", f).otherwise(concat(f, lit(", "), g))
+    nameCaseUdf(combined)
+  }
 }

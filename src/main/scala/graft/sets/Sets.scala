@@ -33,6 +33,68 @@ object Sets {
       anonymize: Boolean = false,
       blacklist: Set[String] = Set.empty)
 
+  /** Compound set definition over reference-shaped metadata — an
+    * array-of-struct column like `creators = [{name: {family, given},
+    * id}, ...]` (ref `Sets.pm:100-132` compound handling,
+    * `Sets.pm:378-392` value extraction).
+    *
+    * Two modes, mirroring the reference exactly:
+    *  - `useIds = true` (ref `use_ids`): the set KEY is the
+    *    lowercased per-author id sub-field (e.g. `creators_id`), the
+    *    rendered display is the NameCased "family, given"; entries
+    *    whose id is null/empty are DROPPED (`Sets.pm:385` — `return
+    *    [] unless is_set(raw_value->{id_field})`).
+    *  - `useIds = false`: only the name part is used — key and
+    *    display are both the normalized name, identical to a plain
+    *    [[SetDef]] on the pseudo `<field>_name` column
+    *    (`Sets.pm:124-130`).
+    *
+    * @param name      set name (dim table key)
+    * @param source    array<struct> metadata column
+    * @param useIds    key on the id sub-field instead of the name
+    * @param idField   id sub-field name inside the struct (`id`)
+    * @param nameField name sub-field holding {family, given}
+    * @param anonymize md5 the key (ref `generate_key`/`set_anon`)
+    * @param blacklist key values to drop */
+  final case class CompoundSetDef(
+      name: String,
+      source: String,
+      useIds: Boolean = true,
+      idField: String = "id",
+      nameField: String = "name",
+      anonymize: Boolean = false,
+      blacklist: Set[String] = Set.empty)
+
+  /** Materialize a compound set dim: (set_value, id, rendered) — one
+    * row per (item, author-key), the rendered display carried along
+    * so [[renderedValues]]-style lookups need no re-derivation.
+    * Same scale posture as [[materialize]]: dimension-sized output,
+    * one explode + codegen'd projection, no joins. */
+  def materializeCompound(meta: DataFrame, d: CompoundSetDef,
+      idCol: String = "id"): DataFrame = {
+    val ex = meta.select(col(idCol).as("id"), explode(col(d.source)).as("c"))
+    val nameStruct = col("c").getField(d.nameField)
+    val display = NameCase.displayName(
+      nameStruct.getField("family"), nameStruct.getField("given"))
+    val keyed =
+      if (d.useIds) {
+        val rawId = trim(col("c").getField(d.idField).cast("string"))
+        ex.filter(rawId.isNotNull && rawId =!= "")
+          .select(col("id"), lower(rawId).as("v"), display.as("rendered"))
+      } else {
+        ex.select(col("id"), display.as("v"), display.as("rendered"))
+      }
+    val anon =
+      if (d.anonymize) keyed.withColumn("v", Classify.anonymize(col("v")))
+      else keyed
+    val listed =
+      if (d.blacklist.nonEmpty) anon.filter(!col("v").isin(d.blacklist.toSeq: _*))
+      else anon
+    listed.filter(col("v").isNotNull && col("v") =!= "")
+      .select(col("v").as("set_value"), col("id"), col("rendered"))
+      .distinct()
+  }
+
   /** Materialize one set dim: (set_value, id). */
   def materialize(meta: DataFrame, d: SetDef, idCol: String = "id"): DataFrame = {
     val exploded =

@@ -18,7 +18,14 @@ import graft.views.KeyFigures
 /** ETL-layer specs: ingest, filters, classifiers, sets, store —
   * driven by a deterministic generated access-log fixture in the
   * reference's TSV day-file format (SURVEY.md §1.2). */
+object EtlSpec {
+  // reference-shaped compound metadata (top-level for Encoder derivation)
+  case class CreatorName(family: String, given: String)
+  case class Creator(name: CreatorName, id: String)
+}
+
 class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import EtlSpec.{Creator, CreatorName}
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
@@ -142,6 +149,42 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val anon = Sets.materialize(meta,
       Sets.SetDef("subjects", "subjects", multiple = true, anonymize = true))
     assert(anon.select("set_value").head().getString(0).matches("[0-9a-f]{32}"))
+  }
+
+  test("Sets: compound creators materialization (use_ids + name-only)") {
+    val s = spark; import s.implicits._
+    // reference-shaped metadata: creators = array of {name:{family,given}, id}
+    val meta = Seq(
+      (1L, Seq(Creator(CreatorName("mcdonald", "alice"), "A1"),
+               Creator(CreatorName(" o'brien ", " keith "), "b2"),
+               Creator(CreatorName("smith", "jo"), null))), // no id → dropped in use_ids
+      (2L, Seq(Creator(CreatorName("macintosh", ""), "a1"))), // empty given → bare family
+      (3L, Seq.empty[Creator])
+    ).toDF("id", "creators")
+
+    // use_ids mode: key = lc(id), display = NameCased "family, given"
+    val byId = Sets.materializeCompound(meta,
+      Sets.CompoundSetDef("authors", "creators"))
+    val rows = byId.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("a1", 1L, "McDonald, Alice"),
+      ("b2", 1L, "O'Brien, Keith"),      // trimmed both parts
+      ("a1", 2L, "Macintosh")))          // Mac exception; no trailing comma
+    // same author id across items → one key, two item rows
+    assert(byId.filter($"set_value" === "a1").count() == 2)
+
+    // name-only mode: the no-id author is KEPT, keyed by display name
+    val byName = Sets.materializeCompound(meta,
+      Sets.CompoundSetDef("authors", "creators", useIds = false))
+    val nameKeys = byName.collect().map(_.getString(0)).toSet
+    assert(nameKeys == Set("McDonald, Alice", "O'Brien, Keith",
+      "Smith, Jo", "Macintosh"))
+
+    // anonymize mode: keys are md5 hex, display survives
+    val anon = Sets.materializeCompound(meta,
+      Sets.CompoundSetDef("authors", "creators", anonymize = true))
+    assert(anon.collect().forall(_.getString(0).matches("[0-9a-f]{32}")))
   }
 
   test("Sets.setFinder: literal-substring LIKE with wildcard escaping") {
