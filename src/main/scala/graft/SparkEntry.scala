@@ -739,6 +739,41 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, d),
           threshold = 0.46, centroidStride = 43)
         .orderBy("id")),
+
+    // ---- D10: incremental cross-corpus dedup — classify an incoming
+    // batch (doc_id % 10 == 0) against the already-ingested corpus
+    // (the other 90%) by content digest: dup_corpus / dup_batch /
+    // new. Only 16-byte digests shuffle from the corpus side; the
+    // batch's canonical window and the corpus join share the key
+    // exchange ----
+    "d10_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Dedup.incrementalExact(
+          corpus = docs.filter(col("doc_id") % 10 =!= 0),
+          batch = docs.filter(col("doc_id") % 10 === 0))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), min("id").as("first_id"))
+        .orderBy("status")
+    }),
+
+    // ---- O12: deterministic global shuffle — the reproducible
+    // training-order permutation (position = exact global rank under
+    // a salted content-free hash; no rand(), so re-runs and engine
+    // swaps give byte-identical order, and GlobalRank keeps every
+    // stage parallel — no single-partition sort anywhere). The
+    // mod-8 checksum buckets pin EVERY row's assigned position, not
+    // just a displayed prefix ----
+    "o12_global_shuffle" -> ((s, d) => {
+      val keyed = Tables.documents(s, d).select("doc_id")
+        .withColumn("skey",
+          md5(concat(col("doc_id").cast("string"), lit("|epoch0"))))
+      graft.operators.GlobalRank
+        .withRowNumber(keyed, Seq(col("skey"), col("doc_id")), out = "pos")
+        .groupBy((col("pos") % 8).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pos") * col("doc_id")).as("checksum"))
+        .orderBy("bucket")
+    }),
   )
 
   /** Deterministic UA / referrer strings per event_type — the driver
@@ -2578,6 +2613,32 @@ object SparkEntry {
         |  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
         |FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id
         |ORDER BY id""".stripMargin,
+
+    "d10_incremental" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id, md5(lower(text)) AS key,
+        |         ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ck AS (SELECT DISTINCT md5(lower(text)) AS key
+        |       FROM documents WHERE doc_id % 10 <> 0),
+        |cls AS (
+        |  SELECT b.id,
+        |         CASE WHEN ck.key IS NOT NULL THEN 'dup_corpus'
+        |              WHEN b.rn > 1 THEN 'dup_batch'
+        |              ELSE 'new' END AS status
+        |  FROM b LEFT JOIN ck ON b.key = ck.key)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n, MIN(id) AS first_id
+        |FROM cls GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "o12_global_shuffle" ->
+      """WITH p AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|epoch0'), doc_id) AS pos
+        |  FROM documents)
+        |SELECT pos % 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(pos * doc_id) AS BIGINT) AS checksum
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 
   /** Golden oracles for the classifier queries: the synthetic UA /

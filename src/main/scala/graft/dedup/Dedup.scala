@@ -50,6 +50,42 @@ object Dedup {
       .groupBy("key")
       .agg(count(lit(1)).as("copies"), min("id").as("canonical"))
 
+  /** Incremental (cross-corpus) exact dedup: classify every `batch`
+    * document against an already-ingested `corpus` by content digest —
+    * the op an append-only training pipeline runs on each new crawl
+    * drop before ingesting it. One row per batch doc:
+    * (id, key, status) with status
+    *  - `dup_corpus`: content already present in the corpus (wins
+    *    even when the batch also repeats it internally);
+    *  - `dup_batch`:  content new to the corpus, but a smaller-id
+    *    batch doc carries the same bytes (within-batch duplicate);
+    *  - `new`:        first occurrence anywhere — the rows to ingest.
+    *
+    * Scale posture: the corpus collapses to a DISTINCT digest set
+    * before the join, so only 16-byte keys shuffle from the 100 TB
+    * side — and an ingest pipeline keeps that digest set as its own
+    * compact table, paying the corpus scan once ever, not per batch.
+    * The within-batch canonical window and the corpus join both hash
+    * on `key`, so the exchange is reused across the two steps. For
+    * extreme corpus/batch asymmetry, prefilter the batch with
+    * [[graft.operators.BloomJoin]] over the corpus digests; the exact
+    * join after it keeps the result exact. */
+  def incrementalExact(corpus: DataFrame, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digest = md5(lower(col(textCol)))
+    val corpusKeys = corpus.select(digest.as("key")).distinct()
+      .withColumn("__in", lit(1))
+    batch.select(col(idCol).as("id"), digest.as("key"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("key").orderBy("id")))
+      .join(corpusKeys, Seq("key"), "left")
+      .select(col("id"), col("key"),
+        when(col("__in") === 1, "dup_corpus")
+          .when(col("__rn") > 1, "dup_batch")
+          .otherwise("new").as("status"))
+  }
+
   /** XOR masks for the k min-hash functions: h_i(tok) =
     * hash60(tok) XOR mask_i. XOR by a fixed mask is a bijection on
     * the hash space, so MIN over masked hashes is a valid min-hash

@@ -69,6 +69,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1).getAs[Long]("canonical") == 3L && r(1).getAs[Long]("copies") == 1L)
   }
 
+  test("incremental dedup classifies batch docs vs corpus and within-batch") {
+    val corpus = docs((1L, "alpha"), (2L, "beta"))
+    // 10: already in corpus (case-insensitive); 11/12: new content
+    // duplicated within the batch; 13: genuinely new; 14: dup of a
+    // corpus doc AND of batch doc 10 — dup_corpus must win
+    val batch = docs((10L, "ALPHA"), (11L, "gamma"), (12L, "gamma"),
+      (13L, "delta"), (14L, "alpha"))
+    val r = Dedup.incrementalExact(corpus, batch)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[String]("status")).toMap
+    assert(r == Map(10L -> "dup_corpus", 11L -> "new", 12L -> "dup_batch",
+      13L -> "new", 14L -> "dup_corpus"))
+  }
+
   test("minhash LSH finds identical and near-identical docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
