@@ -13,7 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
   * Registered functions:
   *  - `cosine_sim(array<double>, array<double>) -> double`
   *    ([[CosineSimilarity]], codegen'd fused loop);
-  *  - `hash60(string) -> long` ([[Hash60]], fused md5-prefix hash).
+  *  - `hash60(string) -> long` ([[Hash60]], fused md5-prefix hash);
+  *  - `hyperplane_bucket(array<double>, planes, maxDim) -> long`
+  *    ([[HyperplaneBucket]], fused LSH sign-bit loop — one Catalyst
+  *    node instead of a planes x maxDim unrolled term tree).
   *
   * Registered planner strategy:
   *  - [[AsOfJoinStrategy]], planning the whole-operator
@@ -36,6 +39,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         val Seq(a, b) = children.map(Cast(_, ArrayType(DoubleType)))
         CosineSimilarity(a, b)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "hyperplane_bucket takes (vector, planes, maxDim)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_bucket: $what must be an int literal, got $other")
+        }
+        HyperplaneBucket(Cast(children.head, ArrayType(DoubleType)),
+          intLit(children(1), "planes"), intLit(children(2), "maxDim"))
       }))
     ext.injectFunction((
       FunctionIdentifier("hash60"),

@@ -91,31 +91,40 @@ object Similarity {
     *
     * Plane components are ROW-INDEPENDENT, so they are precomputed
     * driver-side ([[Text.hash60Literal]] is bit-identical to the
-    * hash60 expression — bucket ids are unchanged) and the per-row
-    * work is an unrolled, fully codegen'd dot product: `maxDim` ×
-    * `planes` multiply-adds per row instead of an interpreted HOF
-    * lambda computing an md5 PER ELEMENT (3.3 s → 1.0 s best-of-3 on
-    * the sf0.1 bench, the residual being fixed scan/job cost — the
-    * per-row win grows with corpus size). `try_element_at` makes
-    * positions beyond a short
-    * vector contribute 0, matching the old fold's bounds; vectors
-    * LONGER than `maxDim` would silently truncate, so a plan-level
-    * assertion rejects them. */
+    * hash60 expression — bucket ids are unchanged). The per-row work
+    * is the native [[graft.plans.HyperplaneBucket]] expression when
+    * the extensions are installed — ONE Catalyst node with a fused
+    * codegen loop. The unrolled composable fallback is bit-identical
+    * but its planes x maxDim term tree (512 nodes at 8x64) costs
+    * ~0.5 s of analyzer/optimizer time per query, which dominated
+    * the v4 bench (data executes in microseconds at any dim); both
+    * paths fail loud on vectors longer than `maxDim` (the native
+    * expression throws, the fallback embeds an assert_true). */
+  private def bucketCol(df: DataFrame, vec: Column, planes: Int,
+      maxDim: Int): Column =
+    if (df.sparkSession.catalog.functionExists("hyperplane_bucket"))
+      call_function("hyperplane_bucket", vec, lit(planes), lit(maxDim))
+    else {
+      val w = graft.plans.HyperplaneBucket.weights(planes, maxDim)
+      val bits = (0 until planes).map { p =>
+        val dot = (0 until maxDim).map { j =>
+          coalesce(try_element_at(vec, lit(j + 1)) * lit(w(p * maxDim + j)),
+            lit(0.0))
+        }.reduce(_ + _)
+        when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+      }
+      when(assert_true(size(vec) <= maxDim,
+        lit(s"hyperplaneBuckets: vector dim exceeds maxDim=$maxDim")).isNull,
+        bits.reduce(_ + _))
+    }
+
+  /** (id, bucket) per corpus vector — see [[bucketCol]]. */
   def hyperplaneBuckets(corpus: DataFrame, planes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxDim: Int = 64): DataFrame = {
     val v = asDouble(col(vecCol))
-    val bucketBits = (0 until planes).map { p =>
-      val dot = (0 until maxDim).map { j =>
-        val w = (Text.hash60Literal(s"$p|$j") % 2001 - 1000).toDouble / 1000.0
-        coalesce(try_element_at(v, lit(j + 1)) * lit(w), lit(0.0))
-      }.reduce(_ + _)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    corpus
-      .filter(assert_true(size(v) <= maxDim,
-        lit(s"hyperplaneBuckets: vector dim exceeds maxDim=$maxDim")).isNull)
-      .select(col(idCol).as("id"), bucketBits.reduce(_ + _).as("bucket"))
+    corpus.select(col(idCol).as("id"),
+      bucketCol(corpus, v, planes, maxDim).as("bucket"))
   }
 
   /** K-means training for IVF cells: deterministic id-stride init
@@ -277,12 +286,16 @@ object Similarity {
       planes: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val buckets = hyperplaneBuckets(corpus, planes, idCol, vecCol)
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
-      .join(buckets.withColumnRenamed("id", "nid"), "nid")
-    val q = corpus.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-      .join(buckets.withColumnRenamed("id", "qid"), "qid")
-      .join(queries.select(col(idCol).as("qid")), "qid")
+    // bucket is computed IN the corpus/query projections — no
+    // (corpus ⋈ own-buckets) self-joins: the old shape scanned the
+    // corpus four times and shuffled it twice for a column that's a
+    // pure per-row function of the vector
+    val v = asDouble(col(vecCol))
+    val c = corpus.select(col(idCol).as("nid"), v.as("nv"),
+      bucketCol(corpus, v, planes, 64).as("bucket"))
+    val q = corpus.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("qid"), v.as("qv"),
+        bucketCol(corpus, v, planes, 64).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosineCol(corpus, col("qv"), col("nv")).as("cos"))
