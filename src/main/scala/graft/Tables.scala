@@ -10,15 +10,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as long
-    * (spark.sql.legacy.parquet.nanosAsLong) and convert to a proper
+  /** Some driver-generated parquet snapshots store event timestamps as
+    * TIMESTAMP(NANOS), which Spark's vectorized parquet reader rejects;
+    * newer snapshots store TIMESTAMP(MICROS), which reads natively.
+    * Handle both: enable nanosAsLong (harmless for micros files), then
+    * convert any column that actually materialized as a long back to a
     * micros timestamp — second/day granularity is all the engine needs. */
   private def loadNanos(s: SparkSession, dir: String, name: String,
       tsCols: Seq[String]): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsCols.foldLeft(load(s, dir, name)) { (df, c) =>
-      df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+    val df0 = load(s, dir, name)
+    tsCols.foldLeft(df0) { (df, c) =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case _ => df // already a timestamp — read natively
+      }
     }
   }
 
