@@ -49,11 +49,11 @@ object Bench {
     "d9_semantic_dedup",
     // similarity family
     "v1_ann_bruteforce", "v3_lsh_buckets", "v4_ann_lsh", "v5_ann_ivf",
-    "v6_sq_quantize", "v7_rrf_fusion",
+    "v6_sq_quantize", "v7_rrf_fusion", "v8_pq_adc",
     // text pipeline
     "t1_token_stats", "t4_fingerprint", "t6_quality_rules", "t10_frequent_terms",
     "t13_repetition", "t14_pack", "t15_chunk_spans", "t16_contamination",
-    "t17_ttr", "t18_source_budget",
+    "t17_ttr", "t18_source_budget", "t19_bm25", "o13_zorder",
     // multimodal plumbing
     "m1_multimodal_decode", "m2_frame_sample")
 

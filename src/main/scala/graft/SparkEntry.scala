@@ -701,6 +701,44 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- V8: product-quantization ANN with asymmetric distance —
+    // the corpus compresses to m integer codes per vector (THE
+    // billion-scale index layout); queries broadcast per-subspace
+    // distance tables into one scan of the codes ----
+    "v8_pq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annPqAdc(e, e.filter(col("vec_id") < 10),
+          k = 5, m = 4, subDim = 16, stride = 31)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- T19: Okapi BM25 top-k retrieval (k1=1.2, b=0.75) — tf
+    // saturation + doc-length normalization as exact integer ratios,
+    // idf floored to thousandths, so the per-doc score sum is
+    // engine-exact in any shuffle order ----
+    "t19_bm25" -> ((s, d) =>
+      Text.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("hash", "scan", "merge", "table"), k = 10)),
+
+    // ---- O13: Z-order layout key — interleave (custkey, order-day)
+    // bits and bucket by key prefix; per-bucket min/max of BOTH
+    // dimensions stay narrow, which is exactly the file-footer
+    // pruning a Z-sorted 100 TB table gets on either predicate ----
+    "o13_zorder" -> ((s, d) => {
+      import graft.operators.Layout
+      val o = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(256)).cast("long").as("d1"),
+        pmod(datediff(to_date(col("o_orderdate")), lit("1992-01-01")),
+          lit(256)).cast("long").as("d2"))
+      o.select(Layout.zOrder2(col("d1"), col("d2"), 8).as("zkey"),
+          col("d1"), col("d2"))
+        .groupBy(shiftright(col("zkey"), 10).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min("d1").as("min_d1"), max("d1").as("max_d1"),
+          min("d2").as("min_d2"), max("d2").as("max_d2"))
+        .orderBy("bucket")
+    }),
+
     // ---- T13: repetition signals (Gopher rep/dup fractions) —
     // duplicate-token and top-bigram coverage permille per document ----
     "t13_repetition" -> ((s, d) =>
@@ -2531,6 +2569,89 @@ object SparkEntry {
         |       FROM cand)
         |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
         |FROM rr WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "v8_pq_adc" ->
+      """WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+        |cb AS (
+        |  SELECT m, vec_id AS cw,
+        |         list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16) AS cv
+        |  FROM embeddings CROSS JOIN ms WHERE vec_id % 31 = 0),
+        |sub AS (
+        |  SELECT vec_id AS id, m,
+        |         list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16) AS sv
+        |  FROM embeddings CROSS JOIN ms),
+        |ed AS (
+        |  SELECT s.id, s.m, c.cw,
+        |         CAST(FLOOR(1000000.0 * list_distance(s.sv, c.cv)
+        |           * list_distance(s.sv, c.cv)) AS BIGINT) AS dist
+        |  FROM sub s JOIN cb c USING (m)),
+        |enc AS (
+        |  SELECT id, m, cw,
+        |         ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist, cw) AS rk
+        |  FROM ed),
+        |codes AS (SELECT id, m, cw AS code FROM enc WHERE rk = 1),
+        |dt AS (SELECT id AS qid, m, cw, dist FROM ed WHERE id < 10),
+        |adc AS (
+        |  SELECT d.qid, c.id AS nid, CAST(SUM(d.dist) AS BIGINT) AS adc
+        |  FROM codes c JOIN dt d ON c.m = d.m AND c.code = d.cw
+        |  WHERE c.id <> d.qid GROUP BY 1, 2),
+        |rr AS (SELECT qid, nid,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+        |       FROM adc)
+        |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
+        |FROM rr WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "t19_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |totals AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents) t
+        |  WHERE term IN ('hash', 'scan', 'merge', 'table')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    (CAST(FLOOR(1000 * LN((n_docs - df + 0.5) / (df + 0.5) + 1)) AS BIGINT)
+        |      * (44 * sum_dl * tf))
+        |    // (20 * sum_dl * tf + 6 * sum_dl + 18 * n_docs * dl) AS s
+        |  FROM tf JOIN dfreq USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN totals),
+        |agg AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+        |        FROM scored GROUP BY 1
+        |        ORDER BY score DESC, doc_id LIMIT 10)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS "rank",
+        |  score
+        |FROM agg ORDER BY "rank"""".stripMargin,
+
+    "o13_zorder" ->
+      """WITH dims AS (
+        |  SELECT o_custkey % 256 AS d1,
+        |         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS d2
+        |  FROM orders),
+        |z AS (
+        |  SELECT d1, d2, CAST(
+        |      ((d1 >> 0) & 1) * 1     + ((d2 >> 0) & 1) * 2
+        |    + ((d1 >> 1) & 1) * 4     + ((d2 >> 1) & 1) * 8
+        |    + ((d1 >> 2) & 1) * 16    + ((d2 >> 2) & 1) * 32
+        |    + ((d1 >> 3) & 1) * 64    + ((d2 >> 3) & 1) * 128
+        |    + ((d1 >> 4) & 1) * 256   + ((d2 >> 4) & 1) * 512
+        |    + ((d1 >> 5) & 1) * 1024  + ((d2 >> 5) & 1) * 2048
+        |    + ((d1 >> 6) & 1) * 4096  + ((d2 >> 6) & 1) * 8192
+        |    + ((d1 >> 7) & 1) * 16384 + ((d2 >> 7) & 1) * 32768
+        |    AS BIGINT) AS zkey
+        |  FROM dims)
+        |SELECT zkey // 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       MIN(d1) AS min_d1, MAX(d1) AS max_d1,
+        |       MIN(d2) AS min_d2, MAX(d2) AS max_d2
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "t13_repetition" ->
       """WITH t AS (

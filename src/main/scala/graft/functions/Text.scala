@@ -244,6 +244,56 @@ object Text {
         least(lit(size.toLong), col("n") - col("chunk_id") * stride).as("n_tok"))
   }
 
+  /** Okapi BM25 ranking of documents against a bag of query terms
+    * (k1 = 1.2, b = 0.75), arranged so every cross-engine-compared
+    * value is an INTEGER:
+    *  - idf is floored to thousandths once per term:
+    *    `idf_x1000 = floor(1000 * ln((N - df + 0.5)/(df + 0.5) + 1))`
+    *    (the only float op; one value per query term);
+    *  - the tf saturation term is multiplied through by `20 * Σdl`
+    *    so it is a ratio of exact longs:
+    *    `tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`
+    *    = `44*Σdl*tf / (20*Σdl*tf + 6*Σdl + 18*N*dl)`;
+    *  - the per-(doc, term) score is an integer division of the two,
+    *    so the per-doc SUM over terms commutes — engine-exact no
+    *    matter the shuffle order (a double sum would not be).
+    *
+    * Scale posture: doc lengths are one map-only projection; the
+    * token stream is filtered to the query terms BEFORE the (doc,
+    * term) aggregate, so tf rows ∝ matches, not corpus tokens; df and
+    * the corpus totals are tiny aggregates broadcast back; the final
+    * top-k is TakeOrderedAndProject. One shuffle on doc id end to
+    * end. Returns the top-`k` docs: (doc_id, rank, score). */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String],
+      k: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = array(queryTerms.map(lit): _*)
+    val dl = df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = df.select(col(idCol),
+        explode(filter(tokens(col(textCol)), t => array_contains(terms, t)))
+          .as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = floor(lit(1000.0) *
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .cast("long")
+    val num = lit(44L) * col("sum_dl") * col("tf")
+    val den = lit(20L) * col("sum_dl") * col("tf") +
+      lit(6L) * col("sum_dl") + lit(18L) * col("n_docs") * col("dl")
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), (idf * num).as("sa"), den.as("sb"))
+      .select(col(idCol), expr("sa div sb").as("s"))
+      .groupBy(idCol).agg(sum("s").as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("score"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * packs. Deterministic next-fit by id order WITHIN each shard: a
     * document's pack is its starting token offset div `budget`

@@ -318,6 +318,100 @@ object Similarity {
         floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)).cast("long")))
   }
 
+  /** Squared L2 distance between two array<double> columns, scaled to
+    * an exact integer: `floor(1e6 * d * d)` where `d` is the Euclidean
+    * distance computed as sqrt-of-ordered-sum — the same shape DuckDB's
+    * `list_distance` uses, so the double is reproducible cross-engine
+    * and the floor makes every downstream SUM order-independent
+    * (integer adds commute; double adds don't). */
+  def sqDistInt(a: Column, b: Column): Column = {
+    val d = sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _))
+    floor(lit(1000000.0) * d * d).cast("long")
+  }
+
+  /** Product-quantization codebooks: the `dim`-wide vector space is
+    * split into `m` orthogonal `dim/m`-wide subspaces, and each
+    * subspace gets its own codeword set — a deterministic id-stride
+    * sample of the corpus restricted to that subspace (production
+    * would k-means each subspace exactly like [[kmeansCentroids]];
+    * the index/search dataflow is identical). Output:
+    * (m, cw, cv: array<double>) — at most a few hundred rows, always
+    * broadcast. */
+  def pqCodebook(corpus: DataFrame, m: Int = 4, subDim: Int = 16,
+      stride: Int = 31, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subs = array((0 until m).map(i =>
+      slice(asDouble(col(vecCol)), 1 + subDim * i, subDim)): _*)
+    corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("cw"), posexplode(subs).as(Seq("m", "cv")))
+      .select(col("m"), col("cw"), col("cv"))
+  }
+
+  /** PQ encode: each corpus vector becomes `m` small integer codes —
+    * per subspace, the id of its nearest codeword (squared-L2 argmin,
+    * ties to the lower codeword id, one `min_by` hash aggregate).
+    *
+    * THIS is the 100 TB ANN index: an encoded vector is m longs
+    * (m bytes in production) instead of dim floats — a 64-dim float
+    * corpus compresses 64x, so the search-time scan reads codes, not
+    * vectors. Encoding is one pass: subvectors explode (m rows per
+    * vector), meet the BROADCAST codebook, and the argmin combines
+    * map-side — the corpus never shuffles its raw vectors. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int = 4,
+      subDim: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subs = array((0 until m).map(i =>
+      slice(asDouble(col(vecCol)), 1 + subDim * i, subDim)): _*)
+    corpus.select(col(idCol).as("id"), posexplode(subs).as(Seq("m", "sv")))
+      .join(broadcast(codebook), "m")
+      .select(col("id"), col("m"),
+        struct(sqDistInt(col("sv"), col("cv")).as("d"), col("cw")).as("dc"))
+      .groupBy("id", "m")
+      .agg(min(col("dc")).as("best"))
+      .select(col("id"), col("m"), col("best.cw").as("code"))
+  }
+
+  /** ANN via PQ + asymmetric distance computation (ADC): queries stay
+    * un-quantized; each query precomputes a tiny distance table —
+    * its squared L2 to every codeword in every subspace — and a
+    * corpus vector's approximate distance is the SUM over subspaces
+    * of the table entry its code points at (the standard IVF-ADC
+    * search kernel, cf. Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011).
+    *
+    * Scale posture: the distance table is |q| * m * |codebook| rows —
+    * kilobytes — and BROADCASTS into the code-table scan, so search
+    * is one pass over the compressed codes with a map-side-combining
+    * (query, neighbor) sum; raw vectors are touched only for the
+    * queries. Distances are integers ([[sqDistInt]]) so the
+    * cross-subspace sum is engine-exact. Output like
+    * [[annBruteForce]]: (query_id, rank, neighbor); recall < 1 by
+    * construction (quantization error, tuned via m x codebook size). */
+  def annPqAdc(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      m: Int = 4, subDim: Int = 16, stride: Int = 31,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = pqCodebook(corpus, m, subDim, stride, idCol, vecCol)
+    val codes = pqEncode(corpus, cb, m, subDim, idCol, vecCol)
+    val subs = array((0 until m).map(i =>
+      slice(asDouble(col(vecCol)), 1 + subDim * i, subDim)): _*)
+    val dtable = queries
+      .select(col(idCol).as("qid"), posexplode(subs).as(Seq("m", "qv")))
+      .join(broadcast(cb), "m")
+      .select(col("qid"), col("m"), col("cw"),
+        sqDistInt(col("qv"), col("cv")).as("d"))
+    val adc = codes.join(broadcast(dtable),
+        codes("m") === dtable("m") && codes("code") === dtable("cw"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(sum("d").as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (RRF).
     *
     * Two independent rankers — lexical (occurrences of the query

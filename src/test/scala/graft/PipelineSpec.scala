@@ -538,4 +538,81 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d2 = r.find(_._1 == 2L).get
     assert(d2._3 == 0 && d2._4 == 2 && d2._2 == 100000L / 62)
   }
+
+  test("PQ/ADC: codes are deterministic, neighbors stay in the true cluster") {
+    val s = spark; import s.implicits._
+    // 3 tight clusters along axes 0/1/2 of an 8-dim space (same shape
+    // as the IVF fixture): quantization error is within-cluster noise,
+    // so every ADC neighbor of a cluster member must be a cluster mate
+    def vec(cluster: Int, i: Int): Array[Float] = {
+      val base = Array.fill(8)(0.0f)
+      base(cluster) = 10.0f
+      (0 until 8).map(j =>
+        base(j) + (((cluster * 131 + i * 17 + j * 7) % 11) - 5) * 0.05f).toArray
+    }
+    val rows = for (c <- 0 until 3; i <- 0 until 20)
+      yield ((c * 20 + i).toLong, vec(c, i))
+    val e = rows.toDF("vec_id", "embedding")
+    val queries = e.filter(col("vec_id").isin(0L, 25L, 50L))
+    val ann = Similarity.annPqAdc(e, queries, k = 5, m = 4, subDim = 2,
+      stride = 19).collect()
+    assert(ann.length == 15) // 3 queries x k
+    ann.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor")
+      assert(q / 20 == n / 20, s"neighbor $n left query $q's cluster")
+    }
+    // encode is pure: same corpus + codebook -> identical codes
+    val cb = Similarity.pqCodebook(e, m = 4, subDim = 2, stride = 19)
+    val enc = () => Similarity.pqEncode(e, cb, m = 4, subDim = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(enc() == enc())
+    // a codeword vector's own subvector encodes to itself (distance 0)
+    val self = Similarity.pqEncode(e.filter(col("vec_id") === 19L), cb,
+      m = 4, subDim = 2).collect()
+    assert(self.forall(_.getLong(2) == 19L))
+  }
+
+  test("zOrder2 interleaves bits exactly") {
+    import graft.operators.Layout
+    val s = spark; import s.implicits._
+    val r = Seq((10L, 6L), (255L, 0L), (0L, 255L), (255L, 255L), (0L, 0L))
+      .toDF("a", "b")
+      .select(Layout.zOrder2(col("a"), col("b"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // 10=1010b even positions, 6=0110b odd positions -> 1101100b = 108
+    assert(r == Seq(108L, 21845L, 43690L, 65535L, 0L))
+    // locality: the bucket prefix bounds BOTH dims' spread (the
+    // pruning property — keys sharing high bits share dim ranges)
+    val z255 = (0 until 256).flatMap(a => (0 until 256).map(b => (a.toLong, b.toLong)))
+    val buckets = z255.toDF("a", "b")
+      .select(col("a"), col("b"),
+        org.apache.spark.sql.functions.shiftright(
+          Layout.zOrder2(col("a"), col("b"), 8), 10).as("bkt"))
+      .groupBy("bkt")
+      .agg((max("a") - min("a")).as("wa"), (max("b") - min("b")).as("wb"))
+      .collect()
+    assert(buckets.length == 64)
+    // bucket prefix = top 6 key bits = top 3 bits of EACH dim fixed,
+    // so both dims' spreads are bounded by 2^5 - 1 within any bucket
+    assert(buckets.forall(r => r.getLong(1) <= 31 && r.getLong(2) <= 31))
+  }
+
+  test("bm25: hand-computed integer scores and ranking") {
+    val d = docs(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana"),
+      (4L, "durian fig"))
+    // N=4, sum_dl=10, df(apple)=df(banana)=2
+    // idf_x1000 = floor(1000*ln((4-2+0.5)/2.5 + 1)) = floor(1000*ln 2) = 693
+    // s = (693 * 44*10*tf) div (20*10*tf + 60 + 72*dl)
+    //   d1: apple tf=2 dl=3 -> 609840 div 676 = 902
+    //       banana tf=1 dl=3 -> 304920 div 476 = 640   => 1542
+    //   d2: apple tf=1 dl=2 -> 304920 div 404 = 754    => 754
+    //   d3: banana tf=3 dl=3 -> 914760 div 876 = 1044  => 1044
+    //   d4: no query terms -> absent
+    val r = Text.bm25(d, "doc_id", "text", Seq("apple", "banana"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 1, 1542L), (3L, 2, 1044L), (2L, 3, 754L)))
+  }
 }
