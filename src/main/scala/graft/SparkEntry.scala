@@ -693,6 +693,14 @@ object SparkEntry {
       Fuzzy.levenshteinPairs(Tables.documents(s, d))
         .orderBy("id1", "id2")),
 
+    // ---- D8: exact-substring dedup spans (Lee et al. 2022) — maximal
+    // token spans whose every 8-gram repeats somewhere in the corpus;
+    // suffix-array semantics as two shuffles (digest-count window +
+    // per-doc gaps-and-islands) ----
+    "d8_substring_spans" -> ((s, d) =>
+      Dedup.substringSpans(Tables.documents(s, d), n = 8)
+        .orderBy("doc_id", "span_id")),
+
     // ---- V5: IVF ANN — centroid cells + nprobe search (scale path) ----
     "v5_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -2546,6 +2554,39 @@ object SparkEntry {
         |FROM kk a JOIN kk b ON a.block = b.block AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.key, b.key) <= 10
         |ORDER BY id1, id2""".stripMargin,
+
+    "d8_substring_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |         md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS key
+        |  FROM t CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(0, len(toks) - 8)) AS i) u
+        |  WHERE len(toks) >= 8),
+        |hits AS (
+        |  SELECT doc_id, pos,
+        |         COUNT(*) OVER (PARTITION BY key) AS copies
+        |  FROM g QUALIFY copies >= 2),
+        |flg AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+        |         THEN 0 ELSE 1 END AS gap
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flg),
+        |spans AS (
+        |  SELECT doc_id, island, CAST(MIN(pos) AS BIGINT) AS start_pos,
+        |         CAST(MAX(pos) + 7 AS BIGINT) AS end_pos
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_pos)
+        |    AS INTEGER) AS span_id,
+        |  start_pos, end_pos, end_pos - start_pos + 1 AS n_tok
+        |FROM spans ORDER BY doc_id, span_id""".stripMargin,
 
     "v5_ann_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 43 = 0),

@@ -466,10 +466,11 @@ object Dedup {
       .agg(count(lit(1)).as("copies"), min("id").as("canonical"))
       .filter(col("copies") > 1)
 
-  /** The gram pipeline shared by [[lineDedup]] (stride = n chunks) and
-    * [[slidingGramHashes]] (stride 1): posexplode + lead windows build
-    * n-token grams codegen'd; only (id, 32-hex digest) rows leave the
-    * window — the gram text never shuffles. NOT distinct: callers
+  /** The gram pipeline shared by [[lineDedup]] (stride = n chunks),
+    * [[slidingGramHashes]] (stride 1), and [[substringSpans]]
+    * (stride 1, positions kept): posexplode + lead windows build
+    * n-token grams codegen'd; only (id, pos, 32-hex digest) rows leave
+    * the window — the gram text never shuffles. NOT distinct: callers
     * choose (lineDedup counts copies; decontamination distincts). */
   private def gramDigests(docs: DataFrame, n: Int, stride: Int,
       textCol: String, idCol: String): DataFrame = {
@@ -482,7 +483,50 @@ object Dedup {
       .select(col("id") +: col("pos") +: col("tok") +: leads: _*)
       .filter(pmod(col("pos"), lit(stride)) === 0 &&
         col(s"t${n - 1}").isNotNull)
-      .select(col("id"), md5(concat_ws(" ", parts: _*)).as("key"))
+      .select(col("id"), col("pos"), md5(concat_ws(" ", parts: _*)).as("key"))
+  }
+
+  /** Exact-substring dedup spans (the Lee et al. 2022 "Deduplicating
+    * Training Data" pass, re-expressed relationally): for every
+    * document, the maximal token spans every position of which starts
+    * an n-token gram that occurs AT LEAST TWICE in the corpus —
+    * including a second time in the same document, matching the
+    * suffix-array formulation (any repeated substring is a dup, not
+    * just cross-document ones). Downstream consumers cut or count
+    * these spans.
+    *
+    * The suffix-array machinery dissolves into two shuffles:
+    *  1. duplicate marking — a COUNT window keyed on the gram digest
+    *     (one shuffle on the 32-hex key; no self-join, and map-side
+    *     the digest rows are all that move, never gram text);
+    *  2. span assembly — per-document gaps-and-islands: overlapping
+    *     hit windows (consecutive start positions) merge via a
+    *     running gap-count, then one aggregate per island (one
+    *     shuffle on doc id, which also serves the final window).
+    * Output: (doc_id, span_id, start_pos, end_pos, n_tok), positions
+    * 0-based token indices, end inclusive. */
+  def substringSpans(docs: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy("key")
+    val wd = Window.partitionBy("id").orderBy("pos")
+    val hits = gramDigests(docs, n, stride = 1, textCol, idCol)
+      .withColumn("copies", count(lit(1)).over(wk))
+      .filter(col("copies") >= 2)
+    val islands = hits
+      .withColumn("gap",
+        when(col("pos") - lag("pos", 1).over(wd) === 1, 0).otherwise(1))
+      .withColumn("island", sum("gap").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("island"))
+      .agg(min("pos").as("start_pos"),
+        (max("pos") + (n - 1)).as("end_pos"))
+    islands
+      .withColumn("span_id", row_number().over(
+        Window.partitionBy("id").orderBy("start_pos")))
+      .select(col("id").as(idCol), col("span_id"),
+        col("start_pos").cast("long"), col("end_pos").cast("long"),
+        (col("end_pos") - col("start_pos") + 1).cast("long").as("n_tok"))
   }
 
   /** Distinct sliding n-token-gram digests per document — the
@@ -490,7 +534,8 @@ object Dedup {
     * [[lineDedup]] for the stride-n chunk form). */
   def slidingGramHashes(docs: DataFrame, n: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    gramDigests(docs, n, stride = 1, textCol, idCol).distinct()
+    gramDigests(docs, n, stride = 1, textCol, idCol)
+      .select("id", "key").distinct()
 
   /** Benchmark decontamination: which EVAL documents share at least
     * one sliding n-token gram with ANY train document, and how many

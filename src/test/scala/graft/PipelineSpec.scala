@@ -572,6 +572,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(self.forall(_.getLong(2) == 19L))
   }
 
+  test("substringSpans: cross-doc overlap, within-doc repeats, maximal merge") {
+    val d = docs(
+      (1L, "p q r s t u v w z1 z2"),       // shares one 8-gram with doc 2
+      (2L, "m n p q r s t u v w k"),       // same gram at pos 2
+      (3L, "a a a a a a a a a a"),         // self-repeating: 3 windows merge
+      (4L, "only unique tokens here now")) // no 8-gram at all
+    val r = graft.dedup.Dedup.substringSpans(d, n = 8)
+      .orderBy("doc_id", "span_id")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSeq
+    assert(r == Seq(
+      (1L, 1, 0L, 7L, 8L),   // [p..w] at positions 0-7
+      (2L, 1, 2L, 9L, 8L),   // [p..w] at positions 2-9
+      (3L, 1, 0L, 9L, 10L))) // windows 0,1,2 merge to one span over all 10
+  }
+
   test("zOrder2 interleaves bits exactly") {
     import graft.operators.Layout
     val s = spark; import s.implicits._

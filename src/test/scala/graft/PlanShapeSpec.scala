@@ -96,4 +96,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
     }
   }
+
+  test("v8 PQ search: codebook + distance tables broadcast, codes never sort-merge") {
+    val p = plan("v8_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), s"v8 lost its broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"code-table scan degraded to a shuffled join in v8:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in v8:\n$p")
+  }
+
+  test("t19 BM25 ends in top-k; dictionary joins stay broadcast") {
+    val p = plan("t19_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"t19 lost its top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t19:\n$p")
+  }
+
+  test("o13 z-order is pure projection + one aggregate (no joins, no windows)") {
+    val p = plan("o13_zorder")
+    assert(!p.contains("Join"), s"join crept into o13:\n$p")
+    assert(!p.contains("Window"), s"window crept into o13:\n$p")
+    // one shuffle for the bucket aggregate + one range partition for
+    // the final ORDER BY — anything more means the key stopped fusing
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 2, s"o13 grew extra shuffles ($exchanges):\n$p")
+  }
 }
