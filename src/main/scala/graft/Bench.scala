@@ -17,7 +17,7 @@ object Bench {
     "a1_daily_fact", "a2_sum_groupby", "a3_grand_total", "a5_lifetime_mv",
     "a9_running_avg", "a10_cumulative", "a11_rollup", "a12_median",
     "a13_histogram", "a14_approx_distinct", "a16_salted_agg",
-    "a17_grouping_sets", "a18_approx_quantiles",
+    "a17_grouping_sets", "a18_approx_quantiles", "s11_profile",
     "o2_limit_offset", "o3_topn", "o5_data_min", "o6_pivot", "o7_string_agg",
     "o8_ntile", "o9_group_topn", "o11_weighted_sample", "a8_like_finder",
     // joins

@@ -1498,6 +1498,17 @@ object SparkEntry {
         .groupBy(col("value")).agg(sum("count").as("total"))
         .orderBy("value")),
 
+    // ---- S11: single-pass table profiling (ANALYZE shape) — all
+    // columns' stats in ONE scan; exact ndv here (oracle-gated),
+    // approx_count_distinct is the 100 TB path ----
+    "s11_profile" -> ((s, d) =>
+      graft.functions.Profile.profile(
+          Tables.orders(s, d)
+            .withColumn("o_orderdate", to_date(col("o_orderdate"))),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_orderpriority"))
+        .orderBy("column")),
+
     // ---- O4: collation-aware ordering (case-insensitive) + limit ----
     "o4_collated_order" -> ((s, d) =>
       Tables.customer(s, d)
@@ -3397,6 +3408,42 @@ object SparkEntry {
         |  FROM da)
         |SELECT value, CAST(COUNT(*) AS BIGINT) AS total
         |FROM statuses GROUP BY 1 ORDER BY value""".stripMargin,
+
+    "s11_profile" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |  FROM orders),
+        |p AS (
+        |  SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+        |         COUNT(o_orderkey) AS n_nonnull,
+        |         COUNT(DISTINCT o_orderkey) AS ndv,
+        |         CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+        |         CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM o
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+        |         COUNT(DISTINCT o_custkey),
+        |         CAST(MIN(o_custkey) AS VARCHAR),
+        |         CAST(MAX(o_custkey) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+        |         COUNT(DISTINCT o_orderstatus),
+        |         CAST(MIN(o_orderstatus) AS VARCHAR),
+        |         CAST(MAX(o_orderstatus) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+        |         COUNT(DISTINCT o_orderdate),
+        |         CAST(MIN(o_orderdate) AS VARCHAR),
+        |         CAST(MAX(o_orderdate) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+        |         COUNT(DISTINCT o_orderpriority),
+        |         CAST(MIN(o_orderpriority) AS VARCHAR),
+        |         CAST(MAX(o_orderpriority) AS VARCHAR) FROM o)
+        |SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_nonnull AS BIGINT) AS n_nonnull,
+        |       CAST(ndv AS BIGINT) AS ndv, min_s, max_s
+        |FROM p ORDER BY "column"""".stripMargin,
 
     "o4_collated_order" ->
       """SELECT c_custkey, c_name FROM customer

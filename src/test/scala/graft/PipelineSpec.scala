@@ -588,6 +588,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 1, 0L, 9L, 10L))) // windows 0,1,2 merge to one span over all 10
   }
 
+  test("profile: one-pass column stats, nulls counted, approx path works") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, Option("a")), (2L, Option("b")), (3L, None),
+      (4L, Option("b"))).toDF("id", "v")
+    val r = graft.functions.Profile.profile(d, Seq("id", "v"))
+      .orderBy("column").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("id", "v"))
+    val Array(idRow, vRow) = r
+    assert((idRow.getLong(1), idRow.getLong(2), idRow.getLong(3),
+      idRow.getString(4), idRow.getString(5)) == ((4L, 4L, 4L, "1", "4")))
+    assert((vRow.getLong(1), vRow.getLong(2), vRow.getLong(3),
+      vRow.getString(4), vRow.getString(5)) == ((4L, 3L, 2L, "a", "b")))
+    // approx path (the 100 TB variant): same shape, ndv within HLL error
+    val a = graft.functions.Profile.profile(d, Seq("id", "v"), exact = false)
+      .orderBy("column").collect()
+    assert(a.length == 2 && a.forall(x => x.getLong(3) >= 1))
+  }
+
   test("zOrder2 interleaves bits exactly") {
     import graft.operators.Layout
     val s = spark; import s.implicits._
