@@ -55,7 +55,7 @@ object Bench {
     "t13_repetition", "t14_pack", "t15_chunk_spans", "t16_contamination",
     "t17_ttr", "t18_source_budget", "t19_bm25", "o13_zorder",
     // multimodal plumbing
-    "m1_multimodal_decode", "m2_frame_sample")
+    "m1_multimodal_decode", "m2_frame_sample", "m3_frame_align")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -577,6 +577,27 @@ object SparkEntry {
             .filter(length(col("text")) === octet_length(col("text")))))
         .orderBy("media_id", "frame_no")),
 
+    // ---- M3: cross-modal frame alignment — two frame streams at
+    // different cadences (the audio/video sync problem) zip via the
+    // native as-of operator: each 64-byte keyframe attaches the most
+    // recent 48-byte frame at or before its byte offset ----
+    "m3_frame_align" -> ((s, d) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, d)
+        .filter(length(col("text")) === octet_length(col("text"))))
+      val a = Multimodal.sampleFrames(media, frameBytes = 64, everyN = 4)
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_a"),
+          (col("frame_no") * 64L).as("pts_a"))
+      val b = Multimodal.sampleFrames(media, frameBytes = 48, everyN = 3)
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_b"),
+          (col("frame_no") * 48L).as("pts_b"))
+      graft.operators.AsOfJoin.leftAsOfNative(s, a, b, key = "media_id",
+          ltime = "pts_a", lid = "frame_a", rtime = "pts_b", rid = "frame_b")
+        .select(col("media_id"), col("frame_a"), col("pts_a"),
+          col("frame_b"), col("pts_b"),
+          (col("pts_a") - col("pts_b")).as("lag"))
+        .orderBy("media_id", "frame_a")
+    }),
+
     // ---- T6: Gopher-style quality rules (integer flags) ----
     "t6_quality_rules" -> ((s, d) => {
       val t = col("text")
@@ -2465,6 +2486,28 @@ object SparkEntry {
         |WHERE length(text) = octet_length(encode(text))
         |  AND 64*i < length(text) AND i % 4 = 0
         |ORDER BY media_id, frame_no""".stripMargin,
+
+    "m3_frame_align" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(text) = octet_length(encode(text))),
+        |idx AS (SELECT unnest(generate_series(0,
+        |  (SELECT CAST(MAX(length(text)) / 48 AS INTEGER) + 1 FROM documents))) AS i),
+        |a AS (
+        |  SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_a,
+        |         CAST(64*i AS BIGINT) AS pts_a
+        |  FROM docs CROSS JOIN idx
+        |  WHERE 64*i < length(text) AND i % 4 = 0),
+        |b AS (
+        |  SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_b,
+        |         CAST(48*i AS BIGINT) AS pts_b
+        |  FROM docs CROSS JOIN idx
+        |  WHERE 48*i < length(text) AND i % 3 = 0)
+        |SELECT a.media_id, a.frame_a, a.pts_a, b.frame_b, b.pts_b,
+        |       a.pts_a - b.pts_b AS lag
+        |FROM a ASOF JOIN b
+        |  ON a.media_id = b.media_id AND a.pts_a >= b.pts_b
+        |ORDER BY a.media_id, frame_a""".stripMargin,
 
     "t6_quality_rules" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
