@@ -46,7 +46,7 @@ object Bench {
     // dedup family
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
     "d5_line_dedup", "d6_dedup_clusters", "d7_fuzzy_pairs",
-    "d8_substring_spans", "d9_semantic_dedup",
+    "d8_substring_spans", "d9_semantic_dedup", "d11_containment",
     // similarity family
     "v1_ann_bruteforce", "v3_lsh_buckets", "v4_ann_lsh", "v5_ann_ivf",
     "v6_sq_quantize", "v7_rrf_fusion", "v8_pq_adc",

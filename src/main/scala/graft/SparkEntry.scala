@@ -536,6 +536,14 @@ object SparkEntry {
         Tables.documents(s, d).filter(Text.tokenCount(col("text")) >= 3),
         num = 1, den = 2).orderBy("a", "b")),
 
+    // ---- D11: asymmetric containment — the small-doc-inside-big-doc
+    // dup Jaccard misses (Broder's containment); integer-permille
+    // score of the smaller profile's coverage ----
+    "d11_containment" -> ((s, d) =>
+      Dedup.containmentPairs(
+        Tables.documents(s, d).filter(Text.tokenCount(col("text")) >= 3),
+        thresholdPm = 800).orderBy("a", "b")),
+
     // ---- V: similarity search over embeddings ----
     "v1_ann_bruteforce" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -2409,6 +2417,27 @@ object SparkEntry {
          |WHERE i * 2 >= (sa.nsh + sb.nsh - i) * 1
          |ORDER BY a, b""".stripMargin,
 
+    "d11_containment" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |  WHERE len(string_split(lower(text), ' ')) >= 3),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> ${hex60("array_to_string(list_slice(toks, i, i + 2), ' ')")}))) AS s
+         |  FROM t),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b,
+         |  CAST((1000 * i) // least(sa.nsh, sb.nsh) AS BIGINT) AS cont_pm
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE (1000 * i) // least(sa.nsh, sb.nsh) >= 800
+         |ORDER BY a, b""".stripMargin,
+
     "v1_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (
@@ -2670,7 +2699,8 @@ object SparkEntry {
         |cb AS (
         |  SELECT m, vec_id AS cw,
         |         list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16) AS cv
-        |  FROM embeddings CROSS JOIN ms WHERE vec_id % 31 = 0),
+        |  FROM embeddings CROSS JOIN ms
+        |  WHERE vec_id % 31 = 0 AND vec_id < 31*16),
         |sub AS (
         |  SELECT vec_id AS id, m,
         |         list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16) AS sv

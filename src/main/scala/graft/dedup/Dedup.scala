@@ -616,4 +616,36 @@ object Dedup {
       .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
       .select(col("a"), col("b"))
   }
+
+  /** Asymmetric containment near-dup: pairs where the SMALLER
+    * document's shingle profile is ≥ thresholdPm/1000 contained in
+    * the other's — `C = |A∩B| / min(|A|, |B|)`. This is the web-scrape
+    * case Jaccard structurally misses: a page embedded verbatim in a
+    * boilerplate wrapper has tiny J (union ≈ the wrapper) but
+    * containment ≈ 1 (cf. Broder 1997's resemblance vs containment).
+    *
+    * Same inverted-index equi-join + overlap count as
+    * [[ngramJaccardNearDup]], with two deliberate differences:
+    * containment admits NO symmetric length filter (size-mismatched
+    * pairs are exactly the signal), so the join carries no size
+    * pruning — `maxPostingList` (stop-shingle removal) is the skew
+    * guard that matters; and the emitted score is an integer permille
+    * (`1000·inter div min`), engine-exact. Output (a, b, cont_pm). */
+  def containmentPairs(docs: DataFrame, thresholdPm: Int = 800,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxPostingList: Option[Int] = None): DataFrame = {
+    val capped =
+      capGroupSize(shingleHashes(docs, textCol, idCol), Seq("sh"), maxPostingList)
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val shingles = capped.join(sizes, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = shingles.as("x"); val y = shingles.as("y")
+    x.join(y, col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("x.nsh")).as("na"), first(col("y.nsh")).as("nb"))
+      .select(col("a"), col("b"),
+        expr("(1000 * inter) div least(na, nb)").as("cont_pm"))
+      .filter(col("cont_pm") >= thresholdPm)
+  }
 }

@@ -335,15 +335,22 @@ object Similarity {
     * subspace gets its own codeword set — a deterministic id-stride
     * sample of the corpus restricted to that subspace (production
     * would k-means each subspace exactly like [[kmeansCentroids]];
-    * the index/search dataflow is identical). Output:
-    * (m, cw, cv: array<double>) — at most a few hundred rows, always
-    * broadcast. */
+    * the index/search dataflow is identical).
+    *
+    * The codebook is CAPPED at `k` codewords per subspace regardless
+    * of corpus size — the defining PQ property (k=256 in production,
+    * one byte per code). An uncapped stride sample grows the codebook
+    * with the corpus and makes encoding O(n²/stride); measured on the
+    * sf0.1→sf1 rehearsal that turned a 1.6 s encode into 46 s, while
+    * the fixed-k codebook keeps it linear. Output:
+    * (m, cw, cv: array<double>) — m·k rows, always broadcast. */
   def pqCodebook(corpus: DataFrame, m: Int = 4, subDim: Int = 16,
-      stride: Int = 31, idCol: String = "vec_id",
+      stride: Int = 31, k: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val subs = array((0 until m).map(i =>
       slice(asDouble(col(vecCol)), 1 + subDim * i, subDim)): _*)
-    corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+    corpus.filter(pmod(col(idCol), lit(stride)) === 0 &&
+        col(idCol) < lit(stride.toLong * k))
       .select(col(idCol).as("cw"), posexplode(subs).as(Seq("m", "cv")))
       .select(col("m"), col("cw"), col("cv"))
   }
@@ -389,10 +396,10 @@ object Similarity {
     * [[annBruteForce]]: (query_id, rank, neighbor); recall < 1 by
     * construction (quantization error, tuned via m x codebook size). */
   def annPqAdc(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      m: Int = 4, subDim: Int = 16, stride: Int = 31,
+      m: Int = 4, subDim: Int = 16, stride: Int = 31, codebookK: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cb = pqCodebook(corpus, m, subDim, stride, idCol, vecCol)
+    val cb = pqCodebook(corpus, m, subDim, stride, codebookK, idCol, vecCol)
     val codes = pqEncode(corpus, cb, m, subDim, idCol, vecCol)
     val subs = array((0 until m).map(i =>
       slice(asDouble(col(vecCol)), 1 + subDim * i, subDim)): _*)

@@ -588,6 +588,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 1, 0L, 9L, 10L))) // windows 0,1,2 merge to one span over all 10
   }
 
+  test("containmentPairs catches small-in-big dups that Jaccard misses") {
+    val d = docs(
+      (1L, "a b c d e"),                 // 3 shingles, all inside doc 2
+      (2L, "x y a b c d e z w"),         // 7 shingles, 3 shared
+      (3L, "p q r s t"))                 // unrelated
+    val r = Dedup.containmentPairs(d, thresholdPm = 800)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 2L, 1000L))) // 3/min(3,7) = full containment
+    // the same pair fails Jaccard at 1/2: 3/(3+7-3) = 3/7
+    val j = Dedup.ngramJaccardNearDup(d, num = 1, den = 2).collect()
+    assert(!j.exists(x => x.getLong(0) == 1L && x.getLong(1) == 2L))
+  }
+
   test("profile: one-pass column stats, nulls counted, approx path works") {
     val s = spark; import s.implicits._
     val d = Seq((1L, Option("a")), (2L, Option("b")), (3L, None),
