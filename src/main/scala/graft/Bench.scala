@@ -53,7 +53,7 @@ object Bench {
     // text pipeline
     "t1_token_stats", "t4_fingerprint", "t6_quality_rules", "t10_frequent_terms",
     "t13_repetition", "t14_pack", "t15_chunk_spans", "t16_contamination",
-    "t17_ttr", "t18_source_budget", "t19_bm25", "o13_zorder",
+    "t17_ttr", "t18_source_budget", "t19_bm25", "t20_bigram_lm", "o13_zorder",
     // multimodal plumbing
     "m1_multimodal_decode", "m2_frame_sample", "m3_frame_align")
 

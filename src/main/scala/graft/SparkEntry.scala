@@ -749,6 +749,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- T20: corpus bigram-LM quality scoring (CCNet perplexity
+    // shape, self-trained) — per-doc avg negative log-likelihood,
+    // add-one smoothing, integer thousandths-of-a-nat ----
+    "t20_bigram_lm" -> ((s, d) =>
+      Text.bigramNll(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ---- T19: Okapi BM25 top-k retrieval (k1=1.2, b=0.75) — tf
     // saturation + doc-length normalization as exact integer ratios,
     // idf floored to thousandths, so the per-doc score sum is
@@ -2755,6 +2762,28 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS "rank",
         |  score
         |FROM agg ORDER BY "rank"""".stripMargin,
+
+    "t20_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS b
+        |  FROM t CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) u
+        |  WHERE len(toks) >= 2),
+        |uni AS (SELECT unnest(toks) AS w FROM t),
+        |c1 AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT w) AS v FROM uni),
+        |cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY 1),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    CAST(FLOOR(1000 * LN((cb.cb + 1.0) / (c1.cu + vv.v))) AS BIGINT) AS lp
+        |  FROM bg JOIN cb USING (b)
+        |  JOIN c1 ON c1.w = bg.w1
+        |  CROSS JOIN vv)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST((-SUM(lp)) // COUNT(*) AS BIGINT) AS nll_x1000
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "o13_zorder" ->
       """WITH dims AS (

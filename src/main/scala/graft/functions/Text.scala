@@ -294,6 +294,51 @@ object Text {
       .select(col(idCol), col("rank"), col("score"))
   }
 
+  /** Corpus-trained bigram-LM scoring (the CCNet/KenLM-style
+    * perplexity quality filter, self-contained): every document's
+    * average negative log-likelihood under an add-one-smoothed bigram
+    * model trained on the corpus itself —
+    * `p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)`.
+    * High nll = tokens in combinations the corpus never sees
+    * (gibberish, boilerplate soup); low = fluent under the corpus
+    * distribution.
+    *
+    * Engine-exactness, as in [[bm25]]: each bigram's log-prob is
+    * floored to thousandths of a nat ONCE (the only float op), so the
+    * per-doc SUM of longs commutes under any shuffle order, and the
+    * average is an integer division.
+    *
+    * Scale posture: the bigram and unigram count tables are
+    * vocabulary-sized (≪ corpus; broadcastable when the vocab is
+    * bounded, hash-join co-partitioned on the gram otherwise); the
+    * token stream shuffles once per count table and once for the
+    * per-doc aggregate. Returns (id, n_bigrams, nll_x1000) per
+    * document with ≥ 2 tokens. */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w1")))
+    val bg = toks.withColumn("w2", lead("w1", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("w1"),
+        concat_ws(" ", col("w1"), col("w2")).as("b"))
+    val uni = toks.groupBy(col("w1").as("w")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val cb = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+    bg.join(cb, "b")
+      .join(uni, col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        floor(lit(1000.0) * log((col("cb") + lit(1.0)) / (col("cu") + col("v"))))
+          .cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("(-slp) div n_bigrams").as("nll_x1000"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * packs. Deterministic next-fit by id order WITHIN each shard: a
     * document's pack is its starting token offset div `budget`

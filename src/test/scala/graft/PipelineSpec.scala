@@ -588,6 +588,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 1, 0L, 9L, 10L))) // windows 0,1,2 merge to one span over all 10
   }
 
+  test("bigramNll: hand-computed add-one-smoothed scores") {
+    val d = docs(
+      (1L, "a b a b"),  // bigrams: (a b) x2, (b a) x1
+      (2L, "a b"),      // bigram (a b)
+      (3L, "c"))        // single token: no bigram, excluded
+    // corpus: c(a)=3 c(b)=3 c(c)=1, V=3; c(a b)=3, c(b a)=1
+    // lp(a b) = floor(1000*ln(4/6))  = -406
+    // lp(b a) = floor(1000*ln(2/6))  = -1099
+    // d1: -(-406-1099-406) div 3 = 1911 div 3 = 637;  d2: 406
+    val r = Text.bigramNll(d, "doc_id", "text").orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 3L, 637L), (2L, 1L, 406L)))
+  }
+
   test("containmentPairs catches small-in-big dups that Jaccard misses") {
     val d = docs(
       (1L, "a b c d e"),                 // 3 shingles, all inside doc 2
