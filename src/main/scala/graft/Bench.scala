@@ -139,7 +139,9 @@ object Bench {
     val tracked = Seq("j1_set_join", "j2_grouping_join", "j5_bloom_semi",
       "d6_dedup_clusters", "h1_pricing_summary", "d2_minhash_lsh",
       "d4_ngram_jaccard", "v4_ann_lsh", "w8_sessionize", "x2_asof_native",
-      "h21_waiting_supplier", "a12_median", "o8_ntile", "t18_source_budget")
+      "h21_waiting_supplier", "a12_median", "o8_ntile", "t18_source_budget",
+      "v8_pq_adc", "t19_bm25", "t20_bigram_lm", "o13_zorder",
+      "d8_substring_spans", "d11_containment", "s11_profile", "m3_frame_align")
     val ordered = results.sortBy { case (k, _) =>
       val i = tracked.indexOf(k); if (i >= 0) i else tracked.length }
     val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","full":"$benchOut","queries":{"""

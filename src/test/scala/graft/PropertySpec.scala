@@ -252,4 +252,45 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  private val corpusGen: Gen[List[String]] = for {
+    nDocs <- Gen.choose(2, 8)
+    docs <- Gen.listOfN(nDocs, for {
+      len <- Gen.choose(0, 25)
+      toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c")) // tiny vocab: dups likely
+    } yield toks.mkString(" "))
+  } yield docs
+
+  test("substringSpans == brute-force repeated-gram islands on random corpora") {
+    val sp = spark; import sp.implicits._
+    val n = 3
+    forAllSeeded(corpusGen, n = 20) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // brute-force reference: mark every position whose n-gram occurs
+      // >= 2 times corpus-wide, then merge consecutive positions
+      val grams = docs.flatMap { case (id, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        (0 to toks.length - n).map(p => (id, p, toks.slice(p, p + n).mkString(" ")))
+      }
+      val counts = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+      val expected = grams.filter(g => counts(g._3) >= 2)
+        .groupBy(_._1).toSeq.flatMap { case (id, hs) =>
+          val ps = hs.map(_._2).sorted
+          val islands = ps.foldLeft(List.empty[List[Int]]) {
+            case (acc @ (cur :: rest), p) if p == cur.head + 1 => (p :: cur) :: rest
+            case (acc, p) => List(p) :: acc
+          }.map(_.reverse).reverse
+          islands.zipWithIndex.map { case (isl, k) =>
+            (id, k + 1, isl.head.toLong, (isl.last + n - 1).toLong,
+              (isl.last + n - isl.head).toLong)
+          }
+        }.sorted
+      val got = graft.dedup.Dedup.substringSpans(
+          docs.toDF("doc_id", "text"), n = n)
+        .orderBy("doc_id", "span_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got == expected, s"corpus: $texts")
+    }
+  }
 }
