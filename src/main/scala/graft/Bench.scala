@@ -49,7 +49,7 @@ object Bench {
     "d8_substring_spans", "d9_semantic_dedup", "d11_containment",
     // similarity family
     "v1_ann_bruteforce", "v3_lsh_buckets", "v4_ann_lsh", "v5_ann_ivf",
-    "v6_sq_quantize", "v7_rrf_fusion", "v8_pq_adc",
+    "v6_sq_quantize", "v7_rrf_fusion", "v8_pq_adc", "v9_ivf_pq",
     // text pipeline
     "t1_token_stats", "t4_fingerprint", "t6_quality_rules", "t10_frequent_terms",
     "t13_repetition", "t14_pack", "t15_chunk_spans", "t16_contamination",

@@ -756,6 +756,16 @@ object SparkEntry {
       Text.bigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ---- V9: IVF-PQ (the FAISS IVFADC layout) — probe-limited
+    // cells + PQ codes + broadcast ADC tables; both size knobs
+    // capped independently of corpus size ----
+    "v9_ivf_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annIvfPq(e, e.filter(col("vec_id") < 10),
+          k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- T19: Okapi BM25 top-k retrieval (k1=1.2, b=0.75) — tf
     // saturation + doc-length normalization as exact integer ratios,
     // idf floored to thousandths, so the per-doc score sum is
@@ -2727,6 +2737,55 @@ object SparkEntry {
         |  SELECT d.qid, c.id AS nid, CAST(SUM(d.dist) AS BIGINT) AS adc
         |  FROM codes c JOIN dt d ON c.m = d.m AND c.code = d.cw
         |  WHERE c.id <> d.qid GROUP BY 1, 2),
+        |rr AS (SELECT qid, nid,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+        |       FROM adc)
+        |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
+        |FROM rr WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "v9_ivf_pq" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id % 43 = 0 AND vec_id < 43*32),
+        |sc AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |         list_cosine_similarity(e.embedding, c.cv) AS cos
+        |  FROM embeddings e CROSS JOIN cents c),
+        |rr0 AS (SELECT id, cid,
+        |          ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rk
+        |        FROM sc),
+        |assign AS (SELECT id, cid FROM rr0 WHERE rk = 1),
+        |probes AS (SELECT id AS qid, cid FROM rr0 WHERE rk <= 2 AND id < 10),
+        |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+        |cb AS (
+        |  SELECT m, vec_id AS cw,
+        |         list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16) AS cv
+        |  FROM embeddings CROSS JOIN ms
+        |  WHERE vec_id % 31 = 0 AND vec_id < 31*16),
+        |sub AS (
+        |  SELECT vec_id AS id, m,
+        |         list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16) AS sv
+        |  FROM embeddings CROSS JOIN ms),
+        |ed AS (
+        |  SELECT s.id, s.m, c.cw,
+        |         CAST(FLOOR(1000000.0 * list_distance(s.sv, c.cv)
+        |           * list_distance(s.sv, c.cv)) AS BIGINT) AS dist
+        |  FROM sub s JOIN cb c USING (m)),
+        |enc AS (
+        |  SELECT id, m, cw,
+        |         ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist, cw) AS rk
+        |  FROM ed),
+        |codes AS (SELECT id, m, cw AS code FROM enc WHERE rk = 1),
+        |dt AS (SELECT id AS qid, m, cw, dist FROM ed WHERE id < 10),
+        |cand AS (
+        |  SELECT p.qid, a.id AS nid FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.id <> p.qid),
+        |adc AS (
+        |  SELECT c.qid, c.nid, CAST(SUM(d.dist) AS BIGINT) AS adc
+        |  FROM cand c
+        |  JOIN codes k ON k.id = c.nid
+        |  JOIN dt d ON d.qid = c.qid AND d.m = k.m AND d.cw = k.code
+        |  GROUP BY 1, 2),
         |rr AS (SELECT qid, nid,
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
         |       FROM adc)

@@ -419,6 +419,72 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor"))
   }
 
+  /** IVF-PQ search (the FAISS "IVFADC" layout, cf. Jégou et al. 2011
+    * §IV — the index structure billion-scale ANN actually deploys):
+    * the corpus is partitioned into a FIXED number of IVF cells, and
+    * within the inverted lists vectors exist only as their m PQ codes.
+    * A query (a) picks its `nprobe` nearest cells by cosine against
+    * the broadcast centroid set, and (b) ADC-scores ONLY the probed
+    * cells' codes via its broadcast per-subspace distance tables — so
+    * search cost is |corpus| · nprobe / cells code lookups, with the
+    * raw vectors touched for nothing but the query itself.
+    *
+    * Both size knobs are capped independently of corpus size (cells
+    * and codebook k) — the [[pqCodebook]] rehearsal lesson: any
+    * index structure sampled "every Nth vector" silently goes
+    * quadratic as the corpus grows. Distances are exact integers
+    * ([[sqDistInt]]), ranks deterministic. Output like
+    * [[annBruteForce]]; recall trades off via nprobe x quantization
+    * error (coarser than [[annIvf]]'s exact in-cell cosine — that is
+    * the memory-for-recall deal PQ codes buy). */
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 2, cellStride: Int = 43, cells: Int = 32,
+      m: Int = 4, subDim: Int = 16, cbStride: Int = 31, cbK: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = asDouble(col(vecCol))
+    val cents = corpus
+      .filter(pmod(col(idCol), lit(cellStride)) === 0 &&
+        col(idCol) < lit(cellStride.toLong * cells))
+      .select(col(idCol).as("cid"), v.as("cv"))
+    // one codegen'd pass: every vector scored against the broadcast
+    // centroids; rk=1 rows are the cell assignment, rk<=nprobe rows of
+    // the query subset are the probe list
+    val scored = corpus.select(col(idCol).as("id"), v.as("xv"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        cosineCol(corpus, col("xv"), col("cv")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("cos").desc, col("cid").asc)))
+    val assign = scored.filter(col("rk") === 1).select(col("id"), col("cid"))
+    val qids = queries.select(col(idCol).as("qid"))
+    val probes = scored.join(broadcast(qids), col("id") === col("qid"))
+      .filter(col("rk") <= nprobe).select(col("qid"), col("cid"))
+    val cb = pqCodebook(corpus, m, subDim, cbStride, cbK, idCol, vecCol)
+    val codes = pqEncode(corpus, cb, m, subDim, idCol, vecCol)
+      .join(assign, "id")
+    val subs = array((0 until m).map(i =>
+      slice(asDouble(col(vecCol)), 1 + subDim * i, subDim)): _*)
+    val dtable = queries
+      .select(col(idCol).as("qid"), posexplode(subs).as(Seq("m", "qv")))
+      .join(broadcast(cb), "m")
+      .select(col("qid"), col("m"), col("cw"),
+        sqDistInt(col("qv"), col("cv")).as("d"))
+    val probed = codes
+      .join(broadcast(probes.withColumnRenamed("qid", "pqid")), "cid")
+      .filter(col("id") =!= col("pqid"))
+    val adc = probed.join(broadcast(dtable),
+        probed("m") === dtable("m") && probed("code") === dtable("cw") &&
+          probed("pqid") === dtable("qid"))
+      .select(col("pqid"), col("id").as("nid"), col("d"))
+      .groupBy("pqid", "nid")
+      .agg(sum("d").as("adc"))
+    adc.withColumn("rank", row_number().over(
+        Window.partitionBy("pqid").orderBy(col("adc").asc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("pqid").as("query_id"), col("rank"), col("nid").as("neighbor"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (RRF).
     *
     * Two independent rankers — lexical (occurrences of the query

@@ -561,6 +561,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor")
       assert(q / 20 == n / 20, s"neighbor $n left query $q's cluster")
     }
+    // IVF-PQ (capped cells + capped codebook) keeps the same purity:
+    // probed cells and quantized distances both respect the clusters
+    val ivfpq = Similarity.annIvfPq(e, queries, k = 5, nprobe = 2,
+      cellStride = 19, cells = 4, m = 4, subDim = 2,
+      cbStride = 19, cbK = 4).collect()
+    assert(ivfpq.length == 15)
+    ivfpq.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val nb = r.getAs[Long]("neighbor")
+      assert(q / 20 == nb / 20, s"IVF-PQ neighbor $nb left query $q's cluster")
+    }
     // encode is pure: same corpus + codebook -> identical codes
     val cb = Similarity.pqCodebook(e, m = 4, subDim = 2, stride = 19)
     val enc = () => Similarity.pqEncode(e, cb, m = 4, subDim = 2)
