@@ -175,9 +175,17 @@ object Similarity {
     * Same output contract as [[annBruteForce]]; recall < 1 by
     * construction (the standard IVF trade-off, tuned via nprobe). */
   def annIvf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      nprobe: Int = 2, centroidStride: Int = 43, idCol: String = "vec_id",
+      nprobe: Int = 2, centroidStride: Int = 43,
+      maxCells: Int = Int.MaxValue, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
+    // maxCells caps the centroid set independently of corpus size —
+    // without it the stride sample grows the cell count with the
+    // corpus and the assignment pass goes O(n²/stride) (the same
+    // quadratic the sf1 rehearsal caught in the PQ codebook; see
+    // [[pqCodebook]] and the capped-everything [[annIvfPq]]). Default
+    // Int.MaxValue preserves the oracle-gated stride semantics.
+    val cents = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0 &&
+        col(idCol) < lit(centroidStride.toLong * maxCells))
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
     annIvfWith(corpus, queries, cents, k, nprobe, idCol, vecCol)
   }
