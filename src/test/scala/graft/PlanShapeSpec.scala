@@ -120,4 +120,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
     assert(exchanges <= 2, s"o13 grew extra shuffles ($exchanges):\n$p")
   }
+
+  test("s11 profiling reads the table ONCE (single scan, no joins)") {
+    val p = plan("s11_profile")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans == 1, s"s11 re-scans the table ($scans scans):\n$p")
+    assert(!p.contains("Join"), s"join crept into s11:\n$p")
+  }
+
+  test("m3 alignment plans through the custom as-of exec, no cartesian") {
+    val p = plan("m3_frame_align")
+    assert(p.contains("AsOfJoin"), s"m3 lost the native as-of operator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in m3:\n$p")
+  }
+
+  test("v9 IVF-PQ: all index/search joins broadcast, never sort-merge") {
+    val p = plan("v9_ivf_pq")
+    assert(p.contains("BroadcastHashJoin"), s"v9 lost its broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shuffled join in v9:\n$p")
+  }
+
+  test("t20 bigram-LM: no cartesian beyond the 1-row vocab broadcast") {
+    val p = plan("t20_bigram_lm")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t20:\n$p")
+  }
 }

@@ -293,4 +293,27 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expected, s"corpus: $texts")
     }
   }
+
+  test("containmentPairs == brute-force shingle containment on random corpora") {
+    val sp = spark; import sp.implicits._
+    forAllSeeded(corpusGen, n = 20) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def shingles(t: String): Set[String] = {
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        (0 to toks.length - 3).map(p => toks.slice(p, p + 3).mkString(" ")).toSet
+      }
+      val profs = docs.map { case (id, t) => id -> shingles(t) }
+        .filter(_._2.nonEmpty)
+      val expected = (for {
+        (a, sa) <- profs; (b, sb) <- profs if a < b
+        inter = sa.intersect(sb).size if inter > 0
+        pm = 1000L * inter / math.min(sa.size, sb.size) if pm >= 700
+      } yield (a, b, pm)).sorted
+      val got = graft.dedup.Dedup.containmentPairs(
+          docs.toDF("doc_id", "text"), thresholdPm = 700)
+        .orderBy("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected, s"corpus: $texts")
+    }
+  }
 }
