@@ -191,15 +191,16 @@ object SparkEntry {
     "a3_grand_total" -> ((s, d) =>
       fact(s, d).agg(sum("count").as("total"))),
 
-    // ---- A4: KeyFigures ratio metric round(100*m1/m2) ----
-    "a4_ratio_metric" -> ((s, d) => {
-      val f = fact(s, d)
-      val p = f.filter(col("value") === "purchase").agg(sum("count")).first().getLong(0)
-      val v = f.filter(col("value") === "view").agg(sum("count")).first().getLong(0)
-      val spark = s; import spark.implicits._
-      Seq((p, v)).toDF("purchases", "views")
-        .withColumn("pct", round(col("purchases") * 100 / col("views"), 0).cast("long"))
-    }),
+    // ---- A4: KeyFigures ratio metric round(100*m1/m2) — ONE scan:
+    // both metrics are conditional aggregates of the same pass (the
+    // KeyFigures.compute form), the ratio a derived column. The
+    // reference runs one query per metric; at 100 TB that multiplies
+    // full fact scans by the metric count for no reason ----
+    "a4_ratio_metric" -> ((s, d) =>
+      fact(s, d).agg(
+          sum(when(col("value") === "purchase", col("count"))).as("purchases"),
+          sum(when(col("value") === "view", col("count"))).as("views"))
+        .withColumn("pct", round(col("purchases") * 100 / col("views"), 0).cast("long"))),
 
     // ---- F9: per-id go-live clamp greatest(from, first_seen) ----
     "f9_live_clamp" -> ((s, d) => {
@@ -600,6 +601,13 @@ object SparkEntry {
           (col("frame_no") * 48L).as("pts_b"))
       graft.operators.AsOfJoin.leftAsOfNative(s, a, b, key = "media_id",
           ltime = "pts_a", lid = "frame_a", rtime = "pts_b", rid = "frame_b")
+        // pin INNER semantics explicitly (DuckDB's ASOF JOIN is inner):
+        // today every non-empty payload has a frame at pts_b=0 so the
+        // left as-of never misses, but that is a property of the
+        // current everyN/frameBytes choice, not of the operator —
+        // without this filter a payload shorter than one b-frame would
+        // emit a null-match row the oracle drops
+        .filter(col("frame_b").isNotNull)
         .select(col("media_id"), col("frame_a"), col("pts_a"),
           col("frame_b"), col("pts_b"),
           (col("pts_a") - col("pts_b")).as("lag"))
@@ -2716,8 +2724,8 @@ object SparkEntry {
         |cb AS (
         |  SELECT m, vec_id AS cw,
         |         list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16) AS cv
-        |  FROM embeddings CROSS JOIN ms
-        |  WHERE vec_id % 31 = 0 AND vec_id < 31*16),
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 31 = 0
+        |        ORDER BY vec_id LIMIT 16) e CROSS JOIN ms),
         |sub AS (
         |  SELECT vec_id AS id, m,
         |         list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16) AS sv
@@ -2745,8 +2753,9 @@ object SparkEntry {
 
     "v9_ivf_pq" ->
       """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-        |  WHERE vec_id % 43 = 0 AND vec_id < 43*32),
+        |  SELECT vec_id AS cid, embedding AS cv FROM (
+        |    SELECT * FROM embeddings WHERE vec_id % 43 = 0
+        |    ORDER BY vec_id LIMIT 32)),
         |sc AS (
         |  SELECT e.vec_id AS id, c.cid,
         |         list_cosine_similarity(e.embedding, c.cv) AS cos
@@ -2760,8 +2769,8 @@ object SparkEntry {
         |cb AS (
         |  SELECT m, vec_id AS cw,
         |         list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16) AS cv
-        |  FROM embeddings CROSS JOIN ms
-        |  WHERE vec_id % 31 = 0 AND vec_id < 31*16),
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 31 = 0
+        |        ORDER BY vec_id LIMIT 16) e CROSS JOIN ms),
         |sub AS (
         |  SELECT vec_id AS id, m,
         |         list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16) AS sv
@@ -2797,8 +2806,9 @@ object SparkEntry {
         |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
         |  FROM documents),
         |totals AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |  SELECT n_docs, sum_dl // n_docs AS avgdl FROM (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |           CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl)),
         |tf AS (
         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -2809,8 +2819,8 @@ object SparkEntry {
         |scored AS (
         |  SELECT tf.doc_id,
         |    (CAST(FLOOR(1000 * LN((n_docs - df + 0.5) / (df + 0.5) + 1)) AS BIGINT)
-        |      * (44 * sum_dl * tf))
-        |    // (20 * sum_dl * tf + 6 * sum_dl + 18 * n_docs * dl) AS s
+        |      * (44 * avgdl * tf))
+        |    // (20 * avgdl * tf + 6 * avgdl + 18 * dl) AS s
         |  FROM tf JOIN dfreq USING (term)
         |  JOIN dl ON dl.doc_id = tf.doc_id
         |  CROSS JOIN totals),

@@ -196,17 +196,19 @@ object Dedup {
       maxBucketSize: Option[Int] = None): DataFrame = {
     // The feature table feeds both the signature build and the verify
     // join — persist it so the shingle pipeline runs once, not twice.
-    // Lifecycle note: the cache lives until LRU eviction (the caller
-    // holds no handle to unpersist after materializing the lazy
-    // result); dedup passes are batch jobs in practice, where the
-    // session ends with the run. Long-lived sessions doing repeated
-    // dedup should wrap calls with their own persist management.
+    // The pair OUTPUT is bounded by construction (LSH buckets + the
+    // verify filter), so it is materialized eagerly (localCheckpoint)
+    // and the feature cache released before returning: a long-lived
+    // driver running many dedup passes otherwise accumulates every
+    // pass's shingle cache for the life of the session.
     val features = shingleHashes(docs)
       .select(col("id"), col("sh").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(
       lshBands(minhashSignaturesFrom(features, k), rowsPerBand), maxBucketSize)
-    verifyJaccardOn(cands, features, num, den)
+    val out = verifyJaccardOn(cands, features, num, den).localCheckpoint(true)
+    features.unpersist()
+    out
   }
 
   /** 60-bit SimHash per doc, computed as 60 conditional sums in one
@@ -240,7 +242,9 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, maxDist: Int = 3,
       maxBlockSize: Option[Int] = None): DataFrame = {
     // One row per doc — persist so the token explode + 60-sum agg
-    // runs once instead of once per self-join side.
+    // runs once instead of once per self-join side; the bounded pair
+    // output checkpoints eagerly so the cache is released before
+    // returning (no per-call cache accumulation in long sessions).
     val sh = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allBlocks = sh.select(col("id"), col("simhash"),
@@ -250,12 +254,15 @@ object Dedup {
       .select(col("id"), col("simhash"), col("blk.q"), col("blk.bk"))
     val blocks = capGroupSize(allBlocks, Seq("q", "bk"), maxBlockSize)
     val x = blocks.as("x"); val y = blocks.as("y")
-    x.join(y, col("x.q") === col("y.q") && col("x.bk") === col("y.bk") &&
+    val out = x.join(y, col("x.q") === col("y.q") && col("x.bk") === col("y.bk") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Connected components over a near-dup pair list: every document
@@ -604,10 +611,13 @@ object Dedup {
     val capped =
       capGroupSize(shingleHashes(docs, textCol, idCol), Seq("sh"), maxPostingList)
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("nsh"))
+    // persisted: both self-join sides consume the same shingle
+    // pipeline; the bounded pair output checkpoints eagerly so the
+    // cache is released before returning
     val shingles = capped.join(sizes, "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = shingles.as("x"); val y = shingles.as("y")
-    x.join(y, col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
+    val out = x.join(y, col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
         col("x.nsh") * den >= col("y.nsh") * num &&
         col("y.nsh") * den >= col("x.nsh") * num)
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
@@ -615,6 +625,9 @@ object Dedup {
         first(col("x.nsh")).as("na"), first(col("y.nsh")).as("nb"))
       .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
       .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    shingles.unpersist()
+    out
   }
 
   /** Asymmetric containment near-dup: pairs where the SMALLER
@@ -637,15 +650,21 @@ object Dedup {
     val capped =
       capGroupSize(shingleHashes(docs, textCol, idCol), Seq("sh"), maxPostingList)
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("nsh"))
+    // same cache lifecycle as [[ngramJaccardNearDup]]: persist feeds
+    // both self-join sides once, eager-checkpoint the bounded pairs,
+    // release the cache before returning
     val shingles = capped.join(sizes, "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = shingles.as("x"); val y = shingles.as("y")
-    x.join(y, col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+    val out = x.join(y, col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"),
         first(col("x.nsh")).as("na"), first(col("y.nsh")).as("nb"))
       .select(col("a"), col("b"),
         expr("(1000 * inter) div least(na, nb)").as("cont_pm"))
       .filter(col("cont_pm") >= thresholdPm)
+      .localCheckpoint(true)
+    shingles.unpersist()
+    out
   }
 }

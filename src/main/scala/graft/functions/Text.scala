@@ -250,13 +250,23 @@ object Text {
     *  - idf is floored to thousandths once per term:
     *    `idf_x1000 = floor(1000 * ln((N - df + 0.5)/(df + 0.5) + 1))`
     *    (the only float op; one value per query term);
-    *  - the tf saturation term is multiplied through by `20 * Σdl`
-    *    so it is a ratio of exact longs:
-    *    `tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`
-    *    = `44*Σdl*tf / (20*Σdl*tf + 6*Σdl + 18*N*dl)`;
+    *  - the tf saturation term is multiplied through by `20 * A`
+    *    where `A = Σdl div N` (the average doc length FLOORED to a
+    *    whole token — the one deliberate approximation, identical in
+    *    both engines), so it is a ratio of exact longs:
+    *    `tf*(k1+1) / (tf + k1*(1 - b + b*dl/A))`
+    *    = `44*A*tf / (20*A*tf + 6*A + 18*dl)`;
     *  - the per-(doc, term) score is an integer division of the two,
     *    so the per-doc SUM over terms commutes — engine-exact no
     *    matter the shuffle order (a double sum would not be).
+    *
+    * Overflow bound: corpus size cancels out of the products — the
+    * largest intermediate is `idf_x1000 * 44 * A * tf`, bounded by
+    * `1000*ln(N+1) * 44 * maxdl²` (idf grows only logarithmically
+    * with N). At N = 1e13 docs that stays under 2^63 for documents up
+    * to ~1e6 tokens; the earlier `44*Σdl*tf` form overflowed silently
+    * once Σdl (total corpus tokens) reached ~1e13 — exactly the
+    * 100 TB design point.
     *
     * Scale posture: doc lengths are one map-only projection; the
     * token stream is filtered to the query terms BEFORE the (doc,
@@ -271,6 +281,7 @@ object Text {
     val terms = array(queryTerms.map(lit): _*)
     val dl = df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .select(col("n_docs"), expr("sum_dl div n_docs").as("avgdl"))
     val tf = df.select(col(idCol),
         explode(filter(tokens(col(textCol)), t => array_contains(terms, t)))
           .as("term"))
@@ -279,9 +290,9 @@ object Text {
     val idf = floor(lit(1000.0) *
       log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .cast("long")
-    val num = lit(44L) * col("sum_dl") * col("tf")
-    val den = lit(20L) * col("sum_dl") * col("tf") +
-      lit(6L) * col("sum_dl") + lit(18L) * col("n_docs") * col("dl")
+    val num = lit(44L) * col("avgdl") * col("tf")
+    val den = lit(20L) * col("avgdl") * col("tf") +
+      lit(6L) * col("avgdl") + lit(18L) * col("dl")
     tf.join(broadcast(dfreq), "term")
       .join(dl, idCol)
       .crossJoin(broadcast(totals))
@@ -289,8 +300,13 @@ object Text {
       .select(col(idCol), expr("sa div sb").as("s"))
       .groupBy(idCol).agg(sum("s").as("score"))
       .orderBy(col("score").desc, col(idCol)).limit(k)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      // constant-but-unfoldable partition key: the window sees only
+      // the k post-limit rows, but an empty partitionSpec makes
+      // WindowExec warn on every run (and `lit(0)` folds away) — see
+      // [[graft.operators.GlobalRank.onePartitionKey]]
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(graft.operators.GlobalRank.onePartitionKey(col("score")))
+          .orderBy(col("score").desc, col(idCol))))
       .select(col(idCol), col("rank"), col("score"))
   }
 

