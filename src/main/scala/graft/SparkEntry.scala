@@ -614,6 +614,18 @@ object SparkEntry {
         .orderBy("media_id", "frame_a")
     }),
 
+    // ---- M4: REAL image decode — genuine PNG payloads (deterministic
+    // dims from id arithmetic, pixels encoded through the JDK PNG
+    // writer executor-side) decoded back by the javax.imageio decoder;
+    // the oracle recomputes the ground-truth dims arithmetically, so
+    // the round-trip through actual pixel decoding is what's gated ----
+    "m4_image_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+          Multimodal.pngMediaTable(Tables.documents(s, d)),
+          decoder = Multimodal.ImageIoDecoder)
+        .select(col("media_id"), col("width"), col("height"))
+        .orderBy("media_id")),
+
     // ---- T6: Gopher-style quality rules (integer flags) ----
     "t6_quality_rules" -> ((s, d) => {
       val t = col("text")
@@ -2562,6 +2574,14 @@ object SparkEntry {
         |FROM a ASOF JOIN b
         |  ON a.media_id = b.media_id AND a.pts_a >= b.pts_b
         |ORDER BY a.media_id, frame_a""".stripMargin,
+
+    // the Spark side must round-trip genuine PNG bytes through the
+    // JDK codec to recover dims the oracle derives arithmetically
+    "m4_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8 + doc_id % 32 AS INTEGER) AS width,
+        |       CAST(8 + doc_id % 16 AS INTEGER) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "t6_quality_rules" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),

@@ -11,10 +11,10 @@ import org.apache.spark.sql.types._
   * [[Utf8TextDecoder]] — a real, complete codec for the text modality
   * (charset decoding IS the decode step for text; features are the
   * rendered bounding box: line count × max line width in code points).
-  * [[FakeImageDecoder]] remains as the explicitly test-grade stand-in
-  * for binary image formats (no image libraries in this environment —
-  * a deployment drops in a JPEG/PNG instance with the same two-method
-  * contract). The Spark-side plumbing — binary schema, partition-wise
+  * [[ImageIoDecoder]] is the real image-modality instance: JDK
+  * `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with the JDK — no
+  * external dependency), decoding actual pixel buffers and reporting
+  * true dimensions. The Spark-side plumbing — binary schema, partition-wise
   * batching via mapPartitions, output schema — is identical for every
   * decoder and is what matters at 100 TB:
   *  - payloads never round-trip through the driver;
@@ -59,15 +59,19 @@ object Multimodal {
     }
   }
 
-  /** TEST-GRADE stub for binary image formats: deterministic "dims"
-    * derived from the raw bytes. Kept only so specs can exercise the
-    * plumbing with a non-text kind; production image decoding plugs in
-    * a real codec here. */
-  object FakeImageDecoder extends Decoder {
-    val kind = "image/fake"
+  /** REAL decoder for the image modality: JDK `javax.imageio` —
+    * decodes the payload's actual pixel buffer (PNG/BMP/GIF/JPEG, the
+    * formats whose readers ship with every JDK) and reports the true
+    * image dimensions. Headless-safe (no display needed for decode).
+    * An unreadable payload reports a (0, 0) box rather than failing
+    * the task — at corpus scale a corrupt blob is a row to filter
+    * (`width > 0`), not a reason to kill a 10k-row partition. */
+  object ImageIoDecoder extends Decoder {
+    val kind = "image/png"
     def decode(payload: Array[Byte]): Decoded = {
-      val b0 = if (payload.nonEmpty) payload(0) & 0xFF else 0
-      Decoded(64 + (payload.length % 193), 64 + (b0 % 64))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) Decoded(0, 0) else Decoded(img.getWidth, img.getHeight)
     }
   }
 
@@ -88,6 +92,41 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       struct(lit(kind).as("kind"),
         octet_length(col(textCol)).cast("long").as("declared_bytes")).as("meta"))
+
+  /** Build a REAL-PNG media table from a row-id source: each row gets
+    * a deterministic RGB image (dims and pixels derived from the id)
+    * encoded through the actual `javax.imageio` PNG writer, executor-
+    * side via mapPartitions — payload bytes are born and stay on
+    * executors. This is the image-modality fixture generator for the
+    * oracle-gated decode query: the ground-truth dims are pure id
+    * arithmetic an independent engine can recompute, while the Spark
+    * side must round-trip genuine PNG bytes to recover them. */
+  def pngMediaTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 32).toInt
+        val h = 8 + (id % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 31 + x * 7 + y) & 0xFFFFFF).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        Row(id, bytes, Row(ImageIoDecoder.kind, bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
 
   private val decodedSchema = StructType(Seq(
     StructField("media_id", LongType),

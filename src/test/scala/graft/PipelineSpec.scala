@@ -230,13 +230,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(3) == 3)   // height: lines incl. trailing empty
   }
 
-  test("multimodal decode: decoder seam accepts the image stub") {
+  test("multimodal decode: decoder seam accepts a custom instance") {
+    // test-grade stub decoder, local to the spec: proves the seam
+    // carries any Decoder through the partition-wise batched path
+    object StubDecoder extends Multimodal.Decoder {
+      val kind = "image/stub"
+      def decode(payload: Array[Byte]): Multimodal.Decoded = {
+        val b0 = if (payload.nonEmpty) payload(0) & 0xFF else 0
+        Multimodal.Decoded(64 + (payload.length % 193), 64 + (b0 % 64))
+      }
+    }
     val d = docs((7L, "abcd"))
     val r = Multimodal.decodeFeatures(
-      Multimodal.asMediaTable(d, kind = Multimodal.FakeImageDecoder.kind),
-      decoder = Multimodal.FakeImageDecoder).head()
+      Multimodal.asMediaTable(d, kind = StubDecoder.kind),
+      decoder = StubDecoder).head()
     assert(r.getInt(2) == 64 + 4 % 193)           // stub width
     assert(r.getInt(3) == 64 + ('a'.toInt % 64))  // stub height
+  }
+
+  test("multimodal decode: imageio decoder recovers a real PNG's true dims") {
+    // encode a real 13x9 PNG through the JDK writer, ship it through
+    // the binary-column path, decode with the REAL imageio decoder
+    val img = new java.awt.image.BufferedImage(
+      13, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 13) img.setRGB(x, y, x * 17 + y)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val s = spark; import s.implicits._
+    val media = Seq((1L, png)).toDF("media_id", "payload")
+    val r = Multimodal.decodeFeatures(media,
+      decoder = Multimodal.ImageIoDecoder).head()
+    assert(r.getInt(1) == png.length)  // n_bytes: the true payload size
+    assert(r.getInt(2) == 13 && r.getInt(3) == 9)
+    // corrupt payload: (0,0) box, not a task failure
+    val bad = Multimodal.decodeFeatures(
+      Seq((2L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"),
+      decoder = Multimodal.ImageIoDecoder).head()
+    assert(bad.getInt(2) == 0 && bad.getInt(3) == 0)
+  }
+
+  test("multimodal pngMediaTable round-trips through the real codec") {
+    val d = docs((5L, "ignored"), (40L, "ignored"))
+    val out = Multimodal.decodeFeatures(Multimodal.pngMediaTable(d),
+        decoder = Multimodal.ImageIoDecoder)
+      .orderBy("media_id").collect()
+    // dims are id arithmetic: w = 8 + id%32, h = 8 + id%16
+    assert(out(0).getInt(2) == 13 && out(0).getInt(3) == 13)  // id=5
+    assert(out(1).getInt(2) == 16 && out(1).getInt(3) == 16)  // id=40
   }
 
   test("multimodal resize keeps the media schema and updates meta") {
