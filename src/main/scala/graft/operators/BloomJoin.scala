@@ -37,6 +37,12 @@ object BloomJoin {
     * is safe: bits scale linearly, ~9.6 bits/key at 1% fpp). */
   def semiJoinLong(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedDimKeys: Long, fpp: Double = 0.01): DataFrame = {
+    // Empty-dim guard: `bloomFilter` on a zero-row frame NPEs inside
+    // Spark (no partition produces a sketch to merge). An over-
+    // filtered dim is a legitimate runtime state, and the semi-join
+    // answer is simply no rows — the isEmpty probe costs one
+    // limit-1 task against the full scan the sketch build needs.
+    if (dim.isEmpty) return fact.filter(lit(false))
     val bloom = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
     val bits = fact.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: java.lang.Long) =>

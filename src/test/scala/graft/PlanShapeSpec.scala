@@ -36,7 +36,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")
       .write.parquet(s"$d/lineitem.parquet")
-    (0L to 9L).map(i => (i, i % 3, "O", 10.0, ts, "1-URGENT"))
+    (0L to 9L).map(i => (i, i % 3, "O", 50000.0 * i, ts, "1-URGENT"))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .write.parquet(s"$d/orders.parquet")
@@ -64,6 +64,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0L to 5L).map(i => (i, Array(1.0f, i.toFloat, 0.5f), 0))
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$d/embeddings.parquet")
+    (1L to 20L).map(i => (i,
+        java.sql.Timestamp.valueOf(f"2024-01-${i % 9 + 1}%02d 00:00:00"),
+        i % 5, if (i % 2 == 0) "view" else "purchase", 1.0, s"""{"k": $i}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
     d
   }
 
@@ -143,5 +148,82 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("t20 bigram-LM: no cartesian beyond the 1-row vocab broadcast") {
     val p = plan("t20_bigram_lm")
     assert(!p.contains("CartesianProduct"), s"cartesian in t20:\n$p")
+  }
+
+  private def scansOf(p: String): Int =
+    p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+  private def exchangesOf(p: String): Int =
+    p.sliding("Exchange".length).count(_ == "Exchange")
+
+  test("j1 set join broadcasts the dim side (no shuffled dim join)") {
+    val p = plan("j1_set_join")
+    assert(p.contains("BroadcastHashJoin"), s"j1 lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"j1 dim join degraded to shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in j1:\n$p")
+  }
+
+  test("j2 grouping join broadcasts the dim; only the fact join may shuffle") {
+    val p = plan("j2_grouping_join")
+    assert(p.contains("BroadcastHashJoin"), s"j2 lost its dim broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in j2:\n$p")
+  }
+
+  test("j5 bloom semi-join keeps the probe filter and left-semi shape") {
+    val p = plan("j5_bloom_semi")
+    assert(p.contains("LeftSemi"), s"j5 lost its semi-join:\n$p")
+    // the bloom probe is the pre-join filter (a broadcast-bits UDF)
+    assert(p.contains("UDF"), s"j5 lost its bloom prefilter:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in j5:\n$p")
+  }
+
+  test("d2/d4 shingle feeder: one scan, digest-only shuffles, no joins") {
+    // the d2/d4/d11 queries checkpoint their bounded pair output, so
+    // the guard targets the FEEDER pipeline all of them ride: tokens
+    // explode and shingle, and only (id, 60-bit digest) rows cross an
+    // exchange — the window exchange doubles as the downstream per-doc
+    // partitioning; distinct adds the second
+    val p = graft.dedup.Dedup.shingleHashes(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(scansOf(p) == 1, s"shingle feeder re-scans ($p)")
+    assert(!p.contains("Join"), s"join crept into the shingle feeder:\n$p")
+    assert(exchangesOf(p) <= 2, s"shingle feeder grew extra shuffles:\n$p")
+  }
+
+  test("d3 simhash: 60 bit-sums in ONE aggregate — no Expand, no per-bit rows") {
+    val p = graft.dedup.Dedup.simhash(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(scansOf(p) == 1, s"simhash re-scans:\n$p")
+    assert(!p.contains("Expand"), s"per-bit Expand reappeared in simhash:\n$p")
+    assert(!p.contains("Join"), s"join crept into simhash:\n$p")
+    assert(exchangesOf(p) <= 2, s"simhash grew extra shuffles:\n$p")
+  }
+
+  test("d5 line dedup: one scan, window + digest aggregate, no joins") {
+    val p = plan("d5_line_dedup")
+    assert(scansOf(p) == 1, s"d5 re-scans:\n$p")
+    assert(!p.contains("Join"), s"join crept into d5:\n$p")
+    // window exchange + key aggregate + final order-by range partition
+    assert(exchangesOf(p) <= 3, s"d5 grew extra shuffles:\n$p")
+  }
+
+  test("w6 year-over-year compare is a single-pass aggregate") {
+    val p = plan("w6_compare_years")
+    assert(scansOf(p) == 1, s"w6 re-scans (per-year fan-out came back?):\n$p")
+    assert(!p.contains("Join"), s"join crept into w6:\n$p")
+    assert(!p.contains("Window"), s"window crept into w6:\n$p")
+    // daily pre-aggregate + (year, month) regroup + order-by range
+    assert(exchangesOf(p) <= 3, s"w6 grew extra shuffles:\n$p")
+  }
+
+  test("c13 JSON props parse stays a scan-side projection") {
+    val p = plan("c13_json_props")
+    assert(scansOf(p) == 1, s"c13 re-scans:\n$p")
+    assert(p.contains("from_json"), s"c13 lost its codegen JSON parse:\n$p")
+    assert(!p.contains("Join"), s"join crept into c13:\n$p")
+    assert(!p.contains("Window"), s"window crept into c13:\n$p")
+    // one bucket aggregate + the final order-by; nothing else shuffles
+    assert(exchangesOf(p) <= 3, s"c13 grew extra shuffles:\n$p")
   }
 }

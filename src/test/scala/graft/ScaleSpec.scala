@@ -119,6 +119,11 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == want.count())
     assert(got.agg(sum("payload")).head().getLong(0) ==
       want.agg(sum("payload")).head().getLong(0))
+    // empty dim: zero rows, not the sketch-build NPE Spark throws on
+    // a zero-row bloomFilter (an over-filtered dim is a normal state)
+    val emptyDim = dim.filter(lit(false))
+    assert(graft.operators.BloomJoin.semiJoinLong(
+      fact, emptyDim, "key", "dkey", expectedDimKeys = 150).count() == 0L)
   }
 
   test("lifetime MV incremental merge equals full recompute; refresh is crash-safe") {
