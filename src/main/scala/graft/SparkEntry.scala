@@ -813,6 +813,32 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- O14: N-dim Z-order with per-dimension bit budgets —
+    // (custkey: 6, order-day: 6, status: 2), the (date, id, source)
+    // layout shape a 100 TB table actually clusters by. Bucket = the
+    // top 6 key bits = the top 3 bits of EACH 6-bit dim, so both wide
+    // dims' per-bucket min/max spread stays ≤ 7 — the file-footer
+    // pruning width the sort buys on either predicate ----
+    "o14_zorder3" -> ((s, d) => {
+      import graft.operators.Layout
+      val o = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(64)).cast("long").as("d1"),
+        pmod(datediff(to_date(col("o_orderdate")), lit("1992-01-01")),
+          lit(64)).cast("long").as("d2"),
+        when(col("o_orderstatus") === "O", 0L)
+          .when(col("o_orderstatus") === "F", 1L)
+          .otherwise(2L).as("d3"))
+      o.select(Layout.zOrderN(
+            Seq(col("d1") -> 6, col("d2") -> 6, col("d3") -> 2)).as("zkey"),
+          col("d1"), col("d2"), col("d3"))
+        .groupBy(shiftright(col("zkey"), 8).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min("d1").as("min_d1"), max("d1").as("max_d1"),
+          min("d2").as("min_d2"), max("d2").as("max_d2"),
+          min("d3").as("min_d3"), max("d3").as("max_d3"))
+        .orderBy("bucket")
+    }),
+
     // ---- T13: repetition signals (Gopher rep/dup fractions) —
     // duplicate-token and top-bigram coverage permille per document ----
     "t13_repetition" -> ((s, d) =>
@@ -2895,6 +2921,26 @@ object SparkEntry {
         |       MIN(d1) AS min_d1, MAX(d1) AS max_d1,
         |       MIN(d2) AS min_d2, MAX(d2) AS max_d2
         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // the interleave expression is GENERATED by the same (level, dim)
+    // walk the Column form uses (Layout.zOrderNSql) — the two cannot
+    // drift apart
+    "o14_zorder3" ->
+      s"""WITH dims AS (
+         |  SELECT o_custkey % 64 AS d1,
+         |         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 64 AS d2,
+         |         CAST(CASE o_orderstatus WHEN 'O' THEN 0 WHEN 'F' THEN 1
+         |              ELSE 2 END AS BIGINT) AS d3
+         |  FROM orders),
+         |z AS (
+         |  SELECT d1, d2, d3, CAST(${graft.operators.Layout.zOrderNSql(
+                Seq("d1" -> 6, "d2" -> 6, "d3" -> 2))} AS BIGINT) AS zkey
+         |  FROM dims)
+         |SELECT zkey // 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       MIN(d1) AS min_d1, MAX(d1) AS max_d1,
+         |       MIN(d2) AS min_d2, MAX(d2) AS max_d2,
+         |       MIN(d3) AS min_d3, MAX(d3) AS max_d3
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "t13_repetition" ->
       """WITH t AS (

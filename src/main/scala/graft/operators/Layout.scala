@@ -27,12 +27,55 @@ object Layout {
     * each (dimensions must already be scaled into [0, 2^bits));
     * dimension `a` occupies even bit positions, `b` odd. Disjoint
     * bit positions make the combine a plain sum. */
-  def zOrder2(a: Column, b: Column, bits: Int = 8): Column = {
-    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
-    val al = a.cast("long"); val bl = b.cast("long")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+  def zOrder2(a: Column, b: Column, bits: Int = 8): Column =
+    zOrderN(Seq(a -> bits, b -> bits))
+
+  /** N-dimensional Z-order key with PER-DIMENSION bit budgets —
+    * the practical 100 TB layout wants unequal precision, e.g.
+    * (date: 11 bits, id: 8, source: 3). Bit assignment walks bit
+    * levels from 0 upward; at each level every dimension that still
+    * has bits left contributes its level-`i` bit, in argument order.
+    * Exhausted dimensions drop out, so low-budget dims pack into the
+    * LOW key bits and the shared high levels own the top — sorting by
+    * the key narrows every dimension's per-file range, most strongly
+    * the ones with the largest budgets (equal budgets reduce exactly
+    * to the classic cyclic Morton interleave of [[zOrder2]]).
+    * Total bits must fit a signed long. Pure integer shifts/masks/
+    * adds on disjoint bit positions — codegen'd, engine-exact. */
+  def zOrderN(dims: Seq[(Column, Int)]): Column = {
+    require(dims.nonEmpty, "need at least one dimension")
+    dims.foreach { case (_, b) =>
+      require(b >= 1 && b <= 31, s"need 1 <= bits <= 31 per dim, got $b") }
+    require(dims.map(_._2).sum <= 62, "total interleaved bits must fit a long")
+    val maxBits = dims.map(_._2).max
+    var pos = 0
+    val terms = for {
+      level <- 0 until maxBits
+      (c, b) <- dims if level < b
+    } yield {
+      val t = shiftleft(
+        shiftright(c.cast("long"), level).bitwiseAND(lit(1L)), pos)
+      pos += 1
+      t
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** The same bit assignment as [[zOrderN]], rendered as an ANSI SQL
+    * integer expression over the given column names — the cross-engine
+    * (oracle) twin, kept next to the Column form so the two walk the
+    * same (level, dim) order by construction. */
+  def zOrderNSql(dims: Seq[(String, Int)]): String = {
+    val maxBits = dims.map(_._2).max
+    var pos = 0
+    val terms = for {
+      level <- 0 until maxBits
+      (d, b) <- dims if level < b
+    } yield {
+      val t = s"((($d >> $level) & 1) << $pos)"
+      pos += 1
+      t
+    }
+    terms.mkString(" + ")
   }
 }

@@ -709,6 +709,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.forall(r => r.getLong(1) <= 31 && r.getLong(2) <= 31))
   }
 
+  test("zOrderN: per-dim budgets, zOrder2 equivalence, SQL twin in lockstep") {
+    import graft.operators.Layout
+    val s = spark; import s.implicits._
+    // budgets (2, 1): level 0 -> a0@pos0, b0@pos1; level 1 -> a1@pos2
+    // a=3 (11b), b=1 -> 1@0 + 1@1 + 1@2 = 7;  a=2 (10b), b=0 -> 4
+    val r = Seq((3L, 1L), (2L, 0L)).toDF("a", "b")
+      .select(Layout.zOrderN(Seq(col("a") -> 2, col("b") -> 1)).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(7L, 4L))
+    // equal budgets == the classic 2-dim interleave
+    val pairs = Seq((10L, 6L), (255L, 0L), (0L, 255L)).toDF("a", "b")
+    val two = pairs.select(Layout.zOrder2(col("a"), col("b"), 8)).collect()
+    val n = pairs.select(Layout.zOrderN(Seq(col("a") -> 8, col("b") -> 8)))
+      .collect()
+    assert(two.map(_.getLong(0)).toSeq == n.map(_.getLong(0)).toSeq)
+    // the generated SQL twin computes the identical key (run through
+    // Spark's own SQL parser — the expression is ANSI arithmetic)
+    val sql = Layout.zOrderNSql(Seq("a" -> 2, "b" -> 1))
+    val viaSql = Seq((3L, 1L), (2L, 0L)).toDF("a", "b")
+      .selectExpr(s"CAST($sql AS BIGINT) AS z")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == Seq(7L, 4L))
+  }
+
   test("bm25: hand-computed integer scores and ranking") {
     val d = docs(
       (1L, "apple banana apple"),

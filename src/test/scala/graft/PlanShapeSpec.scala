@@ -126,6 +126,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 2, s"o13 grew extra shuffles ($exchanges):\n$p")
   }
 
+  test("o14 3-dim z-order stays join-free like o13") {
+    val p = plan("o14_zorder3")
+    assert(!p.contains("Join"), s"join crept into o14:\n$p")
+    assert(!p.contains("Window"), s"window crept into o14:\n$p")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 2, s"o14 grew extra shuffles ($exchanges):\n$p")
+  }
+
   test("s11 profiling reads the table ONCE (single scan, no joins)") {
     val p = plan("s11_profile")
     val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
