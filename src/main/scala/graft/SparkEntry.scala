@@ -786,6 +786,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- V10: PQ/ADC with TRAINED codebooks — per-subspace k-means
+    // (one Lloyd step) in exact integer space, so the whole training
+    // loop is oracle-checked, not just the search; same broadcast-ADC
+    // dataflow as v8 ----
+    "v10_pq_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annPqAdcTrained(e, e.filter(col("vec_id") < 10),
+          k = 5, m = 4, subDim = 16, stride = 31, codebookK = 16, iters = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- T19: Okapi BM25 top-k retrieval (k1=1.2, b=0.75) — tf
     // saturation + doc-length normalization as exact integer ratios,
     // idf floored to thousandths, so the per-doc score sum is
@@ -2784,6 +2795,60 @@ object SparkEntry {
         |enc AS (
         |  SELECT id, m, cw,
         |         ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist, cw) AS rk
+        |  FROM ed),
+        |codes AS (SELECT id, m, cw AS code FROM enc WHERE rk = 1),
+        |dt AS (SELECT id AS qid, m, cw, dist FROM ed WHERE id < 10),
+        |adc AS (
+        |  SELECT d.qid, c.id AS nid, CAST(SUM(d.dist) AS BIGINT) AS adc
+        |  FROM codes c JOIN dt d ON c.m = d.m AND c.code = d.cw
+        |  WHERE c.id <> d.qid GROUP BY 1, 2),
+        |rr AS (SELECT qid, nid,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+        |       FROM adc)
+        |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
+        |FROM rr WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // trained-PQ: the oracle replays the ENTIRE integer-space Lloyd
+    // step (quantize → init → assign → floor-mean) before encode/ADC
+    "v10_pq_trained" ->
+      """WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+        |qsub AS (
+        |  SELECT vec_id AS id, m,
+        |    list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16),
+        |      x -> CAST(FLOOR(1000000 * x) AS BIGINT) + 2097152) AS qv
+        |  FROM embeddings CROSS JOIN ms),
+        |init_ids AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 31 = 0
+        |  ORDER BY vec_id LIMIT 16),
+        |cb0 AS (
+        |  SELECT m, id AS cw, qv AS cv FROM qsub
+        |  JOIN init_ids ON qsub.id = init_ids.vec_id),
+        |d0 AS (
+        |  SELECT q.id, q.m, q.qv, c.cw,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d
+        |  FROM qsub q JOIN cb0 c USING (m)),
+        |assign0 AS (
+        |  SELECT id, m, qv, cw FROM (
+        |    SELECT id, m, qv, cw,
+        |      ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, cw) AS rk
+        |    FROM d0) WHERE rk = 1),
+        |sums AS (
+        |  SELECT m, cw, pos, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n
+        |  FROM (SELECT m, cw, unnest(qv) AS x,
+        |          generate_subscripts(qv, 1) AS pos FROM assign0) t
+        |  GROUP BY 1, 2, 3),
+        |cb1 AS (
+        |  SELECT m, cw, list(sx // n ORDER BY pos) AS cv
+        |  FROM sums GROUP BY 1, 2),
+        |ed AS (
+        |  SELECT q.id, q.m, c.cw,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS dist
+        |  FROM qsub q JOIN cb1 c USING (m)),
+        |enc AS (
+        |  SELECT id, m, cw,
+        |    ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist, cw) AS rk
         |  FROM ed),
         |codes AS (SELECT id, m, cw AS code FROM enc WHERE rk = 1),
         |dt AS (SELECT id AS qid, m, cw, dist FROM ed WHERE id < 10),

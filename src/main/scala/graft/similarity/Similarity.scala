@@ -435,6 +435,119 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor"))
   }
 
+  /** Integer-quantized per-subspace views of a vector: each of the
+    * `m` subvectors maps element-wise through
+    * `floor(1e6 * x) + 2^21` — thousandths-of-a-millionth precision,
+    * offset so every quantized value is NON-NEGATIVE for |x| ≤ 2
+    * (embeddings are unit-scale). Non-negativity is what makes the
+    * trained-codebook arithmetic engine-exact: integer sums commute
+    * under any shuffle order, and floor-division equals truncating
+    * division only when the operands cannot be negative (engines
+    * disagree on negative integer division). Distances are
+    * translation-invariant, so the offset never shows in a result. */
+  private def quantSubs(vecCol: Column, m: Int, subDim: Int): Column =
+    array((0 until m).map(i =>
+      transform(slice(asDouble(vecCol), 1 + subDim * i, subDim),
+        x => (floor(x * 1000000) + lit(1L << 21)).cast("long"))): _*)
+
+  /** Exact integer squared L2 over quantized vectors (plain long
+    * arithmetic — no float round-trip, commutes across engines). */
+  private def sqDistLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** TRAINED PQ codebooks: per-subspace k-means (Lloyd) over the
+    * integer-quantized subvectors, replacing [[pqCodebook]]'s raw
+    * stride sample with centroids that actually fit the data — same
+    * capped-k API, same (m, cw, cv) output contract (cv in quantized
+    * integer space; pair with [[annPqAdcTrained]]).
+    *
+    * Every training step is ENGINE-EXACT integer arithmetic, so the
+    * whole training loop is oracle-checkable (floating-point k-means
+    * is not: a mean's summation order perturbs centroids):
+    *  - init = the first `k` stride-sampled ids (rank-based cap);
+    *  - assign = integer squared-L2 argmin, ties to the lower
+    *    codeword id;
+    *  - update = element-wise integer floor-mean of the members
+    *    (sums of non-negative longs; overflow-safe while a cluster
+    *    holds < 2^41 members at the 2^22 quantized magnitude).
+    * Empty codewords drop out (standard Lloyd). The member re-explode
+    * shuffles (m, cw, pos, x) rows — the same volume as reading the
+    * vectors once per iteration; `iters` is small by design. */
+  def pqCodebookTrained(corpus: DataFrame, m: Int = 4, subDim: Int = 16,
+      stride: Int = 31, k: Int = 16, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qsub = corpus.select(col(idCol).as("id"),
+      posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "qv")))
+    var cb = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cw"),
+        posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "cv")))
+      .select(col("m"), col("cw"), col("cv"))
+    (1 to iters).foreach { _ =>
+      // assignment: one pass of the quantized corpus against the
+      // BROADCAST codebook (m·k rows); min(struct) = argmin with
+      // deterministic ties; qv rides along (functionally dependent
+      // on the (id, m) group key)
+      val assigned = qsub.join(broadcast(cb), "m")
+        .select(col("id"), col("m"), col("qv"),
+          struct(sqDistLong(col("qv"), col("cv")).as("d"), col("cw")).as("dc"))
+        .groupBy("id", "m")
+        .agg(min("dc").as("best"), first("qv").as("qv"))
+      // update: element-wise integer floor-mean per codeword —
+      // map-side-combining long sums, then the tiny (m·k·subDim)
+      // position table reassembles into arrays
+      val sums = assigned
+        .select(col("m"), col("best.cw").as("cw"),
+          posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("m", "cw", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      cb = sums
+        .groupBy("m", "cw")
+        .agg(sort_array(collect_list(
+          struct(col("pos"), expr("sx div n").as("v")))).as("pv"))
+        .select(col("m"), col("cw"),
+          transform(col("pv"), p => p.getField("v")).as("cv"))
+        // truncate the per-iteration lineage (the codebook is m·k
+        // rows; re-analyzing a growing plan tree would dominate)
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** [[annPqAdc]] against a TRAINED codebook: identical ADC dataflow
+    * (codes scanned, per-query distance tables broadcast), with
+    * encode/search distances in the same exact integer space the
+    * training ran in. */
+  def annPqAdcTrained(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      m: Int = 4, subDim: Int = 16, stride: Int = 31, codebookK: Int = 16,
+      iters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = pqCodebookTrained(
+      corpus, m, subDim, stride, codebookK, iters, idCol, vecCol)
+    val qsub = corpus.select(col(idCol).as("id"),
+      posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "sv")))
+    val codes = qsub.join(broadcast(cb), "m")
+      .select(col("id"), col("m"),
+        struct(sqDistLong(col("sv"), col("cv")).as("d"), col("cw")).as("dc"))
+      .groupBy("id", "m").agg(min("dc").as("best"))
+      .select(col("id"), col("m"), col("best.cw").as("code"))
+    val dtable = queries.select(col(idCol).as("qid"),
+        posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "qv")))
+      .join(broadcast(cb), "m")
+      .select(col("qid"), col("m"), col("cw"),
+        sqDistLong(col("qv"), col("cv")).as("d"))
+    val adc = codes.join(broadcast(dtable),
+        codes("m") === dtable("m") && codes("code") === dtable("cw"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(sum("d").as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor"))
+  }
+
   /** IVF-PQ search (the FAISS "IVFADC" layout, cf. Jégou et al. 2011
     * §IV — the index structure billion-scale ANN actually deploys):
     * the corpus is partitioned into a FIXED number of IVF cells, and

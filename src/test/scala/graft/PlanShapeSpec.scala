@@ -110,6 +110,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"cartesian in v8:\n$p")
   }
 
+  test("v10 trained-PQ search keeps the v8 shape: broadcasts, no sort-merge") {
+    val p = plan("v10_pq_trained")
+    assert(p.contains("BroadcastHashJoin"), s"v10 lost its broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"code-table scan degraded to a shuffled join in v10:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in v10:\n$p")
+  }
+
   test("t19 BM25 ends in top-k; dictionary joins stay broadcast") {
     val p = plan("t19_bm25")
     assert(p.contains("TakeOrderedAndProject"), s"t19 lost its top-k:\n$p")
