@@ -202,6 +202,30 @@ object SparkEntry {
           sum(when(col("value") === "view", col("count"))).as("views"))
         .withColumn("pct", round(col("purchases") * 100 / col("views"), 0).cast("long"))),
 
+    // ---- A19: robust time-series anomaly detection — median/MAD
+    // outlier flag per (metric, day). Everything after the two exact
+    // medians is LONG arithmetic: med2 = 2*median and mad4 =
+    // 2*median(|2x - med2|) are integer-valued by construction
+    // (medians of integers are halves), so the flag
+    // |x - med| > 3*MAD compares longs (dev2*2 > mad4*3) — no float
+    // threshold to drift between engines. Scale: the series is one
+    // groupBy of the daily fact; the per-metric stats tables are
+    // metric-cardinality-sized and broadcast back onto the series ----
+    "a19_anomaly_mad" -> ((s, d) => {
+      val daily = fact(s, d).groupBy("value", "date")
+        .agg(sum("count").as("cnt"))
+      val med = daily.groupBy("value")
+        .agg((lit(2.0) * expr("percentile(cnt, 0.5)")).cast("long").as("med2"))
+      val dev = daily.join(broadcast(med), Seq("value"))
+        .withColumn("dev2", abs(lit(2L) * col("cnt") - col("med2")))
+      val mad = dev.groupBy("value")
+        .agg((lit(2.0) * expr("percentile(dev2, 0.5)")).cast("long").as("mad4"))
+      dev.join(broadcast(mad), Seq("value"))
+        .select(col("value"), col("date"), col("cnt"), col("dev2"),
+          col("mad4"), (col("dev2") * 2 > col("mad4") * 3).as("is_outlier"))
+        .orderBy("value", "date")
+    }),
+
     // ---- F9: per-id go-live clamp greatest(from, first_seen) ----
     "f9_live_clamp" -> ((s, d) => {
       val e = ev(s, d).withColumn("date", to_date(col("ts")))
@@ -775,6 +799,22 @@ object SparkEntry {
     "t20_bigram_lm" -> ((s, d) =>
       Text.bigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // ---- T21: DSIR importance scoring — rank the non-English pool
+    // by target-likeness under unigram models of target (lang='en')
+    // vs raw; the data-mixing selector of an LLM pipeline. Floored
+    // log-ratio per word TYPE, long sums per doc (engine-exact) ----
+    "t21_dsir" -> ((s, d) =>
+      Text.dsirScores(Tables.documents(s, d), col("lang") === "en")
+        .orderBy(col("score_x1000").desc, col("id"))
+        .limit(20)),
+
+    // ---- T22: BPE merge training (Sennrich 2016) — 2 rounds of
+    // pair-statistics over the word-frequency table (ONE corpus pass,
+    // then vocab-sized rounds); round 2 counts AFTER applying round
+    // 1's top merge, so the oracle checks the whole train loop ----
+    "t22_bpe_train" -> ((s, d) =>
+      graft.functions.Bpe.train(Tables.documents(s, d), rounds = 2, topK = 8)),
 
     // ---- V9: IVF-PQ (the FAISS IVFADC layout) — probe-limited
     // cells + PQ codes + broadcast ADC tables; both size knobs
@@ -1601,6 +1641,40 @@ object SparkEntry {
         .groupBy(col("value")).agg(sum("count").as("total"))
         .orderBy("value")),
 
+    // ---- P3: k-anonymity audit — the privacy gate paired with the
+    // C9 MD5 anonymization: after pseudonymizing requesters, the
+    // released quasi-identifier tuple (day, event_type, value band)
+    // must not isolate fewer than k individuals per cell. One
+    // map-side-combining groupBy + HAVING; at 100 TB the QI
+    // cardinality (days × types × bands), not the event count, bounds
+    // the shuffle ----
+    "p3_k_anonymity" -> ((s, d) =>
+      ev(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          floor(col("value") / 50).cast("long").as("vband"))
+        .groupBy("day", "event_type", "vband")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < 5)
+        .orderBy("day", "event_type", "vband")),
+
+    // ---- S12: schema-drift ingestion — an old-vintage extract
+    // missing later columns unions with the current vintage via
+    // unionByName(allowMissingColumns): absent columns null-fill, no
+    // positional mismatch. The per-column presence counts are the
+    // audit a 100 TB backfill over years of drifting parquet needs
+    // before trusting the union ----
+    "s12_union_drift" -> ((s, d) => {
+      val e = ev(s, d)
+      val legacy = e.filter(col("event_id") % 3 === 0)
+        .select("event_id", "event_type")
+      val current = e.filter(col("event_id") % 3 =!= 0)
+      legacy.unionByName(current, allowMissingColumns = true)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("user_id")).as("user_id_present"),
+          count(col("value")).as("value_present"),
+          count(col("props")).as("props_present"))
+    }),
+
     // ---- S11: single-pass table profiling (ANALYZE shape) — all
     // columns' stats in ONE scan; exact ndv here (oracle-gated),
     // approx_count_distinct is the 100 TB path ----
@@ -2064,6 +2138,26 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM events WHERE event_type = 'view') AS views,
         |  CAST(ROUND(100 * (SELECT COUNT(*) FROM events WHERE event_type = 'purchase')
         |    / (SELECT COUNT(*) FROM events WHERE event_type = 'view'), 0) AS BIGINT) AS pct""".stripMargin,
+
+    "a19_anomaly_mad" ->
+      s"""WITH $factCte,
+         |daily AS (
+         |  SELECT value, date, CAST(SUM(count) AS BIGINT) AS cnt
+         |  FROM fact GROUP BY 1, 2),
+         |med AS (
+         |  SELECT value, CAST(2 * quantile_cont(cnt, 0.5) AS BIGINT) AS med2
+         |  FROM daily GROUP BY 1),
+         |dev AS (
+         |  SELECT d.value, d.date, d.cnt,
+         |         CAST(abs(2 * d.cnt - m.med2) AS BIGINT) AS dev2
+         |  FROM daily d JOIN med m USING (value)),
+         |mad AS (
+         |  SELECT value, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+         |  FROM dev GROUP BY 1)
+         |SELECT d.value, d.date, d.cnt, d.dev2, m.mad4,
+         |       (d.dev2 * 2 > m.mad4 * 3) AS is_outlier
+         |FROM dev d JOIN mad m USING (value)
+         |ORDER BY value, date""".stripMargin,
 
     "f9_live_clamp" ->
       """WITH g AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS live FROM events GROUP BY 1)
@@ -2965,6 +3059,70 @@ object SparkEntry {
         |       CAST((-SUM(lp)) // COUNT(*) AS BIGINT) AS nll_x1000
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    "t21_dsir" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id, lang = 'en' AS is_t, w FROM (
+        |    SELECT doc_id, lang,
+        |           unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) u
+        |  WHERE len(w) > 0),
+        |counts AS (
+        |  SELECT w, COUNT(*) AS cr,
+        |         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM tk GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+        |         CAST(SUM(ct) AS BIGINT) AS nt,
+        |         COUNT(*) AS v
+        |  FROM counts),
+        |wt AS (
+        |  SELECT w, CAST(FLOOR(1000 * LN(
+        |      (CAST(ct + 1 AS DOUBLE) * CAST(nr + v AS DOUBLE)) /
+        |      (CAST(cr + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE)))) AS BIGINT) AS lw
+        |  FROM counts CROSS JOIN tot)
+        |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |       CAST(SUM(lw) AS BIGINT) AS score_x1000
+        |FROM tk JOIN wt USING (w)
+        |WHERE NOT is_t
+        |GROUP BY id
+        |ORDER BY score_x1000 DESC, id
+        |LIMIT 20""".stripMargin,
+
+    "t22_bpe_train" -> {
+      // one BPE round in SQL: pair-count the vocab, rank top-8
+      def roundCte(src: String, r: Int) =
+        s"""p$r AS (
+           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(s)),
+           |        i -> s[i] || ' ' || s[i+1])) AS pair
+           |    FROM (SELECT string_split(repr, ' ') AS s, freq FROM $src) q) z
+           |  GROUP BY 1),
+           |r$r AS (
+           |  SELECT $r AS round,
+           |         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS "rank",
+           |         pair, cnt
+           |  FROM (SELECT * FROM p$r ORDER BY cnt DESC, pair LIMIT 8) q)""".stripMargin
+      s"""WITH wf AS (
+         |  SELECT w, COUNT(*) AS freq FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS w
+         |    FROM documents) u
+         |  WHERE len(w) > 0 GROUP BY 1),
+         |v0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS repr, freq FROM wf),
+         |${roundCte("v0", 1)},
+         |b1 AS (SELECT pair, replace(pair, ' ', '') AS m FROM r1 WHERE "rank" = 1),
+         |v1 AS (
+         |  SELECT trim(replace(replace(replace(
+         |      ' ' || repr || ' ',
+         |      ' ' || b.pair || ' ', ' ' || b.m || ' '),
+         |      ' ' || b.pair || ' ', ' ' || b.m || ' '),
+         |      ' ' || b.pair || ' ', ' ' || b.m || ' ')) AS repr, freq
+         |  FROM v0 CROSS JOIN b1 b),
+         |${roundCte("v1", 2)}
+         |SELECT round, "rank", pair, cnt
+         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) z
+         |ORDER BY round, "rank"""".stripMargin
+    },
+
     "o13_zorder" ->
       """WITH dims AS (
         |  SELECT o_custkey % 256 AS d1,
@@ -3688,6 +3846,24 @@ object SparkEntry {
         |       CAST(month(l_shipdate) AS INTEGER) AS month,
         |       COUNT(*) AS cnt
         |FROM lineitem GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
+
+    "p3_k_anonymity" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       CAST(FLOOR(value / 50) AS BIGINT) AS vband,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+        |ORDER BY day, event_type, vband""".stripMargin,
+
+    "s12_union_drift" ->
+      """WITH legacy AS (
+        |  SELECT event_id, event_type FROM events WHERE event_id % 3 = 0),
+        |cur AS (SELECT * FROM events WHERE event_id % 3 <> 0),
+        |u AS (SELECT * FROM legacy UNION ALL BY NAME SELECT * FROM cur)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(user_id) AS BIGINT) AS user_id_present,
+        |       CAST(COUNT(value) AS BIGINT) AS value_present,
+        |       CAST(COUNT(props) AS BIGINT) AS props_present
+        |FROM u""".stripMargin,
 
     "p1_deposits" ->
       """SELECT CAST(o_orderdate AS DATE) AS date, o_orderstatus AS value,

@@ -355,6 +355,53 @@ object Text {
         expr("(-slp) div n_bigrams").as("nll_x1000"))
   }
 
+  /** DSIR-style importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document in the raw pool by how target-like its token
+    * distribution is — the log importance weight
+    * `sum_w log( p_target(w) / p_raw(w) )` under add-one-smoothed
+    * unigram bag models estimated from the corpus itself (DSIR uses
+    * hashed n-grams; whitespace unigrams are the same estimator over
+    * this corpus's closed vocabulary).
+    *
+    * Engine-exactness, as in [[bigramNll]]: each word TYPE's
+    * log-ratio is floored to thousandths of a nat once, in the single
+    * combined form `log(((ct+1)·(Nr+V)) / ((cr+1)·(Nt+V)))`; per-doc
+    * scores are then SUMs of longs over token occurrences, commuting
+    * under any shuffle order. The products stay within double range
+    * while corpus token counts are < 2^52 — at 100 TB scale the
+    * operands are cast to double BEFORE multiplying (both factors
+    * ≤ 2^53, product exact enough for a floored ratio log, unlike a
+    * silent long overflow).
+    *
+    * Scale posture: one tokenize pass feeds BOTH count models (the
+    * target indicator rides each token row, so target and raw counts
+    * are conditional aggregates of the same shuffle); the weight
+    * table is vocabulary-sized and joins back onto the token stream
+    * by word (broadcastable for bounded vocabularies). Returns
+    * (id, n_tok, score_x1000) for every NON-target document. */
+  def dsirScores(df: org.apache.spark.sql.DataFrame, targetPred: Column,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), targetPred.as("is_t"),
+      explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = toks.groupBy("w").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"),
+      count(lit(1)).as("v"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        floor(lit(1000.0) * log(
+          ((col("ct") + 1).cast("double") * (col("nr") + col("v")).cast("double")) /
+          ((col("cr") + 1).cast("double") * (col("nt") + col("v")).cast("double"))))
+          .cast("long").as("lw"))
+    toks.filter(!col("is_t"))
+      .join(weights, "w")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"), sum("lw").as("score_x1000"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * packs. Deterministic next-fit by id order WITHIN each shard: a
     * document's pack is its starting token offset div `budget`

@@ -187,11 +187,23 @@ object Similarity {
     // top-k, not an id-value bound), so it yields exactly maxCells
     // centroids on sparse or offset id spaces too. Default
     // Int.MaxValue preserves the oracle-gated stride semantics.
+    annIvfWith(corpus, queries,
+      ivfCentroids(corpus, centroidStride, maxCells, idCol, vecCol),
+      k, nprobe, idCol, vecCol)
+  }
+
+  /** The IVF centroid sample [[annIvf]] indexes with, exposed so the
+    * size-independence invariant (exactly `maxCells` centroids no
+    * matter how large — or how sparse/offset-keyed — the corpus is)
+    * is testable without running a search; Sf1RegressionSpec gates
+    * it in `sbt test`. */
+  def ivfCentroids(corpus: DataFrame, centroidStride: Int = 43,
+      maxCells: Int = Int.MaxValue, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val sampled = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
-    val cents = if (maxCells == Int.MaxValue) sampled
-      else sampled.orderBy("cid").limit(maxCells)
-    annIvfWith(corpus, queries, cents, k, nprobe, idCol, vecCol)
+    if (maxCells == Int.MaxValue) sampled
+    else sampled.orderBy("cid").limit(maxCells)
   }
 
   /** Shared IVF search over an explicit (cid, cv) centroid set. */

@@ -208,6 +208,43 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served.get.contains("\"report\": \"warm\""))
   }
 
+  test("report cache: grouping-join report round-trips through the cache") {
+    import graft.api.ReportCache
+    import graft.query.QueryCompiler.SetDim
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("ir2group").toString
+    // catalog with two set dims, so the item compiles through the J2
+    // grouping-join path (semi-join on the set + bridge to the grouping)
+    val division = Seq((1L, "X"), (2L, "Y")).toDF("id", "set_value")
+    val author = Seq((1L, "alice"), (1L, "bob"), (2L, "carol"))
+      .toDF("id", "set_value")
+    val cat = Catalog(
+      facts = Map("downloads" -> fact()),
+      sets = Map("division" -> SetDim(division), "author" -> SetDim(author)))
+    val today = java.time.LocalDate.of(2024, 6, 15)
+    val spec = Report.Spec("division-page",
+      base = Context(datatype = "downloads", setName = Some("division"),
+        setValue = Some("X"), grouping = Some("author"),
+        range = Some("2024")),
+      items = Seq(Report.Item("table")))
+    val warmed = ReportCache.warm(dir, spec, cat, today)
+    // the warmed payload is the actual grouping-join result, not an
+    // empty envelope: both authors of division X at the summed count
+    assert(warmed("table").contains("\"grouping_value\": \"alice\", \"count\": 8"))
+    assert(warmed("table").contains("\"grouping_value\": \"bob\", \"count\": 8"))
+    assert(!warmed("table").contains("carol")) // division Y filtered out
+    // a later request arriving as raw AJAX params resolves to the same
+    // cache key and is served the identical payload...
+    val got = Context.fromParams(Map("datatype" -> "downloads",
+      "set_name" -> "division", "set_value" -> "X",
+      "grouping" -> "author", "range" -> "2024")).resolved(today)
+    val params = ReportCache.paramsOf(got, "table")
+    assert(ReportCache.lookup(dir, params).contains(warmed("table")))
+    // ...without recompute (the by-name compute must never evaluate)
+    assert(ReportCache.getOrCompute(dir, params)(
+      sys.error("cache miss: grouping join recomputed")) == warmed("table"))
+  }
+
   test("exporters: csv quoting, json envelope, xml escaping") {
     val s = spark; import s.implicits._
     val df = Seq(("a,b", 1L), ("<tag>", 2L)).toDF("name", "count")
