@@ -816,6 +816,36 @@ object SparkEntry {
     "t22_bpe_train" -> ((s, d) =>
       graft.functions.Bpe.train(Tables.documents(s, d), rounds = 2, topK = 8)),
 
+    // ---- T23: Unicode NFC normalization — the native codegen'd
+    // nfc_normalize expression (driver text is ASCII, so each doc
+    // gets a decomposed suffix appended: e+U+0301, u+U+0308; NFC
+    // composes both, shrinking the text by exactly 2 codepoints) ----
+    "t23_nfc_normalize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val decomposed = concat(col("text"),
+        lit(" cafe\u0301 u\u0308ber"))  // combining acute / diaeresis
+      val norm = Text.nfcNormalize(docs, decomposed)
+      docs.select(col("doc_id"),
+          length(decomposed).as("len_raw"), length(norm).as("len_nfc"),
+          (norm =!= decomposed).as("changed"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- V11: full-vector k-means clustering — the quantized Lloyd
+    // loop on the WHOLE vector (m=1), every assignment oracle-checked;
+    // the semantic-bucketing operator of an LLM data mix ----
+    "v11_kmeans_cluster" -> ((s, d) =>
+      Similarity.kmeansAssignments(Tables.embeddings(s, d),
+          dim = 64, stride = 31, k = 8, iters = 1)
+        .orderBy("id")),
+
+    // ---- V12: cluster-stratified diversity selection — per-cluster
+    // medoid + member count over the v11 assignments ----
+    "v12_diversity_medoid" -> ((s, d) =>
+      Similarity.diversityMedoids(Tables.embeddings(s, d),
+          dim = 64, stride = 31, k = 8, iters = 1)
+        .orderBy("cluster")),
+
     // ---- V9: IVF-PQ (the FAISS IVFADC layout) — probe-limited
     // cells + PQ codes + broadcast ADC tables; both size knobs
     // capped independently of corpus size ----
@@ -2430,7 +2460,73 @@ object SparkEntry {
        |sh AS (SELECT doc_id, $bits AS simhash FROM ag)""".stripMargin
   }
 
+  /** Full-vector integer-space k-means (one Lloyd step, stride init
+    * capped at k=8) as CTEs ending in `asg(id, cluster, dist)` — the
+    * single-subspace form of the v10 trained-PQ oracle, shared by
+    * v11 (assignments) and v12 (medoids). */
+  private val kmeansSqlCte: String =
+    """q AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(FLOOR(1000000 * x) AS BIGINT) + 2097152) AS qv
+      |  FROM embeddings),
+      |init AS (
+      |  SELECT vec_id FROM embeddings WHERE vec_id % 31 = 0
+      |  ORDER BY vec_id LIMIT 8),
+      |cb0 AS (SELECT q.id AS cw, q.qv AS cv FROM q JOIN init ON q.id = init.vec_id),
+      |d0 AS (
+      |  SELECT q.id, q.qv, c.cw,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d
+      |  FROM q CROSS JOIN cb0 c),
+      |a0 AS (
+      |  SELECT id, qv, cw FROM (
+      |    SELECT id, qv, cw,
+      |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cw) AS rk
+      |    FROM d0) WHERE rk = 1),
+      |sums AS (
+      |  SELECT cw, pos, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n
+      |  FROM (SELECT cw, unnest(qv) AS x,
+      |          generate_subscripts(qv, 1) AS pos FROM a0) t
+      |  GROUP BY 1, 2),
+      |cb1 AS (SELECT cw, list(sx // n ORDER BY pos) AS cv FROM sums GROUP BY 1),
+      |d1 AS (
+      |  SELECT q.id, c.cw,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d
+      |  FROM q CROSS JOIN cb1 c),
+      |asg AS (
+      |  SELECT id, cw AS cluster, d AS dist FROM (
+      |    SELECT id, cw, d,
+      |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cw) AS rk
+      |    FROM d1) WHERE rk = 1)""".stripMargin
+
   private def pipelineOracles: Map[String, String] = Map(
+    "t23_nfc_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(raw) AS INTEGER) AS len_raw,
+        |       CAST(length(nfc_normalize(raw)) AS INTEGER) AS len_nfc,
+        |       (nfc_normalize(raw) <> raw) AS changed
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "v11_kmeans_cluster" ->
+      s"""WITH $kmeansSqlCte
+         |SELECT id, cluster, dist FROM asg ORDER BY id""".stripMargin,
+
+    "v12_diversity_medoid" ->
+      s"""WITH $kmeansSqlCte,
+         |md AS (
+         |  SELECT cluster, id AS medoid, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY dist, id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM asg)
+         |SELECT cluster, medoid, dist, CAST(n_members AS BIGINT) AS n_members
+         |FROM md WHERE rk = 1 ORDER BY cluster""".stripMargin,
+
     "t1_token_stats" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks, text FROM documents)
          |SELECT doc_id,

@@ -355,6 +355,20 @@ object Text {
         expr("(-slp) div n_bigrams").as("nll_x1000"))
   }
 
+  /** Unicode NFC normalization of a column — the native codegen'd
+    * [[graft.plans.NfcNormalize]] expression when the graft
+    * extensions are installed, a JDK-Normalizer UDF fallback (same
+    * semantics, no codegen) otherwise. */
+  def nfcNormalize(df: org.apache.spark.sql.DataFrame, c: Column): Column =
+    if (df.sparkSession.catalog.functionExists("nfc_normalize"))
+      call_function("nfc_normalize", c)
+    else {
+      val f = udf((s: String) =>
+        if (s == null) null
+        else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      f(c)
+    }
+
   /** DSIR-style importance scoring (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every document in the raw pool by how target-like its token

@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
   *  - `hash60(string) -> long` ([[Hash60]], fused md5-prefix hash);
   *  - `hyperplane_bucket(array<double>, planes, maxDim) -> long`
   *    ([[HyperplaneBucket]], fused LSH sign-bit loop — one Catalyst
-  *    node instead of a planes x maxDim unrolled term tree).
+  *    node instead of a planes x maxDim unrolled term tree);
+  *  - `nfc_normalize(string) -> string` ([[NfcNormalize]], codegen'd
+  *    Unicode canonical composition with an allocation-free
+  *    already-normalized fast path).
   *
   * Registered planner strategy:
   *  - [[AsOfJoinStrategy]], planning the whole-operator
@@ -60,6 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "hash60 takes exactly 1 argument")
         Hash60(Cast(children.head, StringType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(Cast(children.head, StringType))
       }))
   }
 }

@@ -560,6 +560,52 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor"))
   }
 
+  /** Full-vector k-means clustering in exact integer space — the
+    * document-clustering / diversity-bucketing operator of an LLM
+    * pipeline. This is [[pqCodebookTrained]] with a single subspace
+    * covering the whole vector (m=1, subDim=dim): same quantized
+    * Lloyd loop (stride init capped at k, argmin assignment with
+    * ties to the lower centroid id, element-wise integer floor-mean),
+    * then one final assignment pass. Because every step is long
+    * arithmetic, the ENTIRE clustering — not just a summary — is
+    * oracle-checkable; floating-point k-means is not (the mean's
+    * summation order perturbs centroids).
+    *
+    * Scale posture: centroids are k rows and BROADCAST into each
+    * assignment pass (the corpus never shuffles its vectors to
+    * cluster); the update's (pos, x) re-explode is the documented
+    * iteration cost, `iters` small by design. Returns
+    * (id, cluster, dist) — cluster is the centroid's seed vec_id. */
+  def kmeansAssignments(corpus: DataFrame, dim: Int = 64,
+      stride: Int = 31, k: Int = 8, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebookTrained(corpus, m = 1, subDim = dim, stride, k,
+      iters, idCol, vecCol)
+    corpus.select(col(idCol).as("id"),
+        posexplode(quantSubs(col(vecCol), 1, dim)).as(Seq("m", "qv")))
+      .join(broadcast(cb), "m")
+      .select(col("id"),
+        struct(sqDistLong(col("qv"), col("cv")).as("d"), col("cw")).as("dc"))
+      .groupBy("id").agg(min("dc").as("best"))
+      .select(col("id"), col("best.cw").as("cluster"),
+        col("best.d").as("dist"))
+  }
+
+  /** Cluster-stratified diversity selection: the medoid (member
+    * nearest its centroid, ties to the lower id) plus the member
+    * count of every [[kmeansAssignments]] cluster — the "one
+    * representative per semantic bucket" sampler used to diversify
+    * a training mix. One k-row aggregate over the assignments. */
+  def diversityMedoids(corpus: DataFrame, dim: Int = 64,
+      stride: Int = 31, k: Int = 8, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    kmeansAssignments(corpus, dim, stride, k, iters, idCol, vecCol)
+      .groupBy("cluster")
+      .agg(min(struct(col("dist"), col("id"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("m.id").as("medoid"),
+        col("m.dist").as("dist"), col("n_members"))
+
   /** IVF-PQ search (the FAISS "IVFADC" layout, cf. Jégou et al. 2011
     * §IV — the index structure billion-scale ANN actually deploys):
     * the corpus is partitioned into a FIXED number of IVF cells, and

@@ -751,4 +751,68 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
     assert(r == Seq((1L, 1, 1410L), (3L, 2, 983L), (2L, 3, 693L)))
   }
+
+  test("BPE training: pair stats, deterministic tie-break, merge application") {
+    val d = docs((1L, "low low lower"))
+    // word freqs: low=2, lower=1; round-1 pairs: "l o"=3, "o w"=3,
+    // "w e"=1, "e r"=1 — the 3-count tie pins lexicographically to
+    // "l o", which becomes the merge
+    val out = graft.functions.Bpe.train(d, rounds = 2, topK = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.filter(_._1 == 1).toSeq ==
+      Seq((1, 1, "l o", 3L), (1, 2, "o w", 3L), (1, 3, "e r", 1L)))
+    // after "l o" -> "lo": low = "lo w", lower = "lo w e r"
+    assert(out.filter(_._1 == 2).toSeq ==
+      Seq((2, 1, "lo w", 3L), (2, 2, "e r", 1L), (2, 3, "w e", 1L)))
+  }
+
+  test("BPE merge application closes boundary-sharing repeat chains") {
+    // "aaaa" reprs as "a a a a"; a single boundary-anchored replace
+    // pass leaves a straggler ("aa a a"), the extra passes close it
+    val d = docs((1L, "aaaa aaaa"))
+    val out = graft.functions.Bpe.train(d, rounds = 2, topK = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.filter(_._1 == 1).head == ((1, 1, "a a", 6L)))
+    // round 2 must see "aa aa" (fully merged), not "aa a a"
+    assert(out.filter(_._1 == 2).head == ((2, 1, "aa aa", 2L)))
+  }
+
+  test("dsirScores: target pool excluded; target-vocab overlap outscores") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta", "t"),          // target
+      (2L, "alpha beta gamma", "r"),    // shares the target vocab
+      (3L, "delta epsilon", "r"))       // disjoint vocab
+      .toDF("doc_id", "text", "grp")
+    val out = Text.dsirScores(d, col("grp") === "t")
+      .orderBy(col("score_x1000").desc, col("id")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L)) // doc 1 not scored
+    assert(out.head.getLong(2) > out.last.getLong(2))
+  }
+
+  test("kmeansAssignments covers every vector; medoid is a real member") {
+    val s = spark; import s.implicits._
+    val e = (0L to 9L).map(i => (i, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val asg = Similarity.kmeansAssignments(e, dim = 2, stride = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(asg.keySet == (0L to 9L).toSet)         // every vector, once
+    assert(asg.values.toSet.subsetOf(Set(0L, 2L))) // clusters = seed ids
+    val med = Similarity.diversityMedoids(e, dim = 2, stride = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(med.map(_._3).sum == 10L)               // counts partition the set
+    med.foreach { case (cluster, medoid, _) =>
+      assert(asg(medoid) == cluster, s"medoid $medoid not in cluster $cluster")
+    }
+  }
+
+  test("nfc_normalize composes decomposed text; ASCII passes through") {
+    val d = docs((1L, "cafe\u0301"), (2L, "plain"))  // decomposed e + U+0301
+    // the native expression is registered in this session's extensions
+    assert(spark.catalog.functionExists("nfc_normalize"))
+    val out = d.select(Text.nfcNormalize(d, col("text")).as("n"))
+      .orderBy("doc_id").collect().map(_.getString(0))
+    assert(out(0) == "caf\u00e9")  // composed
+    assert(out(1) == "plain")
+  }
 }

@@ -233,6 +233,62 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchangesOf(p) <= 3, s"w6 grew extra shuffles:\n$p")
   }
 
+  test("a19 MAD anomaly: stats tables join back broadcast, never sort-merge") {
+    val p = plan("a19_anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), s"a19 lost its broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"per-metric stats degraded to a shuffled join in a19:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in a19:\n$p")
+  }
+
+  test("p3 k-anonymity is one aggregate over one scan (no joins/windows)") {
+    val p = plan("p3_k_anonymity")
+    assert(scansOf(p) == 1, s"p3 re-scans:\n$p")
+    assert(!p.contains("Join"), s"join crept into p3:\n$p")
+    assert(!p.contains("Window"), s"window crept into p3:\n$p")
+    // QI aggregate + final order-by range partition
+    assert(exchangesOf(p) <= 2, s"p3 grew extra shuffles:\n$p")
+  }
+
+  test("s12 drift union is scan-union-aggregate, one shuffle") {
+    val p = plan("s12_union_drift")
+    assert(p.contains("Union"), s"s12 lost the union:\n$p")
+    assert(!p.contains("Join"), s"join crept into s12:\n$p")
+    assert(exchangesOf(p) <= 1, s"s12 grew extra shuffles:\n$p")
+  }
+
+  test("t21 DSIR ends in top-k; no cartesian (1-row totals broadcast)") {
+    val p = plan("t21_dsir")
+    assert(p.contains("TakeOrderedAndProject"), s"t21 lost its top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t21:\n$p")
+  }
+
+  test("t22 BPE training rounds never rescan the corpus") {
+    // the word-frequency pass is the ONLY corpus-sized stage; the
+    // returned merge table must read vocab checkpoints, not parquet
+    val p = plan("t22_bpe_train")
+    assert(scansOf(p) == 0,
+      s"t22 result plan rescans the corpus (vocab checkpoint lost):\n$p")
+  }
+
+  test("t23 NFC normalization stays native codegen (no UDF on the path)") {
+    val p = plan("t23_nfc_normalize")
+    // the native expression shows by prettyName in the Project; a UDF
+    // fallback would print as UDF(...) and break whole-stage codegen
+    assert(p.contains("nfc_normalize"), s"native expression gone from t23:\n$p")
+    assert(!p.contains("UDF"), s"t23 fell back to a Scala UDF:\n$p")
+  }
+
+  test("v11/v12 k-means: centroids broadcast, corpus never sort-merges") {
+    for (q <- Seq("v11_kmeans_cluster", "v12_diversity_medoid")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcasts:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"assignment degraded to a shuffled join in $q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+    }
+  }
+
   test("c13 JSON props parse stays a scan-side projection") {
     val p = plan("c13_json_props")
     assert(scansOf(p) == 1, s"c13 re-scans:\n$p")
