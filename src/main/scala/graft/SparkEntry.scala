@@ -650,6 +650,36 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"))
         .orderBy("media_id")),
 
+    // ---- M5: audio decode — deterministic PCM wrapped in real
+    // RIFF/WAVE headers, decoded back through the genuine JDK audio
+    // codec (javax.sound.sampled); header fields + exact integer
+    // signal energy are the oracle-checkable ground truth ----
+    "m5_audio_energy" -> ((s, d) =>
+      Multimodal.decodeAudio(
+          Multimodal.wavMediaTable(Tables.documents(s, d)))
+        .orderBy("media_id")),
+
+    // ---- D12: Fellegi–Sunter record linkage — sorted-neighborhood
+    // blocks on the id, integer agreement weights over (nation,
+    // segment, balance, name edit distance); the entity-resolution
+    // operator entity-heavy corpora dedup with ----
+    "d12_record_linkage" -> ((s, d) => {
+      import graft.dedup.Linkage
+      val c = Tables.customer(s, d)
+        .withColumn("blk", expr("c_custkey div 50"))
+      Linkage.linkagePairs(c, "c_custkey", Seq("blk"),
+          Seq(
+            Linkage.Agreement("c_nationkey", (l, r) => l === r, 40),
+            Linkage.Agreement("c_mktsegment", (l, r) => l === r, 25),
+            Linkage.Agreement("c_acctbal", (l, r) =>
+              abs(round(l * 100).cast("long") - round(r * 100).cast("long"))
+                <= 50000L, 35),
+            Linkage.Agreement("c_name", (l, r) => levenshtein(l, r) <= 4, 50)),
+          threshold = 100)
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .limit(100)
+    }),
+
     // ---- T6: Gopher-style quality rules (integer flags) ----
     "t6_quality_rules" -> ((s, d) => {
       val t = col("text")
@@ -1703,6 +1733,33 @@ object SparkEntry {
           count(col("user_id")).as("user_id_present"),
           count(col("value")).as("value_present"),
           count(col("props")).as("props_present"))
+    }),
+
+    // ---- S13: multi-format source/sink round-trip — the same
+    // extract written to and read back from ORC, CSV and JSON (the
+    // legacy-dump formats a 100 TB lakehouse actually ingests);
+    // identical per-format stats prove lossless round-trips. Schema
+    // is enforced on read (no inference pass over the data) ----
+    "s13_multiformat" -> ((s, d) => {
+      val e = ev(s, d).select(col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_fmt").toString
+      e.write.mode("overwrite").orc(s"$tmp/orc")
+      e.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      e.write.mode("overwrite").json(s"$tmp/json")
+      val back = Seq(
+        "csv" -> s.read.option("header", "true").schema(e.schema).csv(s"$tmp/csv"),
+        "json" -> s.read.schema(e.schema).json(s"$tmp/json"),
+        "orc" -> s.read.orc(s"$tmp/orc"))
+      back.map { case (fmt, df) =>
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("id_sum"),
+            countDistinct(col("event_type")).as("n_types"),
+            countDistinct(col("day")).as("n_days"))
+          .select(lit(fmt).as("format"), col("n_rows"), col("id_sum"),
+            col("n_types"), col("n_days"))
+      }.reduce(_ unionByName _).orderBy("format")
     }),
 
     // ---- S11: single-pass table profiling (ANALYZE shape) — all
@@ -2809,6 +2866,49 @@ object SparkEntry {
         |       CAST(8 + doc_id % 32 AS INTEGER) AS width,
         |       CAST(8 + doc_id % 16 AS INTEGER) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // ground truth of the WAV fixture, recomputed independently:
+    // the Spark side must round-trip real RIFF bytes through the JDK
+    // audio codec to produce the same numbers
+    "m5_audio_energy" ->
+      """SELECT doc_id AS media_id,
+        |       8000 AS sample_rate,
+        |       CAST(64 + doc_id % 64 AS INTEGER) AS n_samples,
+        |       CAST(list_sum(list_transform(
+        |         range(0, CAST(64 + doc_id % 64 AS BIGINT)),
+        |         k -> ((doc_id * 31 + k * 17) % 2048 - 1024)
+        |            * ((doc_id * 31 + k * 17) % 2048 - 1024))) AS BIGINT) AS energy
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "d12_record_linkage" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |         c_custkey // 50 AS blk
+        |  FROM customer),
+        |p AS (
+        |  SELECT x.c_custkey AS a, y.c_custkey AS b,
+        |    CAST((CASE WHEN x.c_nationkey = y.c_nationkey THEN 40 ELSE 0 END)
+        |       + (CASE WHEN x.c_mktsegment = y.c_mktsegment THEN 25 ELSE 0 END)
+        |       + (CASE WHEN abs(CAST(round(x.c_acctbal * 100) AS BIGINT)
+        |                      - CAST(round(y.c_acctbal * 100) AS BIGINT))
+        |               <= 50000 THEN 35 ELSE 0 END)
+        |       + (CASE WHEN levenshtein(x.c_name, y.c_name) <= 4
+        |               THEN 50 ELSE 0 END) AS INTEGER) AS score
+        |  FROM c x JOIN c y ON x.blk = y.blk AND x.c_custkey < y.c_custkey)
+        |SELECT a, b, score FROM p WHERE score >= 100
+        |ORDER BY score DESC, a, b LIMIT 100""".stripMargin,
+
+    "s13_multiformat" ->
+      """WITH f AS (
+        |  SELECT 'csv' AS format UNION ALL SELECT 'json' UNION ALL SELECT 'orc'),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |  FROM events)
+        |SELECT format, n_rows, id_sum, n_types, n_days
+        |FROM f CROSS JOIN a ORDER BY format""".stripMargin,
 
     "t6_quality_rules" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),

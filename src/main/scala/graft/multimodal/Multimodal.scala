@@ -128,6 +128,108 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** One audio payload's decoded features: format header fields plus
+    * the total signal energy (sum of squared samples — exact long
+    * arithmetic, so it is oracle-comparable). */
+  final case class AudioDecoded(sampleRate: Int, nSamples: Int, energy: Long)
+
+  /** REAL decoder for the audio modality: JDK `javax.sound.sampled`
+    * (the WAV/AIFF/AU readers ship with every JDK; headless-safe).
+    * Parses the RIFF/WAVE header through the actual audio codec and
+    * streams the PCM frames: 16-bit signed little-endian mono is the
+    * synthesized fixture format, and the energy sum is pure long
+    * arithmetic over the decoded samples. Unreadable payloads report
+    * (0, 0, 0) — a row to filter, not a task to kill. */
+  object WavDecoder extends Serializable {
+    val kind = "audio/wav"
+    def decode(payload: Array[Byte]): AudioDecoded =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          var i = 0
+          var e = 0L
+          while (i < n) {
+            val s = ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xFF)).toShort
+            e += s.toLong * s
+            i += 1
+          }
+          AudioDecoded(fmt.getSampleRate.toInt, n, e)
+        } finally ais.close()
+      } catch { case _: Exception => AudioDecoded(0, 0, 0L) }
+  }
+
+  /** Build a REAL-WAV media table from a row-id source: each row gets
+    * a deterministic 16-bit PCM mono signal (sample count and values
+    * pure id arithmetic), wrapped in a hand-assembled RIFF/WAVE
+    * header, executor-side — the audio twin of [[pngMediaTable]].
+    * The ground truth (8 kHz, `64 + id % 64` samples, energy =
+    * Σ ((id·31 + k·17) mod 2048 − 1024)²) is recomputable by an
+    * independent engine, while the Spark side must round-trip the
+    * bytes through the genuine JDK audio codec to recover it. */
+  def wavMediaTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = 64 + (id % 64).toInt
+        val pcm = new Array[Byte](n * 2)
+        var k = 0
+        while (k < n) {
+          val s = ((id * 31 + k * 17) % 2048 - 1024).toInt
+          pcm(2 * k) = (s & 0xFF).toByte
+          pcm(2 * k + 1) = ((s >> 8) & 0xFF).toByte
+          k += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val dos = new java.io.DataOutputStream(bos)
+        def u32le(v: Int): Unit = dos.write(Array[Byte](
+          (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+          ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte))
+        def u16le(v: Int): Unit =
+          dos.write(Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
+        val rate = 8000
+        dos.writeBytes("RIFF"); u32le(36 + pcm.length); dos.writeBytes("WAVE")
+        dos.writeBytes("fmt "); u32le(16)
+        u16le(1)            // PCM
+        u16le(1)            // mono
+        u32le(rate)         // sample rate
+        u32le(rate * 2)     // byte rate (16-bit mono)
+        u16le(2)            // block align
+        u16le(16)           // bits per sample
+        dos.writeBytes("data"); u32le(pcm.length)
+        dos.write(pcm)
+        val bytes = bos.toByteArray
+        Row(id, bytes, Row(WavDecoder.kind, bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("energy", LongType)))
+
+  /** Partition-wise batched audio decode — same batching shape as
+    * [[decodeFeatures]], through the real [[WavDecoder]]. */
+  def decodeAudio(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val dec = WavDecoder.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), dec.sampleRate, dec.nSamples, dec.energy)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("n_bytes", IntegerType),

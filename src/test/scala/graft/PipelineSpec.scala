@@ -806,6 +806,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("WAV round-trip: real JDK codec recovers rate, count, exact energy") {
+    val d = docs((3L, "x")) // id 3 -> 67 samples
+    val out = Multimodal.decodeAudio(Multimodal.wavMediaTable(d)).head()
+    assert(out.getInt(1) == 8000)
+    assert(out.getInt(2) == 67)
+    val expected = (0 until 67).map { k =>
+      val s = (3 * 31 + k * 17) % 2048 - 1024; s.toLong * s
+    }.sum
+    assert(out.getLong(3) == expected)
+  }
+
+  test("WavDecoder reports a zero row for garbage payloads") {
+    assert(Multimodal.WavDecoder.decode("not a wav".getBytes) ==
+      Multimodal.AudioDecoded(0, 0, 0L))
+  }
+
+  test("linkagePairs: agreement weights, threshold, and block cap") {
+    import graft.dedup.Linkage
+    val s = spark; import s.implicits._
+    val recs = Seq(
+      (1L, 10L, "anna", "A"),
+      (2L, 10L, "annb", "A"),    // lev 1 + same seg  -> 75
+      (3L, 30L, "zzzzzz", "B"),  // alone in its block
+      (10L, 20L, "bob", "A"), (11L, 20L, "bob", "A"), (12L, 20L, "bob", "A"))
+      .toDF("id", "blk", "name", "seg")
+    val ags = Seq(
+      Linkage.Agreement("name", (l, r) => levenshtein(l, r) <= 1, 50),
+      Linkage.Agreement("seg", (l, r) => l === r, 25))
+    val pairs = Linkage.linkagePairs(recs, "id", Seq("blk"), ags, threshold = 75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs ==
+      Set((1L, 2L, 75), (10L, 11L, 75), (10L, 12L, 75), (11L, 12L, 75)))
+    // the skew guard drops the oversized block entirely, keeps the rest
+    val capped = Linkage
+      .linkagePairs(recs, "id", Seq("blk"), ags, 75, maxBlockSize = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("nfc_normalize composes decomposed text; ASCII passes through") {
     val d = docs((1L, "cafe\u0301"), (2L, "plain"))  // decomposed e + U+0301
     // the native expression is registered in this session's extensions

@@ -289,6 +289,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d12 record linkage joins on the block key only (no cartesian)") {
+    val p = plan("d12_record_linkage")
+    assert(!p.contains("CartesianProduct"),
+      s"blocking failed — all-pairs join in d12:\n$p")
+  }
+
   test("c13 JSON props parse stays a scan-side projection") {
     val p = plan("c13_json_props")
     assert(scansOf(p) == 1, s"c13 re-scans:\n$p")
