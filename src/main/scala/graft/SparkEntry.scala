@@ -226,6 +226,30 @@ object SparkEntry {
         .orderBy("value", "date")
     }),
 
+    // ---- A20: per-metric trend detection — least-squares slope of
+    // the daily series, computed from the FIVE integer sums the
+    // closed form needs (n, Σx, Σy, Σxy, Σxx with x = day offset):
+    // slope_x1000 = 1000·(nΣxy − ΣxΣy) div (nΣxx − (Σx)²). All
+    // integer, so engine-exact — unlike regr_slope, whose float
+    // accumulation order differs per engine. One scan + one
+    // metric-cardinality aggregate; the 100 TB form is identical ----
+    "a20_trend" -> ((s, d) => {
+      val daily = fact(s, d).groupBy("value", "date")
+        .agg(sum("count").as("cnt"))
+      val origin = lit(java.sql.Date.valueOf("2024-01-01"))
+      val xy = daily.select(col("value"),
+        datediff(col("date"), origin).cast("long").as("x"),
+        col("cnt").as("y"))
+      xy.groupBy("value")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("value"), col("n"),
+          expr("(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
+            .as("slope_x1000"))
+        .orderBy("value")
+    }),
+
     // ---- F9: per-id go-live clamp greatest(from, first_seen) ----
     "f9_live_clamp" -> ((s, d) => {
       val e = ev(s, d).withColumn("date", to_date(col("ts")))
@@ -789,6 +813,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- D13: survivorship — the dedup pipeline's final decision:
+    // per near-dup cluster, keep the longest member (ties to the
+    // lower id). Composes the d2 pair generator and d6 clustering,
+    // then one argmin-struct aggregate picks survivors ----
+    "d13_survivorship" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.minhashNearDup(docs, num = 1, den = 2), docs)
+      clusters.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy("cluster")
+        .agg(min(struct((-col("n_chars")).as("nl"), col("doc_id").as("id")))
+            .as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster"), col("m.id").as("survivor"),
+          (-col("m.nl")).as("survivor_len"), col("n_members"))
+        .orderBy("cluster")
+    }),
+
+    // ---- G1: PageRank centrality over the co-purchase part graph
+    // (parts sharing an order) — integer-exact damping arithmetic,
+    // 2 Lloyd-style iterations, the whole loop oracle-checked ----
+    "g1_pagerank" -> ((s, d) => {
+      import graft.operators.Graph
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = l.as("i")
+        .join(l.as("j"), col("i.ok") === col("j.ok") && col("i.p") < col("j.p"))
+        .select(col("i.p").as("a"), col("j.p").as("b")).distinct()
+      Graph.pageRank(pairs, iters = 2)
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // ---- T24: collocation extraction — adjacent-bigram PMI with
+    // min support; the multi-word-unit miner of a tokenizer/quality
+    // pipeline ----
+    "t24_collocations" -> ((s, d) =>
+      Text.collocations(Tables.documents(s, d), "doc_id", "text", minCount = 5)
+        .orderBy(col("pmi_x1000").desc, col("bigram")).limit(20)),
+
     // ---- D7: blocked edit-distance pairs — character-level near-dup
     // verify (prefix blocking + bounded Levenshtein; the linkage shape
     // MinHash token overlap can't express) ----
@@ -1003,6 +1066,29 @@ object SparkEntry {
         .groupBy("status")
         .agg(count(lit(1)).as("n"), min("id").as("first_id"))
         .orderBy("status")
+    }),
+
+    // ---- O15: small-file compaction planning — the lakehouse
+    // maintenance pass a 100 TB table needs continuously: per
+    // partition-shard, pack consecutive small "files" (here the
+    // (day, event_type) row-group proxies) into target-size output
+    // groups by prefix sum — the packSequences shape applied to
+    // storage. Planning is metadata-only: the window runs over file
+    // STATS (one row per file), never data rows, so the plan for a
+    // million-file table is a million-row job ----
+    "o15_compaction_plan" -> ((s, d) => {
+      val files = ev(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("size_rows"))
+      val w = Window.partitionBy("day").orderBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      files
+        .withColumn("cum", sum("size_rows").over(w))
+        .withColumn("out_group",
+          expr("(cum - size_rows) div 500").cast("long"))
+        .groupBy("day", "out_group")
+        .agg(count(lit(1)).as("n_files"), sum("size_rows").as("rows_packed"))
+        .orderBy("day", "out_group")
     }),
 
     // ---- O12: deterministic global shuffle — the reproducible
@@ -2226,6 +2312,41 @@ object SparkEntry {
         |  CAST(ROUND(100 * (SELECT COUNT(*) FROM events WHERE event_type = 'purchase')
         |    / (SELECT COUNT(*) FROM events WHERE event_type = 'view'), 0) AS BIGINT) AS pct""".stripMargin,
 
+    "a20_trend" ->
+      s"""WITH $factCte,
+         |daily AS (
+         |  SELECT value, date, CAST(SUM(count) AS BIGINT) AS cnt
+         |  FROM fact GROUP BY 1, 2),
+         |xy AS (
+         |  SELECT value,
+         |         CAST(date - DATE '2024-01-01' AS BIGINT) AS x,
+         |         cnt AS y
+         |  FROM daily),
+         |sums AS (
+         |  SELECT value, COUNT(*) AS n,
+         |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |         CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM xy GROUP BY 1)
+         |SELECT value, n,
+         |       (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS slope_x1000
+         |FROM sums ORDER BY value""".stripMargin,
+
+    "o15_compaction_plan" ->
+      """WITH files AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS size_rows
+        |  FROM events GROUP BY 1, 2),
+        |packed AS (
+        |  SELECT day, event_type, size_rows,
+        |         SUM(size_rows) OVER (PARTITION BY day ORDER BY event_type
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM files)
+        |SELECT day, (cum - size_rows) // 500 AS out_group,
+        |       COUNT(*) AS n_files,
+        |       CAST(SUM(size_rows) AS BIGINT) AS rows_packed
+        |FROM packed GROUP BY 1, 2 ORDER BY day, out_group""".stripMargin,
+
     "a19_anomaly_mad" ->
       s"""WITH $factCte,
          |daily AS (
@@ -2710,6 +2831,74 @@ object SparkEntry {
          |  THEN doc_id ELSE m.mn END AS BIGINT) AS cluster
          |FROM documents LEFT JOIN m ON m.x = doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // d13 extends the d6 closure with the survivorship pick
+    "d13_survivorship" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a AS x, b AS y FROM pairs
+         |  UNION SELECT b AS x, a AS y FROM pairs),
+         |rr(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT rr.x, e.y FROM rr JOIN edges e ON rr.y = e.x),
+         |m AS (SELECT x, MIN(y) AS mn FROM rr GROUP BY x),
+         |cl AS (
+         |  SELECT doc_id, n_chars, CAST(CASE WHEN m.mn IS NULL OR m.mn > doc_id
+         |    THEN doc_id ELSE m.mn END AS BIGINT) AS cluster
+         |  FROM documents LEFT JOIN m ON m.x = doc_id),
+         |sv AS (
+         |  SELECT cluster, doc_id AS survivor, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster
+         |      ORDER BY n_chars DESC, doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM cl)
+         |SELECT cluster, survivor, CAST(n_chars AS BIGINT) AS survivor_len,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM sv WHERE rk = 1 ORDER BY cluster""".stripMargin,
+
+    "g1_pagerank" ->
+      """WITH pr0 AS (
+        |  SELECT DISTINCT i.l_partkey AS a, j.l_partkey AS b
+        |  FROM lineitem i JOIN lineitem j
+        |    ON i.l_orderkey = j.l_orderkey AND i.l_partkey < j.l_partkey),
+        |und AS (SELECT a AS src, b AS dst FROM pr0
+        |        UNION ALL SELECT b AS src, a AS dst FROM pr0),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |c0 AS (SELECT u.dst, CAST(SUM(r.pr // d.deg) AS BIGINT) AS sc
+        |       FROM und u JOIN r0 r ON u.src = r.node JOIN deg d ON u.src = d.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT dst AS node, 150000 + (850 * sc) // 1000 AS pr FROM c0),
+        |c1 AS (SELECT u.dst, CAST(SUM(r.pr // d.deg) AS BIGINT) AS sc
+        |       FROM und u JOIN r1 r ON u.src = r.node JOIN deg d ON u.src = d.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT dst AS node, 150000 + (850 * sc) // 1000 AS pr FROM c1)
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM r2
+        |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
+    "t24_collocations" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) u
+        |  WHERE len(toks) >= 2),
+        |uni AS (SELECT unnest(toks) AS w FROM t),
+        |c1t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM c1t),
+        |nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg),
+        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |       FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w1 || ' ' || w2 AS bigram, c12,
+        |  CAST(FLOOR(1000 * LN(
+        |    (CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |    (CAST(nb AS DOUBLE) * CAST(a.cu AS DOUBLE) * CAST(b.cu AS DOUBLE))))
+        |    AS BIGINT) AS pmi_x1000
+        |FROM cb JOIN c1t a ON a.w = cb.w1 JOIN c1t b ON b.w = cb.w2
+        |CROSS JOIN nt CROSS JOIN nbt
+        |ORDER BY pmi_x1000 DESC, bigram LIMIT 20""".stripMargin,
 
     "d3_simhash" ->
       s"""WITH $simhashSql

@@ -416,6 +416,44 @@ object Text {
       .agg(count(lit(1)).as("n_tok"), sum("lw").as("score_x1000"))
   }
 
+  /** Collocation extraction: adjacent-bigram pointwise mutual
+    * information (Church & Hanks, "Word Association Norms, Mutual
+    * Information, and Lexicography", CL 1990) —
+    * `PMI = ln( p(w1 w2) / (p(w1)·p(w2)) )` with bigram probability
+    * over the bigram total and unigram probabilities over the token
+    * total. High-PMI pairs are the corpus's multi-word units — the
+    * phrase vocabulary a tokenizer or quality filter wants.
+    *
+    * Engine-exactness via the [[bigramNll]] pattern: one floored
+    * `1000·ln(·)` per bigram TYPE; counts are cast to double BEFORE
+    * the products (the same 2^53-safe form as [[dsirScores]] — at
+    * corpus scale `c12·N²` overflows a long silently). `minCount`
+    * keeps rare-pair noise out (PMI's known failure mode). Returns
+    * (bigram, c12, pmi_x1000). */
+  def collocations(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w1")))
+    val bg = toks.withColumn("w2", lead("w1", 1).over(w))
+      .filter(col("w2").isNotNull)
+    val uni = toks.groupBy(col("w1").as("w")).agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum("cu").as("n"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nb))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c12"),
+        floor(lit(1000.0) * log(
+          (col("c12").cast("double") * col("n").cast("double") * col("n").cast("double")) /
+          (col("nb").cast("double") * col("c1").cast("double") * col("c2").cast("double"))))
+          .cast("long").as("pmi_x1000"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * packs. Deterministic next-fit by id order WITHIN each shard: a
     * document's pack is its starting token offset div `budget`

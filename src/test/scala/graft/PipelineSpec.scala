@@ -845,6 +845,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("pageRank: hand-computed 2-iteration ranks on a path graph") {
+    import graft.operators.Graph
+    val s = spark; import s.implicits._
+    // path 1—2—3: deg = (1, 2, 1); after two exact-integer iterations
+    // r2(1) = r2(3) = 150000 + 850·(1850000 div 2) div 1000 = 936250
+    // r2(2) = 150000 + 850·(575000 + 575000) div 1000     = 1127500
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graph.pageRank(pairs, iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+  }
+
+  test("collocations: hand-computed PMI with min support") {
+    val d = docs((1L, "new york new york"), (2L, "aa bb aa bb"))
+    // N=8 tokens, NB=6 bigrams; "new york" and "aa bb" each c12=2,
+    // unigrams all 2 -> pmi = floor(1000·ln((2·8·8)/(6·2·2))) = 1673;
+    // the singleton bigrams ("york new", "bb aa") miss minCount
+    val r = Text.collocations(d, "doc_id", "text", minCount = 2)
+      .orderBy("bigram").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("aa bb", 2L, 1673L), ("new york", 2L, 1673L)))
+  }
+
   test("nfc_normalize composes decomposed text; ASCII passes through") {
     val d = docs((1L, "cafe\u0301"), (2L, "plain"))  // decomposed e + U+0301
     // the native expression is registered in this session's extensions

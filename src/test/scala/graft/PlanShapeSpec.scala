@@ -289,6 +289,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a20 trend: one scan, two aggregates, no joins or windows") {
+    val p = plan("a20_trend")
+    assert(scansOf(p) == 1, s"a20 re-scans:\n$p")
+    assert(!p.contains("Join"), s"join crept into a20:\n$p")
+    assert(!p.contains("Window"), s"window crept into a20:\n$p")
+  }
+
+  test("o15 compaction planning is metadata-sized: one scan, no joins") {
+    val p = plan("o15_compaction_plan")
+    assert(scansOf(p) == 1, s"o15 re-scans:\n$p")
+    assert(!p.contains("Join"), s"join crept into o15:\n$p")
+    // file-stats aggregate + day window + group aggregate + order-by
+    assert(exchangesOf(p) <= 4, s"o15 grew extra shuffles:\n$p")
+  }
+
+  test("g1 PageRank final plan reads checkpointed ranks (no cartesian)") {
+    val p = plan("g1_pagerank")
+    assert(!p.contains("CartesianProduct"), s"cartesian in g1:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"g1 lost its top-k:\n$p")
+  }
+
+  test("t24 collocations end in top-k; totals broadcast, no cartesian") {
+    val p = plan("t24_collocations")
+    assert(p.contains("TakeOrderedAndProject"), s"t24 lost its top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t24:\n$p")
+  }
+
   test("d12 record linkage joins on the block key only (no cartesian)") {
     val p = plan("d12_record_linkage")
     assert(!p.contains("CartesianProduct"),
