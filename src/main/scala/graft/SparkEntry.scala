@@ -1859,6 +1859,72 @@ object SparkEntry {
             "o_orderpriority"))
         .orderBy("column")),
 
+    // ---- S14: SCD type-2 history build — per-user daily attribute
+    // stream collapsed to validity intervals (run-length change
+    // detection + half-open [valid_from, valid_to) windows); one
+    // shuffle on the business key, stacked windows reuse it ----
+    "s14_scd2" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max("event_type").as("etype"))
+      graft.store.Changes.scd2(daily, "user_id", "day", "etype")
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // ---- S15: MERGE upsert — apply a versioned changeset (updates,
+    // deletes, inserts; latest version per key wins) to a base
+    // snapshot WITHOUT shuffling the base: broadcast anti-join on
+    // touched keys + union of surviving upserts ----
+    "s15_merge_upsert" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+      val upd1 = base
+        .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 11 =!= 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("c_mktsegment", lit("MERGED"))
+        .withColumn("op", lit("U")).withColumn("version", lit(1))
+      // a second, later version on a subset of the same keys — the
+      // latest-wins collapse is what's under test
+      val upd2 = base
+        .filter(col("c_custkey") % 14 === 0 && col("c_custkey") % 11 =!= 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 2000.0)
+        .withColumn("c_mktsegment", lit("MERGED2"))
+        .withColumn("op", lit("U")).withColumn("version", lit(2))
+      val dels = base.filter(col("c_custkey") % 11 === 0)
+        .withColumn("op", lit("D")).withColumn("version", lit(1))
+      val ins = base.filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 100000L)
+        .withColumn("c_acctbal", lit(0.0))
+        .withColumn("c_mktsegment", lit("NEW"))
+        .withColumn("op", lit("U")).withColumn("version", lit(1))
+      val changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+      graft.store.Changes.mergeUpsert(base, changes, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("acctbal"),
+          col("c_mktsegment").as("segment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- A21: winsorized mean — robust location per group: clamp at
+    // the exact in-group [p10, p90], then an INTEGER mean (floor to
+    // millionths before summing, so the cross-engine compare never
+    // rides double summation order). Quantiles are a tiny per-group
+    // aggregate broadcast back; one scan + one broadcast join ----
+    "a21_winsorized" -> ((s, d) => {
+      val e = ev(s, d)
+      val q = e.groupBy("event_type").agg(
+        expr("percentile(value, 0.1)").as("p10"),
+        expr("percentile(value, 0.9)").as("p90"))
+      e.join(broadcast(q), Seq("event_type"))
+        .withColumn("clamped",
+          least(greatest(col("value"), col("p10")), col("p90")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("clamped") * 1e6).cast("long")).as("sum_x1e6"))
+        .select(col("event_type"), col("n"),
+          expr("sum_x1e6 div n").as("wmean_x1e6"))
+        .orderBy("event_type")
+    }),
+
     // ---- O4: collation-aware ordering (case-insensitive) + limit ----
     "o4_collated_order" -> ((s, d) =>
       Tables.customer(s, d)
@@ -1883,7 +1949,9 @@ object SparkEntry {
           lit(0), lit(1)))
       Geo.classify(e, Geo.demoRanges(s))
         .groupBy("country").agg(count(lit(1)).as("cnt"))
-        .orderBy("country")
+        // NULLS LAST pins the unmatched-range row to DuckDB's default
+        // null ordering — Spark's asc default is nulls-first
+        .orderBy(col("country").asc_nulls_last)
     }),
 
     // ---- A5: lifetime-totals MV substitution (no-date-bounds query) ----
@@ -4271,6 +4339,73 @@ object SparkEntry {
         |  FROM da)
         |SELECT value, CAST(COUNT(*) AS BIGINT) AS total
         |FROM statuses GROUP BY 1 ORDER BY value""".stripMargin,
+
+    "s14_scd2" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, MAX(event_type) AS etype
+        |  FROM events GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT user_id, day, etype,
+        |         LAG(etype) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM daily),
+        |ch AS (
+        |  SELECT user_id, etype, day AS valid_from
+        |  FROM runs WHERE prev IS NULL OR prev <> etype)
+        |SELECT user_id, etype, valid_from,
+        |       LEAD(valid_from) OVER
+        |         (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+        |       (LEAD(valid_from) OVER
+        |         (PARTITION BY user_id ORDER BY valid_from) IS NULL) AS is_current
+        |FROM ch ORDER BY user_id, valid_from""".stripMargin,
+
+    "s15_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         c_acctbal + 1000.0 AS c_acctbal,
+        |         'MERGED' AS c_mktsegment, 'U' AS op, 1 AS version
+        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 2000.0,
+        |         'MERGED2', 'U', 2
+        |  FROM customer WHERE c_custkey % 14 = 0 AND c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |         'D', 1
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, c_name, c_nationkey, 0.0, 'NEW', 'U', 1
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |latest AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+        |             ORDER BY version DESC, op DESC) AS rn
+        |  FROM changes),
+        |l1 AS (SELECT * FROM latest WHERE rn = 1),
+        |merged AS (
+        |  SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal,
+        |         b.c_mktsegment
+        |  FROM customer b LEFT JOIN l1 ON b.c_custkey = l1.c_custkey
+        |  WHERE l1.c_custkey IS NULL
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM l1 WHERE op = 'U')
+        |SELECT c_custkey, c_name, c_nationkey,
+        |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+        |       c_mktsegment AS segment
+        |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    "a21_winsorized" ->
+      """WITH q AS (
+        |  SELECT event_type, quantile_cont(value, 0.1) AS p10,
+        |         quantile_cont(value, 0.9) AS p90
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type,
+        |         LEAST(GREATEST(e.value, q.p10), q.p90) AS clamped
+        |  FROM events e JOIN q USING (event_type))
+        |SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(clamped * 1e6) AS BIGINT))
+        |            // COUNT(*) AS BIGINT) AS wmean_x1e6
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "s11_profile" ->
       """WITH o AS (

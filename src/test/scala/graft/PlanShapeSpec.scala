@@ -322,6 +322,32 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"blocking failed — all-pairs join in d12:\n$p")
   }
 
+  test("s14 SCD2 shuffles the business key once; windows stack on it") {
+    val p = plan("s14_scd2")
+    assert(!p.contains("Join"), s"join crept into s14:\n$p")
+    // one hash exchange (key) feeding the stacked windows, one range
+    // exchange for the final ORDER BY — the lag and the lead must NOT
+    // each repartition
+    assert(p.sliding("hashpartitioning".length)
+        .count(_ == "hashpartitioning") <= 2,
+      s"s14 windows stopped sharing the key partitioning:\n$p")
+  }
+
+  test("s15 merge-upsert never shuffles the base: broadcast anti-join") {
+    val p = plan("s15_merge_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"s15 base-side anti-join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"s15 degraded to a shuffled merge:\n$p")
+  }
+
+  test("a21 winsorized mean broadcasts the per-group quantiles") {
+    val p = plan("a21_winsorized")
+    assert(p.contains("BroadcastHashJoin"), s"a21 lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a21 quantile join degraded to shuffle:\n$p")
+  }
+
   test("c13 JSON props parse stays a scan-side projection") {
     val p = plan("c13_json_props")
     assert(scansOf(p) == 1, s"c13 re-scans:\n$p")
