@@ -845,12 +845,42 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("node")).limit(20)
     }),
 
+    // ---- G2: triangle counting — degree-ordered orientation bounds
+    // wedge fan-out on skewed co-occurrence graphs; per-node
+    // participation counts over the same parts-bought-together edge
+    // set as g1 ----
+    "g2_triangles" -> ((s, d) => {
+      import graft.operators.Graph
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = l.as("i")
+        .join(l.as("j"), col("i.ok") === col("j.ok") && col("i.p") < col("j.p"))
+        .select(col("i.p").as("a"), col("j.p").as("b")).distinct()
+      Graph.triangleCounts(pairs)
+        .orderBy(col("n_tri").desc, col("node")).limit(20)
+    }),
+
     // ---- T24: collocation extraction — adjacent-bigram PMI with
     // min support; the multi-word-unit miner of a tokenizer/quality
     // pipeline ----
     "t24_collocations" -> ((s, d) =>
       Text.collocations(Tables.documents(s, d), "doc_id", "text", minCount = 5)
         .orderBy(col("pmi_x1000").desc, col("bigram")).limit(20)),
+
+    // ---- T25: winnowing fingerprints (MOSS) — the guaranteed-recall
+    // plagiarism/overlap fingerprint: windowed min-hash selection with
+    // rightmost tie-break, packed into one integer so the selection is
+    // engine-exact ----
+    "t25_winnowing" -> ((s, d) =>
+      Text.winnowing(Tables.documents(s, d), "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "fp_pos", "fp_hash")),
+
+    // ---- T26: content-defined chunking — Rabin-style local cut rule
+    // (rolling 2-token hash mod 16 == 0); insertion-stable chunk
+    // boundaries, the storage-dedup chunking ----
+    "t26_cdc_chunks" -> ((s, d) =>
+      Text.cdcChunks(Tables.documents(s, d), "doc_id", "text", mask = 15)
+        .orderBy("doc_id", "chunk_no")),
 
     // ---- D7: blocked edit-distance pairs — character-level near-dup
     // verify (prefix blocking + bounded Levenshtein; the linkage shape
@@ -938,6 +968,25 @@ object SparkEntry {
       Similarity.diversityMedoids(Tables.embeddings(s, d),
           dim = 64, stride = 31, k = 8, iters = 1)
         .orderBy("cluster")),
+
+    // ---- V13: kNN label classification — majority vote over the
+    // top-k cosine neighbors (ties to the smaller label); the
+    // annotate-by-nearest-labeled-example primitive. The tiny vote
+    // table broadcasts into the label dim, so the corpus is never
+    // shuffled ----
+    "v13_knn_classify" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val knn = Similarity.annBruteForce(e, e.filter(col("vec_id") < 10), k = 5)
+      val labels = e.select(col("vec_id").as("neighbor"), col("label"))
+      val votes = labels.join(broadcast(knn), "neighbor")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("label").as("pred"), col("votes"))
+        .orderBy("query_id")
+    }),
 
     // ---- V9: IVF-PQ (the FAISS IVFADC layout) — probe-limited
     // cells + PQ codes + broadcast ADC tables; both size knobs
@@ -2773,6 +2822,29 @@ object SparkEntry {
          |SELECT cluster, medoid, dist, CAST(n_members AS BIGINT) AS n_members
          |FROM md WHERE rk = 1 ORDER BY cluster""".stripMargin,
 
+    "v13_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |s AS (
+        |  SELECT qid, vec_id AS nid, label,
+        |         list_cosine_similarity(qv, embedding) AS c
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+        |r AS (
+        |  SELECT qid, label,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+        |  FROM s),
+        |v AS (
+        |  SELECT qid, label, COUNT(*) AS votes
+        |  FROM r WHERE rk <= 5 GROUP BY 1, 2),
+        |p AS (
+        |  SELECT qid, label, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, label) AS rn
+        |  FROM v)
+        |SELECT qid AS query_id, label AS pred, CAST(votes AS BIGINT) AS votes
+        |FROM p WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
     "t1_token_stats" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks, text FROM documents)
          |SELECT doc_id,
@@ -2925,6 +2997,20 @@ object SparkEntry {
          |       CAST(n_members AS BIGINT) AS n_members
          |FROM sv WHERE rk = 1 ORDER BY cluster""".stripMargin,
 
+    "g2_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT i.l_partkey AS a, j.l_partkey AS b
+        |  FROM lineitem i JOIN lineitem j
+        |    ON i.l_orderkey = j.l_orderkey AND i.l_partkey < j.l_partkey),
+        |tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (SELECT unnest([u, v, w]) AS node FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM n GROUP BY 1
+        |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+
     "g1_pagerank" ->
       """WITH pr0 AS (
         |  SELECT DISTINCT i.l_partkey AS a, j.l_partkey AS b
@@ -2994,6 +3080,55 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          |WHERE i * 2 >= (sa.nsh + sb.nsh - i) * 1
          |ORDER BY a, b""".stripMargin,
+
+    "t25_winnowing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, len(toks) - 2 AS ng,
+         |    unnest(list_transform(generate_series(1, len(toks) - 2),
+         |      i -> struct_pack(pos := i - 1,
+         |        key := (${hex60("array_to_string(list_slice(toks, i, i + 2), ' ')")}
+         |                  % 8796093022208) * 1048576 + (1048575 - (i - 1))))) AS u
+         |  FROM t WHERE len(toks) - 2 >= 4),
+         |k AS (SELECT doc_id, ng, u.pos AS pos, u.key AS key FROM g),
+         |f AS (
+         |  SELECT doc_id, ng, pos,
+         |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM k)
+         |SELECT DISTINCT doc_id,
+         |  CAST(1048575 - fp % 1048576 AS BIGINT) AS fp_pos,
+         |  CAST(fp // 1048576 AS BIGINT) AS fp_hash
+         |FROM f WHERE pos <= ng - 4
+         |ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+
+    "t26_cdc_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, u.pos AS pos, u.tok AS tok
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          generate_series(1, len(toks)),
+         |          i -> struct_pack(pos := i - 1, tok := toks[i]))) AS u
+         |        FROM t)),
+         |p AS (
+         |  SELECT doc_id, pos, tok,
+         |    LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM tok),
+         |b AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > 0 AND
+         |      ${hex60("prev || ' ' || tok")} % 16 = 0
+         |    THEN 1 ELSE 0 END AS boundary
+         |  FROM p),
+         |c AS (
+         |  SELECT doc_id, pos,
+         |    SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+         |  FROM b)
+         |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+         |  MIN(pos) AS start_pos, CAST(COUNT(*) AS BIGINT) AS n_tok
+         |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_no""".stripMargin,
 
     "d11_containment" ->
       s"""WITH t AS (

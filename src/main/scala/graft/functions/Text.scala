@@ -465,6 +465,79 @@ object Text {
     * single global ordering (a global pack order at 100 TB would
     * serialize on one task). Returns one row per document:
     * (shard, id, n_tok, pack_id). */
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide
+    * a w-gram window, keep the window's minimal hash with RIGHTMOST
+    * tie-break, dedup. Guarantees every match of length w+k-1 tokens
+    * shares a fingerprint, at ~2/(w+1) selection density.
+    *
+    * Engine-exact form: gram hash and position are PACKED into one
+    * long — `(hash60 mod 2^43) * 2^20 + (2^20-1 - pos)` — so the
+    * window `min` resolves both the minimal hash AND the rightmost
+    * position in a single integer comparison any engine orders
+    * identically (a struct/argmin tie-break is engine-defined).
+    * Bounds: 43-bit fingerprint space, docs up to 2^20 grams.
+    *
+    * Scale posture: one shuffle (gram explode partitions by doc for
+    * the window); selection density caps output at ~2n/(w+1) rows;
+    * no joins. Returns (id, fp_pos, fp_hash). */
+  def winnowing(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val session = Some(df.sparkSession)
+    val toks = tokens(col(textCol))
+    val gramArr = transform(sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    val g = df
+      .select(col(idCol), size(gramArr).as("ng"),
+        posexplode(gramArr).as(Seq("pos", "gram")))
+      .filter(col("ng") >= w) // need at least one full window
+      .withColumn("key",
+        (hash60(col("gram"), session) % lit(8796093022208L)) * lit(1048576L)
+          + (lit(1048575L) - col("pos")))
+    val wSpec = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
+    g.withColumn("fp", min("key").over(wSpec))
+      // full windows only: the canonical algorithm emits n-w+1 windows
+      .filter(col("pos") <= col("ng") - w)
+      .select(col(idCol),
+        (lit(1048575L) - col("fp") % lit(1048576L)).as("fp_pos"),
+        // exact long division — intDiv's double path loses the low
+        // bits above 2^53, and the packed key is ~2^60
+        expr("fp div 1048576").as("fp_hash"))
+      .distinct()
+  }
+
+  /** Content-defined chunking: a chunk boundary falls BEFORE token
+    * `pos` whenever the rolling 2-token hash ends in `log2(mask+1)`
+    * zero bits (`hash mod (mask+1) == 0`) — the Rabin-style CDC cut
+    * rule, giving expected chunk length mask+1 tokens. Boundaries
+    * depend only on local content, so an insertion early in a
+    * document shifts at most one chunk — the property that makes CDC
+    * the dedup-friendly chunking at storage scale (vs fixed-size
+    * chunks, where one inserted token re-chunks the whole tail).
+    *
+    * Production variants add min/max chunk clamps; those make the cut
+    * sequential per doc, so this operator keeps the pure local rule
+    * (both windows — the lag and the running boundary count — stack
+    * on ONE doc-key shuffle). Returns (id, chunk_no, start_pos, n_tok). */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, mask: Int = 15): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val session = Some(df.sparkSession)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("__prev", lag("tok", 1).over(w))
+      .withColumn("boundary",
+        when(col("pos") > 0 &&
+            hash60(concat_ws(" ", col("__prev"), col("tok")), session)
+              % lit(mask + 1L) === 0L, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_no",
+        sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("chunk_no"))
+      .agg(min("pos").as("start_pos"), count(lit(1)).as("n_tok"))
+  }
+
   def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, shardCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -46,4 +46,40 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle participation counts over an undirected pair
+    * set (a, b), a < b, distinct. Degree-ordered orientation (the
+    * Cohen / Suri-Vassilvitskii MapReduce form): direct each edge
+    * from its lower-(degree, id) endpoint, enumerate wedges at the
+    * source, close them against the oriented edge set. Orientation
+    * bounds every node's out-degree by O(√m), so wedge fan-out —
+    * the quadratic hazard on skewed graphs (one celebrity node =
+    * deg² wedges undirected) — stays O(m^1.5) total regardless of
+    * degree skew. Three hash joins on node keys, no cartesian.
+    * Returns (node, n_tri). */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("u").as("x"), col("deg").as("du")),
+        col("u") === col("x")).drop("x")
+      .join(deg.select(col("u").as("y"), col("deg").as("dv")),
+        col("v") === col("y")).drop("y")
+    // keep the edge only in its low-endpoint orientation
+    val oriented = withDeg.filter(
+      col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"), col("dv"))
+    // wedges (v, w) at each source u, ordered by the SAME (deg, id)
+    // key so the closing edge is exactly the oriented v -> w
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("tu"), col("e1.v").as("tv"), col("e2.v").as("tw"))
+    val tris = wedges.join(oriented.select(col("u").as("tv"), col("v").as("tw")),
+      Seq("tv", "tw"))
+    tris.select(explode(array(col("tu"), col("tv"), col("tw"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

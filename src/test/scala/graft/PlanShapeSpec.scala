@@ -348,6 +348,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a21 quantile join degraded to shuffle:\n$p")
   }
 
+  test("t25/t26 text pipelines stay join-free on one doc-key shuffle") {
+    for (q <- Seq("t25_winnowing", "t26_cdc_chunks")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"join crept into $q:\n$p")
+      assert(p.sliding("hashpartitioning".length)
+          .count(_ == "hashpartitioning") <= 2,
+        s"$q windows stopped sharing the doc partitioning:\n$p")
+    }
+  }
+
+  test("g2 triangle counting closes wedges with hash joins, no cartesian") {
+    val p = plan("g2_triangles")
+    assert(!p.contains("CartesianProduct"), s"cartesian in g2:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"g2 lost its top-k:\n$p")
+  }
+
+  test("v13 kNN classify broadcasts the vote table into the label dim") {
+    val p = plan("v13_knn_classify")
+    assert(p.contains("BroadcastHashJoin"), s"v13 lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"v13 label join degraded to shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in v13:\n$p")
+  }
+
   test("c13 JSON props parse stays a scan-side projection") {
     val p = plan("c13_json_props")
     assert(scansOf(p) == 1, s"c13 re-scans:\n$p")

@@ -294,6 +294,83 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnowing: shared runs of w+k-1 tokens always share a fingerprint") {
+    val sp = spark; import sp.implicits._
+    val k = 3; val w = 4
+    // two docs with a planted common run of exactly w+k-1 tokens in
+    // different random contexts — the MOSS guarantee says at least
+    // one fingerprint hash must coincide
+    val docGen = for {
+      pre <- Gen.listOfN(6, Gen.oneOf("x", "y", "z"))
+      post <- Gen.listOfN(6, Gen.oneOf("p", "q", "r"))
+    } yield (pre, post)
+    val shared = Seq("m1", "m2", "m3", "m4", "m5", "m6") // w + k - 1 = 6
+    forAllSeeded(Gen.zip(docGen, docGen), n = 15) { case ((p1, s1), (p2, s2)) =>
+      val docs = Seq(
+        (0L, (p1 ++ shared ++ s1).mkString(" ")),
+        (1L, (p2 ++ shared ++ s2).mkString(" ")))
+      val fps = Text.winnowing(docs.toDF("doc_id", "text"), "doc_id", "text",
+          k = k, w = w)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val h0 = fps.filter(_._1 == 0L).map(_._2).toSet
+      val h1 = fps.filter(_._1 == 1L).map(_._2).toSet
+      assert(h0.intersect(h1).nonEmpty,
+        s"planted 6-token overlap produced no shared fingerprint: $docs")
+    }
+  }
+
+  test("cdcChunks: chunks tile the doc; boundaries survive a prefix insert") {
+    val sp = spark; import sp.implicits._
+    val tokGen = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d", "e"))
+    forAllSeeded(Gen.zip(tokGen, Gen.listOfN(5, Gen.oneOf("u", "v"))), n = 10) {
+      case (toks, prefix) =>
+        def chunksOf(text: String, id: Long) =
+          Text.cdcChunks(Seq((id, text)).toDF("doc_id", "text"),
+              "doc_id", "text", mask = 3)
+            .collect().map(r => (r.getInt(2).toLong, r.getLong(3))) // (start, n)
+        val base = chunksOf(toks.mkString(" "), 0L)
+        // tiling: starts + lengths cover 0..n-1 with no gaps
+        val starts = base.map(_._1).sorted
+        assert(starts.head == 0L && base.map(_._2).sum == toks.length)
+        assert(starts.zip(base.sortBy(_._1)).forall { case (s, (s2, _)) => s == s2 })
+        // content-defined: inserting a prefix shifts but does not
+        // re-cut the tail (every original boundary past position 0
+        // reappears shifted by the prefix length)
+        val shifted = chunksOf((prefix ++ toks).mkString(" "), 1L)
+          .map(_._1).filter(_ > prefix.length).map(_ - prefix.length).toSet
+        val orig = base.map(_._1).filter(_ > 0).toSet
+        assert(shifted == orig,
+          s"CDC boundaries not insertion-stable: $orig vs $shifted")
+    }
+  }
+
+  test("triangleCounts == brute-force enumeration on random graphs") {
+    val sp = spark; import sp.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(4, 9)
+      m <- Gen.choose(3, 18)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong - 1),
+        Gen.choose(0L, n.toLong - 1)))
+    } yield es.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    forAllSeeded(edgeGen, n = 15) { edges =>
+      if (edges.nonEmpty) {
+        val eset = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val expected = (for {
+          u <- nodes; v <- nodes if v > u; w <- nodes if w > v
+          if eset((u, v)) && eset((u, w)) && eset((v, w))
+        } yield Seq(u, v, w)).flatten
+          .groupBy(identity).map { case (n2, xs) => (n2, xs.size.toLong) }
+          .toSeq.sorted
+        val got = graft.operators.Graph.triangleCounts(
+            edges.toDF("a", "b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(got == expected, s"edges: $edges")
+      }
+    }
+  }
+
   test("containmentPairs == brute-force shingle containment on random corpora") {
     val sp = spark; import sp.implicits._
     forAllSeeded(corpusGen, n = 20) { texts =>
