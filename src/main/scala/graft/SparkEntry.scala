@@ -683,6 +683,25 @@ object SparkEntry {
           Multimodal.wavMediaTable(Tables.documents(s, d)))
         .orderBy("media_id")),
 
+    // ---- M6: perceptual image hash — REAL PNG decode through the
+    // JDK codec, then aHash over the pixel buffer (integer luma,
+    // floored-mean threshold, 64 bits packed sign-safe as two 32-bit
+    // halves); ground truth recomputed arithmetically by the oracle ----
+    "m6_image_phash" -> ((s, d) =>
+      Multimodal.imagePhash(
+          Multimodal.phashMediaTable(Tables.documents(s, d)))
+        .orderBy("media_id")),
+
+    // ---- M7: hamming near-dup over perceptual hashes — 4×16-bit
+    // band blocking (pigeonhole-exact to hamming 3) + bit_count(xor)
+    // verify; the image-modality twin of the SimHash text dedup ----
+    "m7_phash_neardup" -> ((s, d) =>
+      Multimodal.phashNearDup(
+          Multimodal.imagePhash(
+            Multimodal.phashMediaTable(Tables.documents(s, d))),
+          maxDist = 3)
+        .orderBy("a", "b")),
+
     // ---- D12: Fellegi–Sunter record linkage — sorted-neighborhood
     // blocks on the id, integer agreement weights over (nation,
     // segment, balance, name edit distance); the entity-resolution
@@ -3271,6 +3290,70 @@ object SparkEntry {
         |         k -> ((doc_id * 31 + k * 17) % 2048 - 1024)
         |            * ((doc_id * 31 + k * 17) % 2048 - 1024))) AS BIGINT) AS energy
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // pixel ground truth of the phash fixture, recomputed from the md5
+    // arithmetic the generator uses; the Spark side must decode real
+    // PNG bytes to reproduce these hashes
+    "m6_image_phash" ->
+      s"""WITH gy AS (
+         |  SELECT doc_id, unnest(generate_series(0, 7)) AS y FROM documents),
+         |gx AS (
+         |  SELECT doc_id, y, unnest(generate_series(0, 7)) AS x FROM gy),
+         |px0 AS (
+         |  SELECT doc_id, x, y,
+         |    ${hex60("'p' || (doc_id // 10) || ':' || x || ':' || y")} % 256 AS base,
+         |    ${hex60("'f' || (doc_id % 10) || ':' || x || ':' || y")} % 32 AS fh
+         |  FROM gx),
+         |px AS (
+         |  SELECT doc_id, x, y,
+         |    CASE WHEN doc_id % 10 > 0 AND fh = 0 THEN 255 - base
+         |         ELSE base END AS l
+         |  FROM px0),
+         |m AS (SELECT doc_id, SUM(l) // 64 AS mean FROM px GROUP BY 1),
+         |bits AS (
+         |  SELECT p.doc_id,
+         |    CAST(SUM(CASE WHEN l > mean AND y * 8 + x >= 32
+         |      THEN CAST(1 AS BIGINT) << (y * 8 + x - 32) ELSE 0 END) AS BIGINT)
+         |      AS phash_hi,
+         |    CAST(SUM(CASE WHEN l > mean AND y * 8 + x < 32
+         |      THEN CAST(1 AS BIGINT) << (y * 8 + x) ELSE 0 END) AS BIGINT)
+         |      AS phash_lo
+         |  FROM px p JOIN m USING (doc_id) GROUP BY 1)
+         |SELECT doc_id AS media_id, phash_hi, phash_lo
+         |FROM bits ORDER BY media_id""".stripMargin,
+
+    "m7_phash_neardup" ->
+      s"""WITH gy AS (
+         |  SELECT doc_id, unnest(generate_series(0, 7)) AS y FROM documents),
+         |gx AS (
+         |  SELECT doc_id, y, unnest(generate_series(0, 7)) AS x FROM gy),
+         |px0 AS (
+         |  SELECT doc_id, x, y,
+         |    ${hex60("'p' || (doc_id // 10) || ':' || x || ':' || y")} % 256 AS base,
+         |    ${hex60("'f' || (doc_id % 10) || ':' || x || ':' || y")} % 32 AS fh
+         |  FROM gx),
+         |px AS (
+         |  SELECT doc_id, x, y,
+         |    CASE WHEN doc_id % 10 > 0 AND fh = 0 THEN 255 - base
+         |         ELSE base END AS l
+         |  FROM px0),
+         |m AS (SELECT doc_id, SUM(l) // 64 AS mean FROM px GROUP BY 1),
+         |bits AS (
+         |  SELECT p.doc_id,
+         |    CAST(SUM(CASE WHEN l > mean AND y * 8 + x >= 32
+         |      THEN CAST(1 AS BIGINT) << (y * 8 + x - 32) ELSE 0 END) AS BIGINT)
+         |      AS phash_hi,
+         |    CAST(SUM(CASE WHEN l > mean AND y * 8 + x < 32
+         |      THEN CAST(1 AS BIGINT) << (y * 8 + x) ELSE 0 END) AS BIGINT)
+         |      AS phash_lo
+         |  FROM px p JOIN m USING (doc_id) GROUP BY 1)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.phash_hi, y.phash_hi))
+         |     + bit_count(xor(x.phash_lo, y.phash_lo)) AS INTEGER) AS dist
+         |FROM bits x JOIN bits y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.phash_hi, y.phash_hi))
+         |    + bit_count(xor(x.phash_lo, y.phash_lo)) <= 3
+         |ORDER BY a, b""".stripMargin,
 
     "d12_record_linkage" ->
       """WITH c AS (

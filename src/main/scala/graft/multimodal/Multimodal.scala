@@ -128,6 +128,128 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Build the perceptual-hash fixture: 8×8 grayscale PNGs with
+    * md5-derived pixels organized in FAMILIES — ids sharing `id div
+    * 10` get the same base image, and the variant `id mod 10` flips
+    * ~2 pixels (luma inverted where a second hash lands on 0 mod 32).
+    * Same contract as [[pngMediaTable]]: real PNG bytes born
+    * executor-side through the JDK codec, ground truth recomputable
+    * arithmetically by an independent engine. The family structure is
+    * what gives the hamming-near-dup operator true positives to find. */
+  def phashMediaTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val fam = id / 10
+        val vari = id % 10
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val base =
+              (graft.functions.Text.hash60Literal(s"p$fam:$x:$y") % 256).toInt
+            val l =
+              if (vari > 0 &&
+                  graft.functions.Text.hash60Literal(s"f$vari:$x:$y") % 32 == 0)
+                255 - base
+              else base
+            img.setRGB(x, y, (l << 16) | (l << 8) | l)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        Row(id, bytes, Row(ImageIoDecoder.kind, bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("phash_hi", LongType),
+    StructField("phash_lo", LongType)))
+
+  /** Average-hash (aHash) over the REAL decoded pixel buffer: decode
+    * through `javax.imageio`, integer-luma the top-left 8×8 block
+    * (`(299r + 587g + 114b) div 1000` — production inserts a
+    * block-average resize before this step), threshold each pixel
+    * against the block's floored mean, and pack the 64 bits as two
+    * SIGN-SAFE 32-bit halves (phash_hi, phash_lo) so any engine's
+    * signed BIGINT carries them exactly. Unreadable or sub-8×8
+    * payloads hash to (0, 0) — a row to filter, not a task failure. */
+  def imagePhash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        if (img == null || img.getWidth < 8 || img.getHeight < 8)
+          Row(id, 0L, 0L)
+        else {
+          val lum = new Array[Int](64)
+          var sum = 0L
+          var i = 0
+          while (i < 64) {
+            val v = img.getRGB(i % 8, i / 8)
+            val l = (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+              + 114 * (v & 255)) / 1000
+            lum(i) = l; sum += l; i += 1
+          }
+          val mean = sum / 64
+          var hi = 0L; var lo = 0L
+          i = 0
+          while (i < 64) {
+            if (lum(i) > mean) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          // bit index i = y*8 + x, row-major from the top-left
+          Row(id, hi, lo)
+        }
+      })
+    }
+    spark.createDataFrame(rdd, phashSchema)
+  }
+
+  /** Hamming near-dup over perceptual hashes: 4×16-bit band blocking
+    * (pigeonhole: any pair within hamming `maxDist` ≤ 3 shares at
+    * least one exact band), candidates verified with an exact
+    * `bit_count(xor)` — so the banded form returns EXACTLY the
+    * all-pairs result while joining only on band equality. The same
+    * shape as the SimHash pigeonhole blocking in
+    * [[graft.dedup.Dedup]]; at corpus scale a `maxBandBucket` cap
+    * would bound a degenerate band (all-black thumbnails) the way
+    * the text dedup caps do. Returns (a, b, dist), a < b. */
+  def phashNearDup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding guarantees recall only to hamming 3")
+    val banded = hashes.select(col("media_id"), col("phash_hi"), col("phash_lo"),
+      posexplode(array(
+        col("phash_lo") % 65536L,
+        expr("phash_lo div 65536") % 65536L,
+        col("phash_hi") % 65536L,
+        expr("phash_hi div 65536"))).as(Seq("band_no", "band_val")))
+    val l = banded.select(col("media_id").as("a"), col("phash_hi").as("ha"),
+      col("phash_lo").as("la"), col("band_no"), col("band_val"))
+    val r = banded.select(col("media_id").as("b"), col("phash_hi").as("hb"),
+      col("phash_lo").as("lb"), col("band_no"), col("band_val"))
+    l.join(r, Seq("band_no", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("la"), col("hb"), col("lb"))
+      .distinct()
+      .withColumn("dist",
+        (bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb"))).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
   /** One audio payload's decoded features: format header fields plus
     * the total signal energy (sum of squared samples — exact long
     * arithmetic, so it is oracle-comparable). */

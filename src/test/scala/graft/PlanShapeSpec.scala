@@ -372,6 +372,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"cartesian in v13:\n$p")
   }
 
+  test("m7 phash near-dup joins on band equality only (no cartesian)") {
+    val p = plan("m7_phash_neardup")
+    assert(!p.contains("CartesianProduct"),
+      s"banding failed — all-pairs join in m7:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"banding failed — nested-loop join in m7:\n$p")
+  }
+
   test("c13 JSON props parse stays a scan-side projection") {
     val p = plan("c13_json_props")
     assert(scansOf(p) == 1, s"c13 re-scans:\n$p")
