@@ -1349,6 +1349,40 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // ---- X4: interval-OVERLAP join — co-presence of per-user daily
+    // view and purchase activity windows; bucketized equi-join with
+    // the emit-once-at-overlap-start dedup (no distinct pass), exact
+    // overlap predicate decides ----
+    "x4_interval_overlap" -> ((s, d) => {
+      val e = ev(s, d).withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("day", to_date(col("ts")))
+      def iv(t: String, p: String) = e.filter(col("event_type") === t)
+        .groupBy(col("user_id"), col("day").as(p + "_day"))
+        .agg(min("sec").as(p + "_lo"), (max("sec") + 1L).as(p + "_hi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          iv("view", "v"), iv("purchase", "p"), keys = Seq("user_id"),
+          "v_lo", "v_hi", "p_lo", "p_hi", bucketWidth = 21600.0)
+        .select(col("user_id"), col("v_day").as("view_day"),
+          col("p_day").as("purch_day"))
+        .orderBy("user_id", "view_day", "purch_day")
+    }),
+
+    // ---- O17: Poisson bootstrap — per-replicate deterministic
+    // Poisson(1) row weights (inverse-CDF over salted-hash uniforms)
+    // give resample-with-replacement statistics with ZERO data
+    // movement: the replicate aggregates read each row once ----
+    "o17_poisson_bootstrap" -> ((s, d) => {
+      val reps = explode(sequence(lit(0), lit(9))).as("rep")
+      ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"), reps)
+        .withColumn("w",
+          Text.poissonWeight(col("event_id"), col("rep"), "boot"))
+        .groupBy("rep")
+        .agg(sum("w").as("n_boot"),
+          sum(col("w") * floor(col("value") * 100).cast("long")).as("val_x100"))
+        .orderBy("rep")
+    }),
+
     // ---- J5: bloom-prefiltered exact semi-join (the F6 archive
     // filter's scale path when the dim key set fits a few MB of bloom
     // bits but not a broadcast hash relation; result provably equals
@@ -4069,6 +4103,43 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.psec >= v.vsec
         |ORDER BY pid""".stripMargin,
+
+    "x4_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, day AS view_day, MIN(sec) AS v_lo,
+        |         MAX(sec) + 1 AS v_hi
+        |  FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, day AS purch_day, MIN(sec) AS p_lo,
+        |         MAX(sec) + 1 AS p_hi
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT user_id, view_day, purch_day
+        |FROM v JOIN p USING (user_id)
+        |WHERE v_lo < p_hi AND p_lo < v_hi
+        |ORDER BY user_id, view_day, purch_day""".stripMargin,
+
+    "o17_poisson_bootstrap" ->
+      s"""WITH r AS (SELECT unnest(generate_series(0, 9)) AS rep),
+         |x AS (
+         |  SELECT rep, event_id, value,
+         |    ${hex60("'boot:' || event_id || ':' || rep")} % 1000000 AS u
+         |  FROM events CROSS JOIN r WHERE event_type = 'purchase'),
+         |w AS (
+         |  SELECT rep, value,
+         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+         |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+         |         WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+         |         ELSE 6 END AS w
+         |  FROM x)
+         |SELECT CAST(rep AS INTEGER) AS rep,
+         |       CAST(SUM(w) AS BIGINT) AS n_boot,
+         |       CAST(SUM(w * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         |         AS val_x100
+         |FROM w GROUP BY 1 ORDER BY rep""".stripMargin,
 
     "x3_range_join" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS band, COUNT(*) AS cnt,

@@ -465,6 +465,23 @@ object Text {
     * single global ordering (a global pack order at 100 TB would
     * serialize on one task). Returns one row per document:
     * (shard, id, n_tok, pack_id). */
+  /** Deterministic Poisson(1) bootstrap weight for (row, replicate):
+    * the salted hash's uniform millionths inverted through the
+    * Poisson CDF (thresholds floored to millionths — literal in both
+    * engines, so replicate weights are engine-exact and rerun-stable).
+    * Poisson bootstrap (Chamandy et al., Google 2012) resamples by
+    * WEIGHTING rows instead of drawing n with replacement — no data
+    * movement, no global count needed, embarrassingly parallel: the
+    * only way to bootstrap a 100 TB table. Tail truncated at 6 copies
+    * (P ≈ 1e-4 at λ=1, absorbed into the k=6 bucket). */
+  def poissonWeight(id: Column, replicate: Column, salt: String): Column = {
+    val u = hash60(concat(lit(salt), lit(":"), id.cast("string"),
+      lit(":"), replicate.cast("string"))) % 1000000L
+    when(u < 367879L, 0L).when(u < 735758L, 1L).when(u < 919698L, 2L)
+      .when(u < 981011L, 3L).when(u < 996340L, 4L).when(u < 999405L, 5L)
+      .otherwise(6L)
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide
     * a w-gram window, keep the window's minimal hash with RIGHTMOST

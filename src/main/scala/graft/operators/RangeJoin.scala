@@ -82,4 +82,37 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: every (a, b) pair with
+    * `a.[aLo, aHi) ∩ b.[bLo, bHi) ≠ ∅` (and equal `keys`, if given —
+    * co-presence within a user/session/device). Both sides replicate
+    * to the buckets they touch and equi-join on (keys, bucket); the
+    * exact overlap predicate decides, and each surviving pair is
+    * emitted ONCE — from the single bucket containing the overlap's
+    * start `max(aLo, bLo)` — so no distinct pass is needed (the
+    * standard dedup trick of bucketized interval joins). Replication
+    * cost is O(span/width) per interval, capped loudly like
+    * [[pointInInterval]]. */
+  def intervalOverlap(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      bucketWidth: Double,
+      maxReplicasPerInterval: Long = 65536L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def replicate(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val n = bucketOf(col(hi), bucketWidth) - bucketOf(col(lo), bucketWidth) + lit(1L)
+      df.filter(col(lo) < col(hi))
+        .withColumn("__bucket", explode(
+          when(n <= maxReplicasPerInterval,
+            sequence(bucketOf(col(lo), bucketWidth),
+              bucketOf(col(hi), bucketWidth)))
+            .otherwise(raise_error(lit(
+              s"RangeJoin: interval spans more than $maxReplicasPerInterval " +
+                s"buckets at bucketWidth=$bucketWidth")))))
+    }
+    replicate(a, aLo, aHi)
+      .join(replicate(b, bLo, bHi), keys :+ "__bucket")
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(bucketOf(greatest(col(aLo), col(bLo)), bucketWidth) === col("__bucket"))
+      .drop("__bucket")
+  }
 }

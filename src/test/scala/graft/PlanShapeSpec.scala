@@ -372,6 +372,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"cartesian in v13:\n$p")
   }
 
+  test("x4 interval overlap joins on (key, bucket) equality — never nested-loop") {
+    val p = plan("x4_interval_overlap")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x4:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"x4 compiled to a nested-loop range join:\n$p")
+  }
+
+  test("o17 Poisson bootstrap is join-free: weights computed in-projection") {
+    val p = plan("o17_poisson_bootstrap")
+    assert(!p.contains("Join"), s"join crept into o17:\n$p")
+    assert(scansOf(p) == 1, s"o17 re-scans:\n$p")
+  }
+
   test("m7 phash near-dup joins on band equality only (no cartesian)") {
     val p = plan("m7_phash_neardup")
     assert(!p.contains("CartesianProduct"),
