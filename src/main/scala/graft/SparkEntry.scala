@@ -1777,6 +1777,59 @@ object SparkEntry {
       Series.interpolate(sparse, "d", "v").orderBy("d")
     }),
 
+    // ---- W13: cumulative distinct users — the first-seen trick:
+    // cumulative COUNT(DISTINCT) without per-window re-scans (the
+    // naive form re-aggregates the whole history each day). One
+    // distinct shuffle computes first_seen; the running total runs
+    // over the CALENDAR-bounded daily row set ----
+    "w13_cumulative_distinct" -> ((s, d) => {
+      val first = ev(s, d).groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"))
+      val perDay = first.groupBy("d0").agg(count(lit(1)).as("new_users"))
+      val w = Window
+        .partitionBy(graft.operators.GlobalRank.onePartitionKey(
+          dayofmonth(col("d0"))))
+        .orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+      perDay.withColumn("cum_users", sum("new_users").over(w))
+        .orderBy("d0")
+    }),
+
+    // ---- W14: CUSUM changepoint detection — the level-shift locator
+    // on each metric's daily series. Deviations are multiplied
+    // through by n (S_t = Σ (n·x_i − total)) so the whole statistic
+    // is exact long arithmetic; argmax |S_t| with earliest-day ties
+    // resolves via one struct-min aggregate ----
+    "w14_cusum_changepoint" -> ((s, d) => {
+      val daily = fact(s, d).groupBy("value", "date")
+        .agg(sum("count").as("cnt"))
+      val tot = daily.groupBy("value")
+        .agg(count(lit(1)).as("n"), sum("cnt").as("total"))
+      val w = Window.partitionBy("value").orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.join(broadcast(tot), Seq("value"))
+        .withColumn("s", sum(col("cnt") * col("n") - col("total")).over(w))
+        .groupBy("value")
+        .agg(min(struct((-abs(col("s"))).as("na"), col("date").as("d")))
+          .as("m"))
+        .select(col("value"), col("m.d").as("cp_date"),
+          (-col("m.na")).as("max_absdev"))
+        .orderBy("value")
+    }),
+
+    // ---- A22: moment sketch — the five integer power sums (n, Σx,
+    // Σx², Σx³ over centiunits) that any downstream skewness /
+    // kurtosis / variance derives from in closed form; one aggregate,
+    // engine-exact, mergeable across shards by construction ----
+    "a22_moments" -> ((s, d) => {
+      val x = floor(col("value") * 100).cast("long")
+      ev(s, d).select(col("event_type"), x.as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"))
+        .orderBy("event_type")
+    }),
+
     // ---- W10: ordered conversion funnel — each step's entry must be
     // at-or-after the user's previous step entry ----
     "w10_funnel" -> ((s, d) =>
@@ -4465,6 +4518,50 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w13_cumulative_distinct" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT d0, COUNT(*) AS new_users FROM f GROUP BY 1)
+        |SELECT d0, new_users,
+        |       CAST(SUM(new_users) OVER (ORDER BY d0
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_users
+        |FROM n ORDER BY d0""".stripMargin,
+
+    "w14_cusum_changepoint" ->
+      s"""WITH $factCte,
+         |daily AS (
+         |  SELECT value, date, CAST(SUM(count) AS BIGINT) AS cnt
+         |  FROM fact GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT value, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(cnt) AS BIGINT) AS total
+         |  FROM daily GROUP BY 1),
+         |cs AS (
+         |  SELECT d.value, d.date,
+         |    CAST(SUM(d.cnt * t.n - t.total) OVER (PARTITION BY d.value
+         |      ORDER BY d.date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+         |  FROM daily d JOIN tot t ON d.value = t.value),
+         |r AS (
+         |  SELECT value, date, ABS(s) AS a,
+         |    ROW_NUMBER() OVER (PARTITION BY value
+         |      ORDER BY ABS(s) DESC, date) AS rk
+         |  FROM cs)
+         |SELECT value, date AS cp_date, CAST(a AS BIGINT) AS max_absdev
+         |FROM r WHERE rk = 1 ORDER BY value""".stripMargin,
+
+    "a22_moments" ->
+      """WITH x AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS x
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(x) AS BIGINT) AS s1,
+        |       CAST(SUM(x * x) AS BIGINT) AS s2,
+        |       CAST(SUM(x * x * x) AS BIGINT) AS s3
+        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "w12_interpolate" ->
       """WITH daily AS (

@@ -372,6 +372,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"cartesian in v13:\n$p")
   }
 
+  test("a22 moment sketch is one scan, one aggregate, no joins") {
+    val p = plan("a22_moments")
+    assert(!p.contains("Join"), s"join crept into a22:\n$p")
+    assert(scansOf(p) == 1, s"a22 re-scans:\n$p")
+  }
+
+  test("w14 CUSUM broadcasts the per-metric totals") {
+    val p = plan("w14_cusum_changepoint")
+    assert(p.contains("BroadcastHashJoin"), s"w14 lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"w14 totals join degraded to shuffle:\n$p")
+  }
+
   test("x4 interval overlap joins on (key, bucket) equality — never nested-loop") {
     val p = plan("x4_interval_overlap")
     assert(!p.contains("CartesianProduct"), s"cartesian in x4:\n$p")
