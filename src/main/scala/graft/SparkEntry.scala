@@ -423,6 +423,31 @@ object SparkEntry {
                  lit(20L) * col("exact_distinct")).cast("long"))
             .as("within_2pct"))),
 
+    // ---- A23: mergeable-sketch rollup — the day→month HLL union.
+    // a14 proves one sketch ≈ exact; this proves the PARTIAL sketches
+    // compose: daily hll_sketch_agg partials union to a monthly
+    // estimate without touching raw ids again — the pre-aggregated
+    // rollup pattern that makes month/quarter/year distincts O(days)
+    // instead of O(events) at 100 TB. Oracle-compared output is
+    // (month, exact, within_5pct): the union estimate is
+    // deterministic, so the band flag is a stable integer ----
+    "a23_hll_union" -> ((s, d) => {
+      val e = ev(s, d)
+      val daily = e.groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val monthly = daily.groupBy(trunc(col("day"), "month").as("month"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = e.groupBy(trunc(to_date(col("ts")), "month").as("month"))
+        .agg(count_distinct(col("user_id")).as("exact_distinct"))
+      exact.join(monthly, Seq("month"))
+        .select(col("month"), col("exact_distinct"),
+          when(col("exact_distinct") === 0, lit(1L))
+            .otherwise((abs(col("est") - col("exact_distinct")) * 1000L <=
+              lit(50L) * col("exact_distinct")).cast("long"))
+            .as("within_5pct"))
+        .orderBy("month")
+    }),
+
     // ---- A11: ROLLUP totals (year x value, with subtotal rows) ----
     "a11_rollup" -> ((s, d) =>
       fact(s, d).withColumn("y", year(col("date")))
@@ -1313,6 +1338,17 @@ object SparkEntry {
         .orderBy("pid")
     }),
 
+    // ---- X5: multi-touch LINEAR attribution — x1's last-touch model
+    // generalized: every in-window view splits the purchase's credit
+    // equally (integer thousandths, floor(1000/n)), rolled up to the
+    // touch day. Equi-join on the high-cardinality user key with a
+    // residual 7-day range; the split-sizing window partitions by
+    // conversion id, so no partition exceeds one purchase's touches ----
+    "x5_linear_attribution" -> ((s, d) =>
+      graft.series.Behavior.linearAttribution(ev(s, d),
+        userCol = "user_id", typeCol = "event_type",
+        touchType = "view", convType = "purchase")),
+
     // same join through the whole-operator Catalyst stack
     // (AsOfJoinPlan -> AsOfJoinStrategy -> sort-merge AsOfJoinExec)
     "x2_asof_native" -> ((s, d) => {
@@ -1816,6 +1852,27 @@ object SparkEntry {
         .orderBy("value")
     }),
 
+    // ---- W15: lag-7 autocorrelation components — seasonality
+    // detection on each metric's daily series. Calendar-lagged pairs
+    // (a gap never slides the window), and the output is the four
+    // integer Pearson pieces (n, n·Σxy−ΣxΣy, n·Σxx−Σx², n·Σyy−Σy²)
+    // so the row hash-matches any engine; √/÷ stays in the caller ----
+    "w15_autocorr" -> ((s, d) =>
+      graft.series.Stats.autocorrComponents(
+        fact(s, d).groupBy("value", "date").agg(sum("count").as("cnt")),
+        lag = 7)
+        .orderBy("value")),
+
+    // ---- W16: exponentially-weighted moving sum, power-of-two decay
+    // over an 8-day lookback. No range join: each day fans out to the
+    // ≤ 8 future dates it feeds (constant-length explode), one hash
+    // aggregate, equi-join back to real dates — exact long weights ----
+    "w16_ewma" -> ((s, d) =>
+      graft.series.Stats.ewma(
+        fact(s, d).groupBy("value", "date").agg(sum("count").as("cnt")),
+        halfWindow = 7)
+        .orderBy("value", "date")),
+
     // ---- A22: moment sketch — the five integer power sums (n, Σx,
     // Σx², Σx³ over centiunits) that any downstream skewness /
     // kurtosis / variance derives from in closed form; one aggregate,
@@ -1958,6 +2015,25 @@ object SparkEntry {
         .filter(col("n") < 5)
         .orderBy("day", "event_type", "vband")),
 
+    // ---- P4: DP-style noisy count release — p3's audit says which
+    // cells are too small to publish; this is the publishing side:
+    // per-metric counts plus bounded integer noise, clamped at zero.
+    // The noise is DERIVED (hash60 of the cell key mod the noise
+    // span), so the release is reproducible and hash-oracle-able —
+    // a stand-in for the sampled Laplace draw a real DP release
+    // would use, with the identical dataflow: one aggregate, one
+    // map-side noise expression, no second scan ----
+    "p4_dp_noise" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("__n"))
+        .select(col("event_type"),
+          greatest(lit(0L),
+            col("__n") + (pmod(Text.hash60(
+              concat(col("event_type"), lit("|dp"))), lit(7L)) - lit(3L)))
+            .as("cnt_noisy"))
+        .orderBy("event_type")),
+
     // ---- S12: schema-drift ingestion — an old-vintage extract
     // missing later columns unions with the current vintage via
     // unionByName(allowMissingColumns): absent columns null-fill, no
@@ -2024,6 +2100,36 @@ object SparkEntry {
         .agg(max("event_type").as("etype"))
       graft.store.Changes.scd2(daily, "user_id", "day", "etype")
         .orderBy("user_id", "valid_from")
+    }),
+
+    // ---- J8: point-in-time SCD2 lookup — the consumption side of
+    // s14: each purchase reads the dimension version valid at its
+    // event day. Because SCD2 intervals partition each key's
+    // timeline, "the interval containing d" IS "the last valid_from
+    // <= d" — an as-of join, not a range join: one sort-merge pass
+    // instead of an interval-overlap expansion. The matched
+    // valid_from then equi-joins back to the history for the
+    // payload. Null-match rows are filtered (probes precede no
+    // interval only off the history's support; pinned explicitly) ----
+    "j8_pit_lookup" -> ((s, d) => {
+      val e = ev(s, d).filter(col("user_id").isNotNull)
+      val daily = e
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max("event_type").as("etype"))
+      val hist = graft.store.Changes.scd2(daily, "user_id", "day", "etype")
+      val probes = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_id"))
+      val looked = graft.operators.AsOfJoin.leftAsOf(
+        probes,
+        hist.withColumn("hid",
+          datediff(col("valid_from"), lit("1970-01-01")).cast("long")),
+        "user_id", ltime = "d", lid = "event_id",
+        rtime = "valid_from", rid = "hid")
+        .filter(col("valid_from").isNotNull)
+      looked.join(hist, Seq("user_id", "valid_from"))
+        .select(col("event_id").as("pid"), col("user_id"), col("d"),
+          col("etype"), col("valid_from"))
+        .orderBy("pid")
     }),
 
     // ---- S15: MERGE upsert — apply a versioned changeset (updates,
@@ -2516,6 +2622,12 @@ object SparkEntry {
     "a14_approx_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_distinct,
         |       CAST(1 AS BIGINT) AS within_2pct FROM events""".stripMargin,
+
+    "a23_hll_union" ->
+      """SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+        |       COUNT(DISTINCT user_id) AS exact_distinct,
+        |       CAST(1 AS BIGINT) AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY month""".stripMargin,
 
     "a8_distinct" ->
       "SELECT DISTINCT event_type AS set_value FROM events ORDER BY set_value",
@@ -4141,6 +4253,28 @@ object SparkEntry {
         |  ON p.user_id = v.user_id AND p.psec >= v.vsec
         |ORDER BY pid""".stripMargin,
 
+    "x5_linear_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+        |         CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT user_id, sec AS psec, event_id AS pid
+        |      FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, sec AS vsec, d AS vdate
+        |      FROM e WHERE event_type = 'view'),
+        |t AS (
+        |  SELECT v.vdate, p.pid FROM v JOIN p
+        |    ON v.user_id = p.user_id AND v.vsec <= p.psec
+        |   AND v.vsec > p.psec - 604800),
+        |c AS (
+        |  SELECT vdate, CAST(FLOOR(1000.0 /
+        |    COUNT(*) OVER (PARTITION BY pid)) AS BIGINT) AS credit
+        |  FROM t)
+        |SELECT vdate AS date, COUNT(*) AS touches,
+        |       CAST(SUM(credit) AS BIGINT) AS credit_x1000
+        |FROM c GROUP BY 1 ORDER BY date""".stripMargin,
+
     "x2_asof_native" ->
       """WITH v AS (
         |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS vsec,
@@ -4553,6 +4687,38 @@ object SparkEntry {
          |SELECT value, date AS cp_date, CAST(a AS BIGINT) AS max_absdev
          |FROM r WHERE rk = 1 ORDER BY value""".stripMargin,
 
+    "w15_autocorr" ->
+      s"""WITH $factCte,
+         |daily AS (
+         |  SELECT value, date, CAST(SUM(count) AS BIGINT) AS cnt
+         |  FROM fact GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a.value, a.cnt AS x, b.cnt AS y
+         |  FROM daily a JOIN daily b
+         |    ON b.value = a.value AND b.date = a.date + 7)
+         |SELECT value, COUNT(*) AS n,
+         |  CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
+         |  CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS var_x,
+         |  CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS var_y
+         |FROM p GROUP BY value ORDER BY value""".stripMargin,
+
+    "w16_ewma" ->
+      s"""WITH $factCte,
+         |daily AS (
+         |  SELECT value, date, CAST(SUM(count) AS BIGINT) AS cnt
+         |  FROM fact GROUP BY 1, 2),
+         |e AS (
+         |  SELECT value, date + CAST(g.k AS INTEGER) AS date,
+         |         cnt * (1 << (7 - g.k)) AS nc, (1 << (7 - g.k)) AS dc
+         |  FROM daily, generate_series(0, 7) AS g(k)),
+         |w AS (
+         |  SELECT value, date, CAST(SUM(nc) AS BIGINT) AS ewma_num,
+         |         CAST(SUM(dc) AS BIGINT) AS ewma_den
+         |  FROM e GROUP BY 1, 2)
+         |SELECT d.value, d.date, d.cnt, w.ewma_num, w.ewma_den
+         |FROM daily d JOIN w ON d.value = w.value AND d.date = w.date
+         |ORDER BY d.value, d.date""".stripMargin,
+
     "a22_moments" ->
       """WITH x AS (
         |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS x
@@ -4693,6 +4859,12 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
         |ORDER BY day, event_type, vband""".stripMargin,
 
+    "p4_dp_noise" ->
+      s"""SELECT event_type,
+         |  GREATEST(0, COUNT(*) +
+         |    (${hex60("event_type || '|dp'")} % 7) - 3) AS cnt_noisy
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "s12_union_drift" ->
       """WITH legacy AS (
         |  SELECT event_id, event_type FROM events WHERE event_id % 3 = 0),
@@ -4743,6 +4915,31 @@ object SparkEntry {
         |       (LEAD(valid_from) OVER
         |         (PARTITION BY user_id ORDER BY valid_from) IS NULL) AS is_current
         |FROM ch ORDER BY user_id, valid_from""".stripMargin,
+
+    "j8_pit_lookup" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, MAX(event_type) AS etype
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT user_id, day, etype,
+        |         LAG(etype) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM daily),
+        |ch AS (
+        |  SELECT user_id, etype, day AS valid_from
+        |  FROM runs WHERE prev IS NULL OR prev <> etype),
+        |hist AS (
+        |  SELECT user_id, etype, valid_from,
+        |         LEAD(valid_from) OVER
+        |           (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |  FROM ch),
+        |p AS (
+        |  SELECT event_id AS pid, user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+        |SELECT p.pid, p.user_id, p.d, h.etype, h.valid_from
+        |FROM p JOIN hist h
+        |  ON h.user_id = p.user_id AND h.valid_from <= p.d
+        | AND (h.valid_to IS NULL OR p.d < h.valid_to)
+        |ORDER BY pid""".stripMargin,
 
     "s15_merge_upsert" ->
       """WITH changes AS (

@@ -54,6 +54,47 @@ object Behavior {
     }: _*)).as("r")).select("r.step", "r.name", "r.users").orderBy("step")
   }
 
+  /** Multi-touch LINEAR attribution: each conversion's unit of credit
+    * is split equally across that user's touch events inside the
+    * lookback window (touch at-or-before the conversion, strictly
+    * within `lookbackSec`). Credit is integer thousandths —
+    * floor(1000/n_touches) per touch — so the rollup stays engine-
+    * exact; conversions with zero in-window touches simply attribute
+    * nothing (the inner join drops them), matching the classic
+    * last/linear-touch model's "organic" bucket.
+    *
+    * Shape: one equi-join on the user key with a residual time-range
+    * predicate (users are high-cardinality, so the shuffle is even),
+    * then a per-conversion window COUNT to size each split — the
+    * window key is the conversion id, so no partition exceeds one
+    * conversion's touch set — then a hash aggregate on the touch day.
+    *
+    * Returns (date, touches, credit_x1000) — the per-day share of
+    * conversion credit earned by that day's touches. */
+  def linearAttribution(events: DataFrame, userCol: String,
+      typeCol: String, touchType: String, convType: String,
+      tsCol: String = "ts", idCol: String = "event_id",
+      lookbackSec: Long = 7L * 86400): DataFrame = {
+    val e = events.filter(col(userCol).isNotNull)
+      .withColumn("__sec", unix_timestamp(col(tsCol)))
+    val conv = e.filter(col(typeCol) === convType)
+      .select(col(userCol), col("__sec").as("__csec"), col(idCol).as("__cid"))
+    val touch = e.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("__tu"), col("__sec").as("__tsec"),
+        to_date(col(tsCol)).as("date"))
+    val joined = touch.join(conv,
+      col("__tu") === col(userCol) &&
+        col("__tsec") <= col("__csec") &&
+        col("__tsec") > col("__csec") - lookbackSec)
+    val w = Window.partitionBy("__cid")
+    joined
+      .withColumn("__credit",
+        floor(lit(1000.0) / count(lit(1)).over(w)).cast("long"))
+      .groupBy("date")
+      .agg(count(lit(1)).as("touches"), sum("__credit").as("credit_x1000"))
+      .orderBy("date")
+  }
+
   /** Weekly cohort retention: users bucketed by the Monday of their
     * first-seen week; for each (cohort, week-offset) the count of
     * distinct users active that many whole weeks after their own
