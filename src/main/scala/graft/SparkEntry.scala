@@ -848,6 +848,13 @@ object SparkEntry {
     "d5_line_dedup" -> ((s, d) =>
       Dedup.lineDedup(Tables.documents(s, d)).orderBy("key")),
 
+    // ---- T27: boilerplate detection — d5's per-SOURCE twin: chunks
+    // repeated across one source's documents are that source's
+    // template (strip), not clone evidence (dedup) ----
+    "t27_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateChunks(Tables.documents(s, d), minDf = 2)
+        .orderBy("source", "key")),
+
     // ---- D6: near-dup clusters — connected components over the
     // minhash pair graph (the keep-one-per-cluster assignment) ----
     "d6_dedup_clusters" -> ((s, d) => {
@@ -1031,6 +1038,14 @@ object SparkEntry {
         .select(col("query_id"), col("label").as("pred"), col("votes"))
         .orderBy("query_id")
     }),
+
+    // ---- V14: structured random projection (Walsh rows) — each
+    // embedding to 8 orthogonal ±1-signed integer sums, pure array
+    // expressions at scan speed (no shuffle/join/UDF); the JL-style
+    // dimensionality cut that shrinks every downstream index build ----
+    "v14_random_projection" -> ((s, d) =>
+      graft.similarity.Similarity.walshProject(Tables.embeddings(s, d))
+        .orderBy("vec_id")),
 
     // ---- V9: IVF-PQ (the FAISS IVFADC layout) — probe-limited
     // cells + PQ codes + broadcast ADC tables; both size knobs
@@ -3663,6 +3678,22 @@ object SparkEntry {
         |  FROM ch GROUP BY chunk HAVING COUNT(*) > 1)
         |SELECT md5(chunk) AS key, copies, canonical FROM g ORDER BY key""".stripMargin,
 
+    "t27_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |ch AS (
+        |  SELECT doc_id, array_to_string(list_slice(toks, 8*i + 1, 8*i + 8), ' ') AS chunk
+        |  FROM t CROSS JOIN (SELECT unnest(generate_series(0,
+        |    (SELECT CAST(MAX(len(toks)) / 8 AS INTEGER) + 1 FROM t))) AS i)
+        |  WHERE 8*i + 8 <= len(toks)),
+        |g AS (
+        |  SELECT s.source, md5(ch.chunk) AS key,
+        |         COUNT(DISTINCT ch.doc_id) AS df,
+        |         MIN(ch.doc_id) AS canonical
+        |  FROM ch JOIN documents s ON ch.doc_id = s.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT ch.doc_id) >= 2)
+        |SELECT source, key, df, canonical FROM g
+        |ORDER BY source, key""".stripMargin,
+
     // exact regime: CMS width far exceeds the 5 probed keys, so the
     // estimates equal the exact group-by counts
     "t12_cms_counts" ->
@@ -4618,6 +4649,20 @@ object SparkEntry {
         |  CAST(list_min(codes) AS BIGINT) AS code_min,
         |  CAST(list_max(codes) AS BIGINT) AS code_max
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "v14_random_projection" ->
+      ("""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |""".stripMargin +
+        (0 until 8).map { j =>
+          s"""  CAST(list_sum(list_transform(generate_series(1, len(q)),
+             |    i -> q[i] * (1 - 2 * (bit_count((i-1) & ${j + 1}) % 2))))
+             |    AS BIGINT) AS p$j""".stripMargin
+        }.mkString(",\n") +
+        "\nFROM q ORDER BY vec_id"),
 
     "o10_rank_sample" ->
       """WITH r AS (

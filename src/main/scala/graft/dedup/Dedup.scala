@@ -473,6 +473,29 @@ object Dedup {
       .agg(count(lit(1)).as("copies"), min("id").as("canonical"))
       .filter(col("copies") > 1)
 
+  /** Boilerplate detection — [[lineDedup]]'s per-GROUP twin: chunks
+    * whose distinct-document frequency within one group (domain /
+    * source / template family) reaches `minDf` are boilerplate
+    * (headers, footers, navigation), to be stripped rather than
+    * deduped. The distinction matters: a chunk repeated across the
+    * whole corpus is a clone signal (d5), one repeated across a
+    * single source's documents is the source's template.
+    *
+    * Same digest pipeline (chunk text never shuffles — 32-hex keys
+    * do); the group label joins in from the corpus's (id, group) dim
+    * and the count is DISTINCT docs, so in-document repetition can't
+    * promote a chunk to boilerplate. */
+  def boilerplateChunks(docs: DataFrame, chunkTokens: Int = 8,
+      minDf: Int = 2, textCol: String = "text", idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    val dim = docs.select(col(idCol).as("id"), col(groupCol))
+    gramDigests(docs, chunkTokens, stride = chunkTokens, textCol, idCol)
+      .join(dim, "id")
+      .groupBy(col(groupCol), col("key"))
+      .agg(countDistinct(col("id")).as("df"), min("id").as("canonical"))
+      .filter(col("df") >= minDf)
+  }
+
   /** The gram pipeline shared by [[lineDedup]] (stride = n chunks),
     * [[slidingGramHashes]] (stride 1), and [[substringSpans]]
     * (stride 1, positions kept): posexplode + lead windows build

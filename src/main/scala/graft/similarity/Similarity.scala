@@ -730,4 +730,30 @@ object Similarity {
         coalesce(col("vec_rank"), lit(0)).cast("int").as("vec_rank"))
       .orderBy(col("rrf").desc, col(idCol)).limit(topK)
   }
+
+  /** Structured random projection (Walsh/Hadamard rows): project each
+    * embedding to `dims` integers, p_j = Σ_i q_i · (−1)^popcount(i & m_j)
+    * with masks m_j = j+1 and q = the milli-unit integer quantization
+    * of the vector. Walsh rows are mutually orthogonal ±1 vectors —
+    * the subsampled-Hadamard flavor of Johnson–Lindenstrauss, minus
+    * the random permutation (deterministic here so the result is
+    * engine-exact).
+    *
+    * Shape: pure array expressions inside one codegen'd projection —
+    * no shuffle, no join, no UDF; at 100 TB this runs at scan speed
+    * and cuts the vector bytes that any downstream join or index
+    * build must move by dim/dims. */
+  def walshProject(vectors: DataFrame, dims: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = vectors.withColumn("__q",
+      expr(s"transform($vecCol, x -> " +
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT))"))
+    val projections = (0 until dims).map { j =>
+      val mask = j + 1
+      expr("aggregate(zip_with(__q, sequence(0, size(__q) - 1), " +
+        s"(v, i) -> v * CAST(1 - 2 * (bit_count(i & $mask) % 2) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)").as(s"p$j")
+    }
+    q.select(col(idCol) +: projections: _*)
+  }
 }
