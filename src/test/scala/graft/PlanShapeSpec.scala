@@ -406,6 +406,56 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"banding failed — nested-loop join in m7:\n$p")
   }
 
+  test("w15/w16 series stats stay equi-join only (no range-join fallback)") {
+    for (q <- Seq("w15_autocorr", "w16_ewma")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to a nested-loop range join:\n$p")
+    }
+  }
+
+  test("x5 attribution joins on the user key, range stays residual") {
+    val p = plan("x5_linear_attribution")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x5:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"x5 time range left the equi-join residual:\n$p")
+  }
+
+  test("j8 PIT lookup is as-of + equi-join, never an interval expansion") {
+    val p = plan("j8_pit_lookup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in j8:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"j8 fell back to a nested-loop interval join:\n$p")
+  }
+
+  test("p4 noisy release is one aggregate over one scan") {
+    val p = plan("p4_dp_noise")
+    assert(scansOf(p) == 1, s"p4 re-scans:\n$p")
+    assert(!p.contains("Join"), s"join crept into p4:\n$p")
+  }
+
+  test("v14 Walsh projection is join-free at scan speed") {
+    val p = plan("v14_random_projection")
+    assert(scansOf(p) == 1, s"v14 re-scans:\n$p")
+    assert(!p.contains("Join"), s"join crept into v14:\n$p")
+    assert(!p.contains("Window"), s"window crept into v14:\n$p")
+  }
+
+  test("t27 boilerplate: digest-only shuffles, no cartesian") {
+    val p = plan("t27_boilerplate")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t27:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in t27:\n$p")
+  }
+
+  test("a23 HLL rollup unions sketches without cartesian or nested-loop") {
+    val p = plan("a23_hll_union")
+    assert(!p.contains("CartesianProduct"), s"cartesian in a23:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in a23:\n$p")
+    assert(!p.contains("Expand"),
+      s"a23 mixed-distinct Expand reappeared (dedup-first lost):\n$p")
+  }
+
   test("c13 JSON props parse stays a scan-side projection") {
     val p = plan("c13_json_props")
     assert(scansOf(p) == 1, s"c13 re-scans:\n$p")
