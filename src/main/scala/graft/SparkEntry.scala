@@ -708,6 +708,16 @@ object SparkEntry {
           Multimodal.wavMediaTable(Tables.documents(s, d)))
         .orderBy("media_id")),
 
+    // ---- M8: audio downsample — m5's transform sibling: decode the
+    // real WAV payload, decimate 4:1 with a block-mean anti-alias
+    // filter (floorDiv, integer-exact), emit resampled stats. The
+    // oracle recomputes the whole chain from the signal's generator
+    // arithmetic — so a codec or filter defect shows as a hash miss ----
+    "m8_audio_resample" -> ((s, d) =>
+      Multimodal.resampleAudio(
+          Multimodal.wavMediaTable(Tables.documents(s, d)), factor = 4)
+        .orderBy("media_id")),
+
     // ---- M6: perceptual image hash — REAL PNG decode through the
     // JDK codec, then aHash over the pixel buffer (integer luma,
     // floored-mean threshold, 64 bits packed sign-safe as two 32-bit
@@ -2049,6 +2059,23 @@ object SparkEntry {
             .as("cnt_noisy"))
         .orderBy("event_type")),
 
+    // ---- P5: l-diversity audit — k-anonymity's sibling: a quasi-
+    // identifier group is re-identifiable not just when SMALL (p3)
+    // but when its sensitive values are UNIFORM; flag groups whose
+    // sensitive column carries < 5 distinct values (l = 5 for this
+    // band domain). Two stacked aggregates (per-value counts, then
+    // per-group), never the mixed-distinct Expand ----
+    "p5_l_diversity" -> ((s, d) =>
+      ev(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          floor(col("value") / 50).cast("long").as("vband"))
+        .groupBy("day", "event_type", "vband")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("day", "event_type")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_vals"))
+        .filter(col("n_vals") < 5)
+        .orderBy("day", "event_type")),
+
     // ---- S12: schema-drift ingestion — an old-vintage extract
     // missing later columns unions with the current vintage via
     // unionByName(allowMissingColumns): absent columns null-fill, no
@@ -2178,6 +2205,37 @@ object SparkEntry {
           col("c_acctbal").cast("decimal(18,2)").cast("double").as("acctbal"),
           col("c_mktsegment").as("segment"))
         .orderBy("c_custkey")
+    }),
+
+    // ---- S16: snapshot diff — the change-data-feed between two
+    // table versions: full-outer join on the key classifies every row
+    // as Insert / Update / Delete / unchanged; per-class counts plus
+    // a key checksum make the feed itself auditable. The synthetic
+    // "next" version derives from the base by pure key arithmetic
+    // (deletes key%13=3, updates key%7=0, inserts key%17=5 re-keyed),
+    // so the oracle rebuilds both versions independently ----
+    "s16_snapshot_diff" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+      val mod = base.filter(col("c_custkey") % 13 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(1000.0))
+            .otherwise(col("c_acctbal")))
+      val inserts = base.filter(col("c_custkey") % 17 === 5)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+      val next = mod.unionByName(inserts)
+      val o = base.select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("decimal(18,2)").as("obal"))
+      val n = next.select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("decimal(18,2)").as("nbal"))
+      o.join(n, Seq("key"), "full_outer")
+        .select(col("key"),
+          when(col("nbal").isNull, "D")
+            .when(col("obal").isNull, "I")
+            .when(col("obal") =!= col("nbal"), "U")
+            .otherwise("=").as("change_type"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"), sum("key").as("key_sum"))
+        .orderBy("change_type")
     }),
 
     // ---- A21: winsorized mean — robust location per group: clamp at
@@ -3504,6 +3562,25 @@ object SparkEntry {
         |         k -> ((doc_id * 31 + k * 17) % 2048 - 1024)
         |            * ((doc_id * 31 + k * 17) % 2048 - 1024))) AS BIGINT) AS energy
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // resampled ground truth: 4:1 block means over the same generator
+    // signal (floor division matches the engine's floorDiv)
+    "m8_audio_resample" ->
+      """WITH r AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(range(0, CAST((64 + doc_id % 64) // 4 AS BIGINT)),
+        |      b -> CAST(FLOOR((
+        |          ((doc_id * 31 + (4*b + 0) * 17) % 2048 - 1024) +
+        |          ((doc_id * 31 + (4*b + 1) * 17) % 2048 - 1024) +
+        |          ((doc_id * 31 + (4*b + 2) * 17) % 2048 - 1024) +
+        |          ((doc_id * 31 + (4*b + 3) * 17) % 2048 - 1024)) / 4.0)
+        |        AS BIGINT)) AS outs
+        |  FROM documents)
+        |SELECT media_id, 2000 AS out_rate,
+        |       CAST(len(outs) AS INTEGER) AS n_out,
+        |       CAST(list_sum(list_transform(outs, x -> x * x)) AS BIGINT)
+        |         AS energy_out
+        |FROM r ORDER BY media_id""".stripMargin,
 
     // pixel ground truth of the phash fixture, recomputed from the md5
     // arithmetic the generator uses; the Spark side must decode real
@@ -4910,6 +4987,16 @@ object SparkEntry {
          |    (${hex60("event_type || '|dp'")} % 7) - 3) AS cnt_noisy
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "p5_l_diversity" ->
+      """WITH g AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         CAST(FLOOR(value / 50) AS BIGINT) AS vband, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT day, event_type, CAST(SUM(c) AS BIGINT) AS n,
+        |       COUNT(*) AS n_vals
+        |FROM g GROUP BY 1, 2 HAVING COUNT(*) < 5
+        |ORDER BY day, event_type""".stripMargin,
+
     "s12_union_drift" ->
       """WITH legacy AS (
         |  SELECT event_id, event_type FROM events WHERE event_id % 3 = 0),
@@ -5020,6 +5107,28 @@ object SparkEntry {
         |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
         |       c_mktsegment AS segment
         |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    "s16_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS obal FROM customer),
+        |nxt AS (
+        |  SELECT c_custkey AS key,
+        |         CAST(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0
+        |              ELSE c_acctbal END AS DECIMAL(18,2)) AS nbal
+        |  FROM customer WHERE c_custkey % 13 <> 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, CAST(c_acctbal AS DECIMAL(18,2))
+        |  FROM customer WHERE c_custkey % 17 = 5),
+        |j AS (
+        |  SELECT COALESCE(b.key, n.key) AS key, obal, nbal
+        |  FROM base b FULL OUTER JOIN nxt n ON b.key = n.key)
+        |SELECT CASE WHEN nbal IS NULL THEN 'D'
+        |            WHEN obal IS NULL THEN 'I'
+        |            WHEN obal <> nbal THEN 'U'
+        |            ELSE '=' END AS change_type,
+        |       COUNT(*) AS n_rows, CAST(SUM(key) AS BIGINT) AS key_sum
+        |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin,
 
     "a21_winsorized" ->
       """WITH q AS (

@@ -352,6 +352,61 @@ object Multimodal {
     spark.createDataFrame(rdd, audioSchema)
   }
 
+  private val resampleSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("out_rate", IntegerType),
+    StructField("n_out", IntegerType),
+    StructField("energy_out", LongType)))
+
+  /** Audio downsample: decode 16-bit mono PCM through the JDK codec,
+    * decimate by `factor` with a boxcar (block-mean) anti-alias
+    * filter — each output sample is floorDiv(Σ block, factor), a
+    * trailing partial block is dropped — and emit the resampled
+    * stream's stats. Integer end-to-end, so an independent engine can
+    * recompute the result from the signal's generator arithmetic.
+    *
+    * Same partition-wise batching as [[decodeAudio]]: payload bytes
+    * never shuffle and never visit the driver; the output is
+    * stats-sized. */
+  def resampleAudio(media: DataFrame, factor: Int = 4,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          var rate = 0; var nOut = 0; var energy = 0L
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              rate = ais.getFormat.getSampleRate.toInt / factor
+              val pcm = ais.readAllBytes()
+              val n = pcm.length / 2
+              nOut = n / factor
+              var b = 0
+              while (b < nOut) {
+                var s = 0L
+                var j = 0
+                while (j < factor) {
+                  val k = b * factor + j
+                  s += ((pcm(2 * k + 1).toInt << 8) | (pcm(2 * k) & 0xFF))
+                    .toShort.toLong
+                  j += 1
+                }
+                val o = java.lang.Math.floorDiv(s, factor.toLong)
+                energy += o * o
+                b += 1
+              }
+            } finally ais.close()
+          } catch { case _: Exception => rate = 0; nOut = 0; energy = 0L }
+          Row(r.getLong(0), rate, nOut, energy)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resampleSchema)
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("n_bytes", IntegerType),
