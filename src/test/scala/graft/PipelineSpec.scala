@@ -334,6 +334,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.head.getAs[Long]("canonical") == 1L)
   }
 
+  test("boilerplateChunks flags per-source repeats, not cross-source ones") {
+    val s = spark; import s.implicits._
+    val shared = "t0 t1 t2 t3 t4 t5 t6 t7"
+    val d = Seq(
+      (1L, shared + " tailA x y z", "s1"),
+      (2L, shared + " tailB q r s", "s1"),
+      (3L, shared + " tailC m n o", "s2"), // same chunk, DIFFERENT source
+      (4L, "u0 u1 u2 u3 u4 u5 u6 u7", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.boilerplateChunks(d, minDf = 2).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("source") == "s1")
+    assert(r.head.getAs[Long]("df") == 2L)
+    assert(r.head.getAs[Long]("canonical") == 1L)
+  }
+
+  test("walshProject: orthogonal sign masks over the quantized vector") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val r = graft.similarity.Similarity.walshProject(d, dims = 4).head()
+    // q = (1000, 2000, 3000); signs_j(i) = (-1)^popcount(i & (j+1))
+    assert(r.getLong(1) == 2000L)   // mask 1: + - +
+    assert(r.getLong(2) == 0L)      // mask 2: + + -
+    assert(r.getLong(3) == -4000L)  // mask 3: + - -
+    assert(r.getLong(4) == 6000L)   // mask 4: + + +
+  }
+
+  test("resampleAudio: 4:1 block means through the real WAV codec") {
+    val s = spark; import s.implicits._
+    val d = Seq((5L, "ignored", "s", "en", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.multimodal.Multimodal.resampleAudio(
+      graft.multimodal.Multimodal.wavMediaTable(d), factor = 4).head()
+    // generator ground truth, recomputed independently
+    val id = 5L
+    val n = 64 + (id % 64).toInt
+    val samples = (0 until n).map(k => (id * 31 + k * 17) % 2048 - 1024)
+    val outs = (0 until n / 4).map(b =>
+      Math.floorDiv(samples.slice(4 * b, 4 * b + 4).sum, 4L))
+    assert(out.getInt(1) == 2000)
+    assert(out.getInt(2) == n / 4)
+    assert(out.getLong(3) == outs.map(o => o * o).sum)
+  }
+
   test("leftAsOf attaches the latest right row at or before each left time") {
     val s = spark; import s.implicits._
     val left = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L))
