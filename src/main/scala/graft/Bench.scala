@@ -146,7 +146,9 @@ object Bench {
       "d4_ngram_jaccard", "v4_ann_lsh", "w8_sessionize", "x2_asof_native",
       "h21_waiting_supplier", "a12_median", "o8_ntile", "t18_source_budget",
       "v8_pq_adc", "t19_bm25", "t20_bigram_lm", "o13_zorder",
-      "d8_substring_spans", "d11_containment", "s11_profile", "m3_frame_align")
+      "d8_substring_spans", "d11_containment", "s11_profile", "m3_frame_align",
+      "a23_hll_union", "j8_pit_lookup", "x5_linear_attribution",
+      "v15_recall_eval", "w16_ewma", "m8_audio_resample")
     val ordered = results.sortBy { case (k, _) =>
       val i = tracked.indexOf(k); if (i >= 0) i else tracked.length }
     val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","full":"$benchOut","queries":{"""

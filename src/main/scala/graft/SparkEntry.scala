@@ -640,6 +640,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- V15: ANN recall evaluation — the index-quality gate a
+    // production vector pipeline ships with: LSH top-k vs exact
+    // brute-force top-k per query, recall as integer permille. Both
+    // sides reuse the library's own rankers; the hit count is one
+    // equi-join on (query, neighbor) ----
+    "v15_recall_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val truth = Similarity.annBruteForce(e, q, k = 5)
+        .select(col("query_id"), col("neighbor"))
+      val approx = Similarity.annLsh(e, q, k = 5, planes = 8)
+        .select(col("query_id"), col("neighbor"))
+      val hits = truth.join(approx, Seq("query_id", "neighbor"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          (coalesce(col("h"), lit(0L)) * 200).as("recall_permille"))
+        .orderBy("query_id")
+    }),
+
     // ---- M: multimodal binary-column plumbing. The default decoder
     // is the REAL UTF-8 text codec (lines × widest line in code
     // points) — a genuine modality decode the oracle can recompute;
@@ -1897,6 +1919,26 @@ object SparkEntry {
         fact(s, d).groupBy("value", "date").agg(sum("count").as("cnt")),
         halfWindow = 7)
         .orderBy("value", "date")),
+
+    // ---- W17: weekday seasonality profile — each metric's per-
+    // weekday traffic index vs its own all-days mean, integer
+    // permille via cross-multiplied DIV (no float ratio). The
+    // profile feeds day-of-week normalization in anomaly checks ----
+    "w17_weekday_profile" -> ((s, d) => {
+      val daily = fact(s, d).groupBy("value", "date")
+        .agg(sum("count").as("cnt"))
+      val tot = daily.groupBy("value")
+        .agg(sum("cnt").as("total"), count(lit(1)).as("days"))
+      daily
+        .withColumn("dow", dayofweek(col("date")) - 1)
+        .groupBy("value", "dow")
+        .agg(sum("cnt").as("dow_cnt"), count(lit(1)).as("dow_days"))
+        .join(broadcast(tot), Seq("value"))
+        .select(col("value"), col("dow"), col("dow_cnt"),
+          expr("1000 * dow_cnt * days DIV (dow_days * total)")
+            .as("index_permille"))
+        .orderBy("value", "dow")
+    }),
 
     // ---- A22: moment sketch — the five integer power sums (n, Σx,
     // Σx², Σx³ over centiunits) that any downstream skewness /
@@ -3498,6 +3540,46 @@ object SparkEntry {
          |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
          |FROM r WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+    "v15_recall_eval" ->
+      s"""WITH bq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |bs AS (
+         |  SELECT qid, vec_id AS nid, list_cosine_similarity(qv, embedding) AS c
+         |  FROM embeddings CROSS JOIN bq WHERE vec_id <> qid),
+         |br AS (SELECT qid, nid,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+         |      FROM bs),
+         |truth AS (SELECT qid, nid FROM br WHERE rk <= 5),
+         |planes AS (
+         |  SELECT p, j, ((${hex60("p || '|' || j")} % 2001) - 1000) / 1000.0 AS w
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS p)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p, SUM(e.embedding[pl.j + 1] * pl.w) AS dot
+         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT vec_id, SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+         |  FROM dots GROUP BY 1),
+         |ls AS (
+         |  SELECT x.qid, e2.vec_id AS nid,
+         |         list_cosine_similarity(e1.embedding, e2.embedding) AS c
+         |  FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10) x
+         |  JOIN embeddings e1 ON e1.vec_id = x.qid
+         |  JOIN bk bq2 ON bq2.vec_id = x.qid
+         |  JOIN bk bn ON bn.bucket = bq2.bucket
+         |  JOIN embeddings e2 ON e2.vec_id = bn.vec_id AND e2.vec_id <> x.qid),
+         |lr AS (SELECT qid, nid,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+         |      FROM ls),
+         |approx AS (SELECT qid, nid FROM lr WHERE rk <= 5),
+         |h AS (
+         |  SELECT t.qid, COUNT(*) AS hits FROM truth t
+         |  JOIN approx a ON a.qid = t.qid AND a.nid = t.nid GROUP BY 1)
+         |SELECT q.qid AS query_id, COALESCE(h.hits, 0) AS hits,
+         |       COALESCE(h.hits, 0) * 200 AS recall_permille
+         |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10) q
+         |LEFT JOIN h ON h.qid = q.qid
+         |ORDER BY query_id""".stripMargin,
+
     // real text decode: height = line count (split -1 semantics),
     // width = widest line in code points (DuckDB length() counts code
     // points, matching the decoder's codePointCount)
@@ -4840,6 +4922,26 @@ object SparkEntry {
          |SELECT d.value, d.date, d.cnt, w.ewma_num, w.ewma_den
          |FROM daily d JOIN w ON d.value = w.value AND d.date = w.date
          |ORDER BY d.value, d.date""".stripMargin,
+
+    "w17_weekday_profile" ->
+      s"""WITH $factCte,
+         |daily AS (
+         |  SELECT value, date, CAST(SUM(count) AS BIGINT) AS cnt
+         |  FROM fact GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT value, CAST(SUM(cnt) AS BIGINT) AS total,
+         |         CAST(COUNT(*) AS BIGINT) AS days
+         |  FROM daily GROUP BY 1),
+         |dw AS (
+         |  SELECT value, dayofweek(date) AS dow,
+         |         CAST(SUM(cnt) AS BIGINT) AS dow_cnt,
+         |         CAST(COUNT(*) AS BIGINT) AS dow_days
+         |  FROM daily GROUP BY 1, 2)
+         |SELECT dw.value, CAST(dw.dow AS INTEGER) AS dow, dw.dow_cnt,
+         |       CAST((1000 * dw.dow_cnt * t.days) // (dw.dow_days * t.total)
+         |         AS BIGINT) AS index_permille
+         |FROM dw JOIN tot t ON dw.value = t.value
+         |ORDER BY dw.value, dow""".stripMargin,
 
     "a22_moments" ->
       """WITH x AS (

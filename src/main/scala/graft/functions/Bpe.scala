@@ -62,7 +62,12 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(charRepr(col("w")).as("repr"), col("freq"))
       .localCheckpoint(true)
-    val wRank = Window.orderBy(col("cnt").desc, col("pair").asc)
+    // post-limit topK rows only, but keep a non-foldable constant key
+    // so WindowExec doesn't warn on every training round (the warning
+    // noise would mask real single-partition regressions in the bench)
+    val wRank = Window
+      .partitionBy(graft.operators.GlobalRank.onePartitionKey(col("cnt")))
+      .orderBy(col("cnt").desc, col("pair").asc)
     val roundTables = (1 to rounds).map { r =>
       val ranked = vocab
         .select(col("freq"), explode(pairsOf(col("repr"))).as("pair"))

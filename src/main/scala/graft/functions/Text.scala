@@ -502,20 +502,32 @@ object Text {
       textCol: String, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val session = Some(df.sparkSession)
-    val toks = tokens(col(textCol))
-    val gramArr = transform(sequence(lit(1), size(toks) - (k - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(k))))
+    // Grams are assembled CODEGEN'D from exploded tokens + lead
+    // windows (the [[graft.dedup.Dedup.shingleHashes]] pattern), not
+    // in a transform() lambda. Two earlier forms measured at sf0.1:
+    // a lambda gram build with a sibling `ng = size(grams)` column
+    // ran 188 s — the ng projection lands ABOVE the Generate and
+    // re-runs split+transform+slice per exploded row, O(n²) string
+    // work per document — and the lambda build alone ~3x interpreted
+    // overhead. This form: 1 shuffle, everything whole-stage.
+    // "Window is full" is read from the window itself (lead(pos,
+    // w−1) exists ⟺ pos ≤ ng − w); all specs share one sort.
+    val wKey = Window.partitionBy(idCol).orderBy("pos")
+    val leads = (1 until k).map(i => lead("tok", i).over(wKey).as(s"__t$i"))
+    val gramParts = col("tok") +: (1 until k).map(i => col(s"__t$i"))
     val g = df
-      .select(col(idCol), size(gramArr).as("ng"),
-        posexplode(gramArr).as(Seq("pos", "gram")))
-      .filter(col("ng") >= w) // need at least one full window
-      .withColumn("key",
-        (hash60(col("gram"), session) % lit(8796093022208L)) * lit(1048576L)
-          + (lit(1048575L) - col("pos")))
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col(idCol) +: col("pos") +: col("tok") +: leads: _*)
+      .filter(col(s"__t${k - 1}").isNotNull)
+      .select(col(idCol), col("pos"),
+        ((hash60(concat_ws(" ", gramParts: _*), session)
+            % lit(8796093022208L)) * lit(1048576L)
+          + (lit(1048575L) - col("pos"))).as("key"))
     val wSpec = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
     g.withColumn("fp", min("key").over(wSpec))
       // full windows only: the canonical algorithm emits n-w+1 windows
-      .filter(col("pos") <= col("ng") - w)
+      .withColumn("__full", lead(col("pos"), w - 1).over(wKey))
+      .filter(col("__full").isNotNull)
       .select(col(idCol),
         (lit(1048575L) - col("fp") % lit(1048576L)).as("fp_pos"),
         // exact long division — intDiv's double path loses the low
