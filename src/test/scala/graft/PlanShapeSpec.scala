@@ -356,6 +356,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
           .count(_ == "hashpartitioning") <= 2,
         s"$q windows stopped sharing the doc partitioning:\n$p")
     }
+    // the 188-second regression: a gram array rebuilt in a lambda and
+    // re-projected above the Generate (O(n²) string work per doc) —
+    // the winnowing plan must stay lambda-free, grams via lead windows
+    val p25 = plan("t25_winnowing")
+    assert(!p25.contains("lambdafunction"),
+      s"t25 gram build fell back to an interpreted lambda:\n$p25")
   }
 
   test("g2 triangle counting closes wedges with hash joins, no cartesian") {
