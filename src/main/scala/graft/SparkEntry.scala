@@ -936,9 +936,16 @@ object SparkEntry {
       import graft.operators.Graph
       val l = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val pairs = l.as("i")
-        .join(l.as("j"), col("i.ok") === col("j.ok") && col("i.p") < col("j.p"))
-        .select(col("i.p").as("a"), col("j.p").as("b")).distinct()
+      // co-purchase pair projection WITHOUT a fact self-join: order
+      // sizes are small and bounded (TPC-H ≤ 7 items), so collect the
+      // part set per order (one shuffle) and emit the ordered pairs
+      // from the array — the self-join form sorts the fact twice and
+      // merges 6M×6M-keyed streams for the same ≤ k² map-side work
+      val pairs = l.groupBy("ok").agg(collect_set(col("p")).as("ps"))
+        .select(explode(expr(
+          "filter(flatten(transform(ps, x -> transform(ps, " +
+            "y -> struct(x AS a, y AS b)))), s -> s.a < s.b)")).as("s"))
+        .select(col("s.a").as("a"), col("s.b").as("b")).distinct()
       Graph.triangleCounts(pairs)
         .orderBy(col("n_tri").desc, col("node")).limit(20)
     }),
