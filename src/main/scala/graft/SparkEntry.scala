@@ -2256,6 +2256,15 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- ST1 (executed): batch-stream parity — the daily count runs
+    // THROUGH Structured Streaming (file source → incremental
+    // aggregate → memory sink, Trigger.AvailableNow) and the sink's
+    // table must hash-match the batch SQL oracle. Streaming semantics
+    // as a driver-gated fact, not a spec-only claim ----
+    "st1_stream_daily" -> ((s, d) =>
+      graft.streaming.Streaming.availableNowDaily(s, s"$d/events.parquet")
+        .orderBy("date")),
+
     // ---- S16: snapshot diff — the change-data-feed between two
     // table versions: full-outer join on the key classifies every row
     // as Insert / Update / Delete / unchanged; per-class counts plus
@@ -5216,6 +5225,10 @@ object SparkEntry {
         |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
         |       c_mktsegment AS segment
         |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    "st1_stream_daily" ->
+      """SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY date""".stripMargin,
 
     "s16_snapshot_diff" ->
       """WITH base AS (

@@ -152,4 +152,47 @@ object Streaming {
         expr(s"""user_id = v_user_id AND
                  v_ts BETWEEN ts - INTERVAL $maxLagSec SECONDS AND ts"""),
         "leftOuter")
+
+  /** Batch-stream parity, executed: run the daily-count aggregation
+    * THROUGH the streaming engine (parquet file source → complete-mode
+    * aggregate → memory sink) with `Trigger.AvailableNow`, which
+    * processes the table's current contents as a bounded backlog and
+    * stops — then hand the sink's table back as a plain DataFrame.
+    * Because Structured Streaming's incremental aggregation must
+    * converge to the batch result on a bounded input, this query
+    * hash-matching the batch SQL oracle PROVES the parity the
+    * streaming docs promise — as a driver-gated query, not a claim.
+    *
+    * Scale posture: AvailableNow chops the backlog into rate-limited
+    * micro-batches (unlike a one-shot `Trigger.Once`), so the same
+    * call catches up a 100 TB backlog without building one giant
+    * batch; the aggregate state is day-grain (tiny). */
+  def availableNowDaily(s: SparkSession, eventsPath: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // same nanos/micros adaptation as Tables.events, stream-side
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(eventsPath).schema
+    // the file source requires a directory (or glob) path — the
+    // driver's table is a bare single FILE (sf1 ScaleGen output is a
+    // directory). Turn the last character into a one-char glob class:
+    // globs stream fine for both layouts, with the parent as base.
+    val globPath =
+      eventsPath.dropRight(1) + "[" + eventsPath.takeRight(1) + "]"
+    val raw = s.readStream.schema(schema).parquet(globPath)
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val agg = events.groupBy(to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n"))
+    // unique sink name per run: the memory table is session-global
+    val sink = "st1_parity_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
 }
