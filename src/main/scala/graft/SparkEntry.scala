@@ -2265,6 +2265,14 @@ object SparkEntry {
       graft.streaming.Streaming.availableNowDaily(s, s"$d/events.parquet")
         .orderBy("date")),
 
+    // ---- ST4 (executed): streaming dedup state × aggregation state —
+    // per-day distinct users through dropDuplicates' cross-batch
+    // exactly-once-per-key state, converging to the batch distinct ----
+    "st2_stream_dedup" -> ((s, d) =>
+      graft.streaming.Streaming.availableNowDistinctUsers(
+          s, s"$d/events.parquet")
+        .orderBy("date")),
+
     // ---- S16: snapshot diff — the change-data-feed between two
     // table versions: full-outer join on the key classifies every row
     // as Insert / Update / Delete / unchanged; per-class counts plus
@@ -5229,6 +5237,11 @@ object SparkEntry {
     "st1_stream_daily" ->
       """SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY date""".stripMargin,
+
+    "st2_stream_dedup" ->
+      """SELECT CAST(ts AS DATE) AS date, COUNT(DISTINCT user_id) AS users
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY date""".stripMargin,
 
     "s16_snapshot_diff" ->
       """WITH base AS (

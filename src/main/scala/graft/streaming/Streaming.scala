@@ -186,8 +186,45 @@ object Streaming {
     }
     val agg = events.groupBy(to_date(col("ts")).as("date"))
       .agg(count(lit(1)).as("n"))
-    // unique sink name per run: the memory table is session-global
-    val sink = "st1_parity_" + java.lang.Long.toHexString(System.nanoTime())
+    runToMemory(agg, "st1_parity")
+  }
+
+  /** [[availableNowDaily]]'s STATEFUL sibling: per-day distinct users
+    * through the streaming engine's dedup state (`dropDuplicates` on
+    * the (date, user) pair — exactly-once per key across micro-
+    * batches — then the incremental count). Gates that cross-batch
+    * dedup state composes with aggregation state and still converges
+    * to the batch answer. Unbounded-state form is intentional here
+    * (bounded input); the production watermark-bounded variant is
+    * [[dedupStream]]. */
+  def availableNowDistinctUsers(s: SparkSession,
+      eventsPath: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(eventsPath).schema
+    val globPath =
+      eventsPath.dropRight(1) + "[" + eventsPath.takeRight(1) + "]"
+    val raw = s.readStream.schema(schema).parquet(globPath)
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val agg = events
+      .select(to_date(col("ts")).as("date"), col("user_id"))
+      .filter(col("user_id").isNotNull)
+      .dropDuplicates("date", "user_id")
+      .groupBy("date").agg(count(lit(1)).as("users"))
+    runToMemory(agg, "st2_parity")
+  }
+
+  /** Run a (bounded) streaming aggregate to a memory sink with
+    * `Trigger.AvailableNow` and return the sink table. Sink names are
+    * uniqued per call — the memory table is session-global. */
+  private def runToMemory(agg: DataFrame, prefix: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val s = agg.sparkSession
+    val sink = prefix + "_" + java.lang.Long.toHexString(System.nanoTime())
     val q = agg.writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
