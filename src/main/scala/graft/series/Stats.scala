@@ -27,6 +27,14 @@ object Stats {
     *
     * The self-join is an equi-join on (key, date+lag) over the daily
     * series — broadcastable at any realistic calendar span.
+    *
+    * Arithmetic bound (documented, not silently wrapped): the long
+    * products are exact while n·x·y < 2⁶³, i.e. daily per-key counts
+    * up to ~3×10⁸ across a 20-year calendar (n ≤ 7300) — an order of
+    * magnitude above any observed per-metric daily volume at the
+    * 100 TB design point. Beyond that DuckDB raises on the multiply
+    * while Spark wraps, so the oracle would fail LOUDLY rather than
+    * hash-match a wrapped value.
     */
   def autocorrComponents(daily: DataFrame, lag: Int,
       keyCol: String = "value", dateCol: String = "date",
