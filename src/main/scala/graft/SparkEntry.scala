@@ -1815,6 +1815,28 @@ object SparkEntry {
         .orderBy("rn")
     }),
 
+    // ---- O16: exact range-partition bounds — the 31 cut values a
+    // 32-way repartitionByRange would want, computed EXACTLY (the
+    // rows where the 32-tile index increments under the full global
+    // ranking). Layout planning as data: these bounds drive range
+    // bucketing / sort-order file splits; the ranking itself is the
+    // o10 range-exchange machinery, never a one-task window ----
+    "o16_range_bounds" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_c"))
+      val ranked = graft.operators.GlobalRank.withRowNumber(o,
+        Seq(col("price_c"), col("o_orderkey")), out = "rn")
+      val n = o.agg(count(lit(1)).as("n_rows"))
+      ranked.crossJoin(broadcast(n))
+        .filter(expr("rn * 32 div n_rows > (rn - 1) * 32 div n_rows") &&
+          expr("rn * 32 div n_rows < 32"))
+        .select(expr("rn * 32 div n_rows").as("tile"),
+          col("rn"), col("price_c"), col("o_orderkey"))
+        .orderBy("tile")
+    }),
+
     // ---- O9: per-group top-N (rank window under a partition key —
     // the distributed form of "top users per metric"; contrast with
     // o3's GLOBAL top-N, which is a TakeOrderedAndProject) ----
@@ -4846,6 +4868,21 @@ object SparkEntry {
              |    AS BIGINT) AS p$j""".stripMargin
         }.mkString(",\n") +
         "\nFROM q ORDER BY vec_id"),
+
+    "o16_range_bounds" ->
+      """WITH r AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+        |    ROW_NUMBER() OVER (ORDER BY
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |      o_orderkey) AS rn
+        |  FROM orders),
+        |n AS (SELECT COUNT(*) AS n_rows FROM orders)
+        |SELECT (rn * 32) // n_rows AS tile, rn, price_c, o_orderkey
+        |FROM r, n
+        |WHERE (rn * 32) // n_rows > ((rn - 1) * 32) // n_rows
+        |  AND (rn * 32) // n_rows < 32
+        |ORDER BY tile""".stripMargin,
 
     "o10_rank_sample" ->
       """WITH r AS (
