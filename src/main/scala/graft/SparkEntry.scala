@@ -1969,6 +1969,28 @@ object SparkEntry {
         .orderBy("value", "dow")
     }),
 
+    // ---- W18: weekday-normalized anomaly flags — a19's MAD flags
+    // fire on every weekend dip unless the series is deseasonalized
+    // first; here each day compares against ITS OWN weekday's mean
+    // (w17's profile), flagged when it deviates by more than 150
+    // permille of that mean. Cross-multiplied integers (cnt·dow_days
+    // vs dow_cnt), no float ratio; the weekday stats broadcast back ----
+    "w18_dow_anomaly" -> ((s, d) => {
+      val daily = fact(s, d).groupBy("value", "date")
+        .agg(sum("count").as("cnt"))
+      val dw = daily
+        .withColumn("dow", dayofweek(col("date")) - 1)
+        .groupBy("value", "dow")
+        .agg(sum("cnt").as("dow_cnt"), count(lit(1)).as("dow_days"))
+      daily.withColumn("dow", dayofweek(col("date")) - 1)
+        .join(broadcast(dw), Seq("value", "dow"))
+        .select(col("value"), col("date"), col("cnt"),
+          (abs(col("cnt") * col("dow_days") - col("dow_cnt")) * 1000 >
+            col("dow_cnt") * 150).cast("long").as("anomaly"))
+        .filter(col("anomaly") === 1)
+        .orderBy("value", "date")
+    }),
+
     // ---- A22: moment sketch — the five integer power sums (n, Σx,
     // Σx², Σx³ over centiunits) that any downstream skewness /
     // kurtosis / variance derives from in closed form; one aggregate,
@@ -4982,6 +5004,23 @@ object SparkEntry {
          |  FROM e GROUP BY 1, 2)
          |SELECT d.value, d.date, d.cnt, w.ewma_num, w.ewma_den
          |FROM daily d JOIN w ON d.value = w.value AND d.date = w.date
+         |ORDER BY d.value, d.date""".stripMargin,
+
+    "w18_dow_anomaly" ->
+      s"""WITH $factCte,
+         |daily AS (
+         |  SELECT value, date, CAST(SUM(count) AS BIGINT) AS cnt
+         |  FROM fact GROUP BY 1, 2),
+         |dw AS (
+         |  SELECT value, dayofweek(date) AS dow,
+         |         CAST(SUM(cnt) AS BIGINT) AS dow_cnt,
+         |         CAST(COUNT(*) AS BIGINT) AS dow_days
+         |  FROM daily GROUP BY 1, 2)
+         |SELECT d.value, d.date, d.cnt,
+         |       CAST(1 AS BIGINT) AS anomaly
+         |FROM daily d JOIN dw
+         |  ON d.value = dw.value AND dayofweek(d.date) = dw.dow
+         |WHERE ABS(d.cnt * dw.dow_days - dw.dow_cnt) * 1000 > dw.dow_cnt * 150
          |ORDER BY d.value, d.date""".stripMargin,
 
     "w17_weekday_profile" ->
