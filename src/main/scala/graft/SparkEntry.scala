@@ -921,9 +921,13 @@ object SparkEntry {
       import graft.operators.Graph
       val l = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val pairs = l.as("i")
-        .join(l.as("j"), col("i.ok") === col("j.ok") && col("i.p") < col("j.p"))
-        .select(col("i.p").as("a"), col("j.p").as("b")).distinct()
+      // per-order array pair generation — same rationale as g2: no
+      // fact self-join, one shuffle, ≤ k² map-side work per order
+      val pairs = l.groupBy("ok").agg(collect_set(col("p")).as("ps"))
+        .select(explode(expr(
+          "filter(flatten(transform(ps, x -> transform(ps, " +
+            "y -> struct(x AS a, y AS b)))), s -> s.a < s.b)")).as("s"))
+        .select(col("s.a").as("a"), col("s.b").as("b")).distinct()
       Graph.pageRank(pairs, iters = 2)
         .orderBy(col("pr").desc, col("node")).limit(20)
     }),
