@@ -1995,6 +1995,29 @@ object SparkEntry {
         .orderBy("value", "date")
     }),
 
+    // ---- W19: sliding 7-day distinct users — the rolling-window
+    // twin of w13's cumulative distinct. No window function can
+    // slide a COUNT(DISTINCT); the scalable form dedups to (user,
+    // day) grain first, fans each pair out to the ≤7 window ends it
+    // feeds (constant map-side explode, the w16 trick), and counts
+    // per end-day — every stage a hash aggregate, shuffle volume
+    // 7×|distinct pairs|, never |events|·window ----
+    "w19_rolling_distinct" -> ((s, d) => {
+      val e = ev(s, d).filter(col("user_id").isNotNull)
+      val pairs = e.select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val days = e.select(to_date(col("ts")).as("day")).distinct()
+      pairs
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("k"),
+          col("day"))
+        .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+        .distinct()
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day").agg(count(lit(1)).as("users_7d"))
+        .orderBy("day")
+    }),
+
     // ---- A22: moment sketch — the five integer power sums (n, Σx,
     // Σx², Σx³ over centiunits) that any downstream skewness /
     // kurtosis / variance derives from in closed form; one aggregate,
@@ -5009,6 +5032,18 @@ object SparkEntry {
          |SELECT d.value, d.date, d.cnt, w.ewma_num, w.ewma_den
          |FROM daily d JOIN w ON d.value = w.value AND d.date = w.date
          |ORDER BY d.value, d.date""".stripMargin,
+
+    "w19_rolling_distinct" ->
+      """WITH p AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM p),
+        |x AS (
+        |  SELECT DISTINCT p.user_id, p.day + CAST(g.k AS INTEGER) AS day
+        |  FROM p, generate_series(0, 6) AS g(k)),
+        |j AS (SELECT x.day, x.user_id FROM x JOIN days ON days.day = x.day)
+        |SELECT day, COUNT(*) AS users_7d
+        |FROM j GROUP BY 1 ORDER BY day""".stripMargin,
 
     "w18_dow_anomaly" ->
       s"""WITH $factCte,
