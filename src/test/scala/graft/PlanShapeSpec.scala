@@ -462,6 +462,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a23 mixed-distinct Expand reappeared (dedup-first lost):\n$p")
   }
 
+  test("o16 range bounds: ranking machinery, only the 1-row count broadcasts") {
+    val p = plan("o16_range_bounds")
+    assert(!p.contains("CartesianProduct"), s"cartesian in o16:\n$p")
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+        .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      s"o16 grew nested-loop joins beyond the 1-row count:\n$p")
+  }
+
+  test("w18 deseasonalized anomaly broadcasts the weekday stats") {
+    val p = plan("w18_dow_anomaly")
+    assert(p.contains("BroadcastHashJoin"), s"w18 lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"w18 weekday stats degraded to a shuffled join:\n$p")
+  }
+
+  test("w19 rolling distinct is aggregates only — no windows, no cartesian") {
+    val p = plan("w19_rolling_distinct")
+    assert(!p.contains("Window"), s"window crept into w19:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in w19:\n$p")
+  }
+
   test("c13 JSON props parse stays a scan-side projection") {
     val p = plan("c13_json_props")
     assert(scansOf(p) == 1, s"c13 re-scans:\n$p")
