@@ -371,6 +371,58 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnowing == brute-force window minima on random corpora") {
+    val sp = spark; import sp.implicits._
+    val k = 3; val w = 4
+    def brute(text: String): Set[(Long, Long)] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val grams = (0 to toks.length - k)
+        .map(p => toks.slice(p, p + k).mkString(" "))
+      if (grams.length < w) Set.empty
+      else (0 to grams.length - w).map { s =>
+        (s until s + w).map { pos =>
+          (Text.hash60Literal(grams(pos)) % 8796093022208L) * 1048576L +
+            (1048575L - pos)
+        }.min
+      }.toSet[Long].map(fp => (1048575L - fp % 1048576L, fp / 1048576L))
+    }
+    forAllSeeded(corpusGen, n = 20) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = docs.flatMap { case (id, t) =>
+        brute(t).map { case (p, h) => (id, p, h) } }.sorted
+      val got = Text.winnowing(docs.toDF("doc_id", "text"), "doc_id", "text",
+          k = k, w = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(got == expected, s"corpus: $texts")
+    }
+  }
+
+  test("ewma == brute-force gap-aware weighted sums on random series") {
+    val sp = spark; import sp.implicits._
+    forAllSeeded(seriesGen, n = 15) { s =>
+      val series = s.toMap
+      val expected = s.map { case (d, _) =>
+        val contrib = (0 to 7).flatMap { kk =>
+          series.get(d - kk).map(c => (c * (1L << (7 - kk)), 1L << (7 - kk)))
+        }
+        (d, contrib.map(_._1).sum, contrib.map(_._2).sum)
+      }.sortBy(_._1)
+      val df = s.map { case (d, c) =>
+        ("m", java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(d)), c)
+      }.toDF("value", "date", "cnt")
+      val got = graft.series.Stats.ewma(df, halfWindow = 7)
+        .orderBy("date")
+        .collect().map(r => (
+          r.getDate(1).toLocalDate.toEpochDay -
+            java.time.LocalDate.of(2024, 1, 1).toEpochDay,
+          r.getLong(3), r.getLong(4)))
+        .toSeq.map { case (d, n, den) => (d.toInt, n, den) }
+      assert(got == expected, s"series: $s")
+    }
+  }
+
   test("containmentPairs == brute-force shingle containment on random corpora") {
     val sp = spark; import sp.implicits._
     forAllSeeded(corpusGen, n = 20) { texts =>
