@@ -67,8 +67,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the streaming parity queries use auto temp checkpoints; delete
+      // them on success and keep their INFO/WARN chatter out of the
+      // tail the driver parses the contract line from
+      .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming",
+      org.apache.logging.log4j.Level.ERROR)
 
     val qs = SparkEntry.queries
     // local-iteration escape hatch: comma-separated subset of names
