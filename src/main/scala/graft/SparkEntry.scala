@@ -1995,6 +1995,38 @@ object SparkEntry {
         .orderBy("value", "date")
     }),
 
+    // ---- W20: growth accounting — the daily new / retained /
+    // resurrected / churned user ledger. One (user, day) dedup feeds
+    // everything: first-seen via a per-user min, yesterday's set via
+    // a day-shifted self-equi-join (full outer on (user, day) — never
+    // a per-day set comparison loop), churn counted on the morning
+    // after. Every stage a hash aggregate or equi-join on the user
+    // key; restricted to days the data actually contains ----
+    "w20_growth_accounting" -> ((s, d) => {
+      val e = ev(s, d).filter(col("user_id").isNotNull)
+      val pairs = e.select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val first = pairs.groupBy("user_id").agg(min("day").as("first_day"))
+      val today = pairs.join(first, Seq("user_id"))
+      val yesterday = pairs
+        .select(date_add(col("day"), 1).as("day"), col("user_id"))
+      val days = pairs.select("day").distinct()
+      today.join(yesterday.withColumn("__y", lit(1)),
+          Seq("day", "user_id"), "full_outer")
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(
+          sum(when(col("first_day") === col("day"), 1L).otherwise(0L))
+            .as("new_users"),
+          sum(when(col("first_day") < col("day") && col("__y") === 1, 1L)
+            .otherwise(0L)).as("retained"),
+          sum(when(col("first_day") < col("day") && col("__y").isNull &&
+              col("first_day").isNotNull, 1L)
+            .otherwise(0L)).as("resurrected"),
+          sum(when(col("first_day").isNull, 1L).otherwise(0L)).as("churned"))
+        .orderBy("day")
+    }),
+
     // ---- W19: sliding 7-day distinct users — the rolling-window
     // twin of w13's cumulative distinct. No window function can
     // slide a COUNT(DISTINCT); the scalable form dedups to (user,
@@ -5032,6 +5064,31 @@ object SparkEntry {
          |SELECT d.value, d.date, d.cnt, w.ewma_num, w.ewma_den
          |FROM daily d JOIN w ON d.value = w.value AND d.date = w.date
          |ORDER BY d.value, d.date""".stripMargin,
+
+    "w20_growth_accounting" ->
+      """WITH p AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM p GROUP BY 1),
+        |t AS (SELECT p.day, p.user_id, f.first_day
+        |      FROM p JOIN f ON p.user_id = f.user_id),
+        |y AS (SELECT day + 1 AS day, user_id, 1 AS yy FROM p),
+        |days AS (SELECT DISTINCT day FROM p),
+        |j AS (
+        |  SELECT COALESCE(t.day, y.day) AS day, t.first_day, y.yy
+        |  FROM t FULL OUTER JOIN y
+        |    ON t.day = y.day AND t.user_id = y.user_id)
+        |SELECT j.day,
+        |  CAST(SUM(CASE WHEN first_day = j.day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(SUM(CASE WHEN first_day < j.day AND yy = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS retained,
+        |  CAST(SUM(CASE WHEN first_day < j.day AND yy IS NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS resurrected,
+        |  CAST(SUM(CASE WHEN first_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS churned
+        |FROM j JOIN days ON days.day = j.day
+        |GROUP BY 1 ORDER BY j.day""".stripMargin,
 
     "w19_rolling_distinct" ->
       """WITH p AS (
