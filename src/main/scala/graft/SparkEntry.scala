@@ -2919,7 +2919,7 @@ object SparkEntry {
         |         SUM(size_rows) OVER (PARTITION BY day ORDER BY event_type
         |           ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM files)
-        |SELECT day, (cum - size_rows) // 500 AS out_group,
+        |SELECT day, CAST((cum - size_rows) // 500 AS BIGINT) AS out_group,
         |       COUNT(*) AS n_files,
         |       CAST(SUM(size_rows) AS BIGINT) AS rows_packed
         |FROM packed GROUP BY 1, 2 ORDER BY day, out_group""".stripMargin,

@@ -57,6 +57,17 @@ def main(sf_dir, out_dir):
             diffs = [(a, b) for a, b in zip(orw, srw) if a != b][:3]
             print(f"FAIL {name}: value diff (cols {oc}); first: {diffs}")
             n_bad += 1; continue
+        # Type audit: the driver's compare hashes TYPED values, so an oracle
+        # column that DuckDB widens (e.g. un-cast window SUM -> HUGEINT) fails
+        # the hash even when values match. Flag any type DuckDB cannot hand to
+        # the driver losslessly as the matching Spark parquet type.
+        rel = con.sql(sql)
+        otypes = dict(zip(rel.columns, [str(t).upper() for t in rel.types]))
+        bad_types = {c: t for c, t in otypes.items()
+                     if t in ("HUGEINT", "INT128", "UHUGEINT")}
+        if bad_types:
+            print(f"FAIL {name}: oracle output widened types {bad_types}")
+            n_bad += 1; continue
         print(f"OK   {name} ({len(orw)} rows)"); n_ok += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
     return 1 if n_bad else 0
