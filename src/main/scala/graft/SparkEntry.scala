@@ -2742,6 +2742,25 @@ object SparkEntry {
         .orderBy("set_value")
     }),
 
+    // ---- Sets: closure with non-depositable-ancestor whitelist (ref
+    // Sets.pm:94-97,471-479): regions model non-depositable parent
+    // subjects — they hold stats only when whitelisted; nations
+    // (leaves) are depositable and always survive ----
+    "set_closure_whitelist" -> ((s, d) => {
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val asn = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(n("n_name").as("set_value"), c("c_custkey").as("id"))
+      val tree = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(n("n_name").as("child"), r("r_name").as("parent"))
+      val dep = n.select(n("n_name").as("subjectid"), lit(true).as("depositable"))
+        .unionByName(r.select(r("r_name").as("subjectid"), lit(false).as("depositable")))
+      graft.sets.Sets.ancestorClosure(asn, tree,
+          depositable = Some(dep), whitelist = Set("ASIA", "EUROPE"))
+        .groupBy("set_value").agg(count(lit(1)).as("cnt"))
+        .orderBy("set_value")
+    }),
+
     // ---- Compound creators set (ref Sets.pm:100-132,378-392):
     // reference-shaped array<struct{name:{family,given}, id}> metadata
     // synthesized deterministically from customer columns — author 1
@@ -5517,6 +5536,18 @@ object SparkEntry {
         |  SELECT r_name AS set_value, c_custkey AS id
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
         |                JOIN region ON n_regionkey = r_regionkey)
+        |SELECT set_value, COUNT(*) AS cnt FROM asn
+        |GROUP BY 1 ORDER BY set_value""".stripMargin,
+
+    "set_closure_whitelist" ->
+      """WITH asn AS (
+        |  SELECT n_name AS set_value, c_custkey AS id
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION
+        |  SELECT r_name AS set_value, c_custkey AS id
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name IN ('ASIA', 'EUROPE'))
         |SELECT set_value, COUNT(*) AS cnt FROM asn
         |GROUP BY 1 ORDER BY set_value""".stripMargin,
 

@@ -113,12 +113,28 @@ object Sets {
   /** Subject ancestor closure (ref `Sets.pm:402-424,461-485`): an
     * item tagged with a subject also counts toward every ancestor.
     * `tree` is (child, parent); iterated to `maxDepth` (tree height),
-    * stopping early when a pass adds nothing. */
+    * stopping early when a pass adds nothing.
+    *
+    * Depositability filter (ref `Sets.pm:471-479`): when `depositable`
+    * is supplied — (subjectid, depositable) — a non-depositable
+    * subject survives the closure only if its id is in `whitelist`
+    * (ref `Sets.pm:94-97` set property; `Sets.pm:476-478` "is it in
+    * the white-list of non-depositable subjects?"). Subjects absent
+    * from the dim are dropped, mirroring the reference's
+    * `next unless defined $s`. With no `depositable` dim the closure
+    * is unfiltered (legacy behavior).
+    *
+    * Each round `localCheckpoint`s the accumulator (same treatment as
+    * `Graph.pageRank`) so the final plan depth is O(1) in `maxDepth`
+    * instead of stacking `maxDepth` unions/excepts of lineage —
+    * guarded by PlanShapeSpec ("ancestorClosure plan depth"). */
   def ancestorClosure(assignments: DataFrame, tree: DataFrame,
-      maxDepth: Int = 12): DataFrame = {
+      maxDepth: Int = 12,
+      depositable: Option[DataFrame] = None,
+      whitelist: Set[String] = Set.empty): DataFrame = {
     // assignments: (set_value, id); tree: (child, parent)
     val t = broadcast(tree.select(col("child"), col("parent")).distinct())
-    var acc = assignments.select("set_value", "id").distinct()
+    var acc = assignments.select("set_value", "id").distinct().localCheckpoint()
     var frontier = acc
     var depth = 0
     var growing = true
@@ -127,15 +143,25 @@ object Sets {
         .join(t, frontier("set_value") === t("child"))
         .select(col("parent").as("set_value"), col("id"))
         .distinct()
-      val added = parents.except(acc)
+      val added = parents.except(acc).localCheckpoint()
       if (added.isEmpty) growing = false
       else {
-        acc = acc.unionByName(added).distinct()
+        acc = acc.unionByName(added).distinct().localCheckpoint()
         frontier = added
       }
       depth += 1
     }
-    acc
+    depositable.fold(acc) { dep =>
+      val d = broadcast(dep
+        .select(col("subjectid"), col("depositable").cast("boolean").as("depositable"))
+        .distinct())
+      val whitelisted =
+        if (whitelist.nonEmpty) col("subjectid").isin(whitelist.toSeq: _*)
+        else lit(false)
+      acc.join(d, acc("set_value") === d("subjectid"), "left")
+        .filter(coalesce(col("depositable") || whitelisted, lit(false)))
+        .select(acc("set_value"), acc("id"))
+    }
   }
 
   /** Grouping bridge (ref `Handler.pm:942-977`): pre-joined pairs of

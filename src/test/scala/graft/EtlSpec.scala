@@ -217,6 +217,24 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(closure == Set(("c", 1L), ("b", 1L), ("a", 1L)))
   }
 
+  test("Sets: non-depositable ancestors survive closure only when whitelisted") {
+    // ref Sets.pm:94-97,471-479 — leaf c is depositable; ancestors b
+    // and a are not; only b is whitelisted; x is absent from the dim.
+    val s = spark; import s.implicits._
+    val asn = Seq(("c", 1L)).toDF("set_value", "id")
+    val tree = Seq(("c", "b"), ("b", "a"), ("a", "x")).toDF("child", "parent")
+    val dep = Seq(("c", true), ("b", false), ("a", false))
+      .toDF("subjectid", "depositable")
+    val filtered = Sets.ancestorClosure(asn, tree,
+        depositable = Some(dep), whitelist = Set("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(filtered == Set(("c", 1L), ("b", 1L)))
+    // no whitelist: every non-depositable ancestor drops
+    val none = Sets.ancestorClosure(asn, tree, depositable = Some(dep))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(none == Set(("c", 1L)))
+  }
+
   test("FactStore: partitioned append + dynamic partition overwrite") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("facts").toString

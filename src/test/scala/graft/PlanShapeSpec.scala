@@ -483,6 +483,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"cartesian in w19:\n$p")
   }
 
+  test("ancestorClosure final plan depth is O(1) in maxDepth (localCheckpoint truncates lineage)") {
+    val s = spark; import s.implicits._
+    // an 8-deep chain: without per-round checkpointing the final plan
+    // stacks 8 excepts/unions of lineage; with it, the plan is a scan
+    // of the last checkpointed RDD regardless of depth
+    val asn = Seq(("n0", 1L)).toDF("set_value", "id")
+    val tree = (0 until 8).map(i => (s"n$i", s"n${i + 1}")).toDF("child", "parent")
+    val closure = graft.sets.Sets.ancestorClosure(asn, tree, maxDepth = 12)
+    assert(closure.count() == 9L)
+    val p = closure.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Except"), s"closure lineage not truncated:\n$p")
+    assert(!p.contains("Union"), s"closure lineage not truncated:\n$p")
+    val nodes = closure.queryExecution.optimizedPlan.collect { case n => n }.size
+    assert(nodes <= 4, s"closure plan grew with depth ($nodes nodes):\n$p")
+  }
+
   test("c13 JSON props parse stays a scan-side projection") {
     val p = plan("c13_json_props")
     assert(scansOf(p) == 1, s"c13 re-scans:\n$p")
