@@ -139,6 +139,19 @@ object SparkEntry {
       Series.regroup(daily, "month").orderBy("d")
     }),
 
+    // ---- W3: graph payload labels (ref Graph.pm:131-150) — monthly
+    // series rendered with localized month-name descriptions; the
+    // label is an array-literal lookup in the export projection ----
+    "w3_month_labels" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val monthly = graft.series.Series.regroup(daily, "month")
+        .select(date_format(col("d"), "yyyyMM").as("datestamp"),
+          col("cnt").as("count"))
+      graft.export.Export.graphPayload(monthly, "month").orderBy("datestamp")
+    }),
+
     // ---- W2b: temporal regroup day → year ----
     "w2_regroup_year" -> ((s, d) => {
       val daily = Tables.lineitem(s, d)
@@ -2852,6 +2865,14 @@ object SparkEntry {
       """SELECT CAST(date_trunc('year', CAST(l_shipdate AS DATE)) AS DATE) AS d,
         |       COUNT(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY d""".stripMargin,
+
+    "w3_month_labels" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS mo, COUNT(*) AS count
+        |  FROM lineitem GROUP BY 1)
+        |SELECT strftime(mo, '%Y%m') AS datestamp, count,
+        |       strftime(mo, '%b %Y') AS description
+        |FROM m ORDER BY datestamp""".stripMargin,
 
     "a10_cumulative" ->
       """WITH m AS (

@@ -73,4 +73,51 @@ object Export {
     * (ref `Utils.pm:340-369`); for display columns in exports. */
   def humanNumber(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     format_number(c, 0)
+
+  import org.apache.spark.sql.Column
+
+  /** W3 localized month labels (ref `Utils.pm:459-476`
+    * `get_month_labels` — the phrase table `lib/utils:month_short_NN`
+    * / `lib/utils:month_NN` per install language). Localization comes
+    * from the JDK's CLDR data instead of phrase files; English yields
+    * the reference's exact "Jan".."Dec" / "January".."December". */
+  def monthLabels(locale: java.util.Locale = java.util.Locale.ENGLISH,
+      short: Boolean = true): Seq[String] = {
+    val style =
+      if (short) java.time.format.TextStyle.SHORT
+      else java.time.format.TextStyle.FULL
+    (1 to 12).map(m => java.time.Month.of(m).getDisplayName(style, locale))
+  }
+
+  /** W3 graph datapoint label (ref `Graph.pm:131-150`): datestamp ->
+    * description, by date resolution —
+    *   day:   "20120101" -> "01 Jan 2012"  (`"$3 ".$month." $1"`)
+    *   month: "201201"   -> "Jan 2012"
+    *   year:  "2012"     -> "2012" (passthrough)
+    * Column-typed so the label renders distributed in the export
+    * projection (array-literal lookup, whole-stage codegen) rather
+    * than per-row on the driver. */
+  def dateLabel(datestamp: Column, dateRes: String,
+      months: Seq[String] = monthLabels()): Column = {
+    require(months.size == 12, s"need 12 month labels, got ${months.size}")
+    val m = array(months.map(lit): _*)
+    val month = element_at(m, substring(datestamp, 5, 2).cast("int"))
+    dateRes match {
+      case "day" =>
+        concat(substring(datestamp, 7, 2), lit(" "), month, lit(" "),
+          substring(datestamp, 1, 4))
+      case "month" =>
+        concat(month, lit(" "), substring(datestamp, 1, 4))
+      case _ => datestamp
+    }
+  }
+
+  /** Graph export records (ref `Graph.pm:120-152`): appends the
+    * rendered `description` label to a (datestamp, count) series —
+    * the payload the reference hands to its client-side renderer. */
+  def graphPayload(series: DataFrame, dateRes: String,
+      datestampCol: String = "datestamp",
+      months: Seq[String] = monthLabels()): DataFrame =
+    series.withColumn("description",
+      dateLabel(col(datestampCol), dateRes, months))
 }

@@ -257,4 +257,30 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val xml = Export.toXml(df)
     assert(xml.contains("<name>&lt;tag&gt;</name>"))
   }
+
+  test("W3 graph labels: golden reference output per date resolution") {
+    val s = spark; import s.implicits._
+    // golden strings from ref Graph.pm:131-150 — day "$3 $month $1",
+    // month "$month $1", year passthrough
+    val days = Seq(("20120101", 5L), ("20121231", 0L)).toDF("datestamp", "count")
+    assert(Export.graphPayload(days, "day")
+      .collect().map(_.getString(2)).toSeq == Seq("01 Jan 2012", "31 Dec 2012"))
+    val months = Seq(("201201", 5L), ("201206", 2L), ("201212", 9L))
+      .toDF("datestamp", "count")
+    assert(Export.graphPayload(months, "month")
+      .collect().map(_.getString(2)).toSeq == Seq("Jan 2012", "Jun 2012", "Dec 2012"))
+    val years = Seq(("2012", 5L)).toDF("datestamp", "count")
+    assert(Export.graphPayload(years, "year")
+      .collect().map(_.getString(2)).toSeq == Seq("2012"))
+    // localized month names (ref phrase files per install language)
+    val fr = Export.monthLabels(java.util.Locale.FRENCH)
+    assert(Export.graphPayload(months, "month", months = fr)
+      .collect().map(_.getString(2)).head.endsWith(" 2012"))
+    assert(fr.head.toLowerCase.startsWith("janv"))
+    // full-name variant mirrors lib/utils:month_NN
+    assert(Export.monthLabels(short = false).head == "January")
+    // the label renders in the projection (codegen), not on the driver
+    val plan = Export.graphPayload(days, "day").queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"))
+  }
 }
