@@ -87,18 +87,22 @@ object Bench {
     val rest = qs.keys.toSeq.filterNot(headline.contains).sorted
     val names = (headline.filter(qs.contains) ++ rest)
       .filter(n => only.forall(_.contains(n)))
-    // Per-query warmup run (unmeasured): measures steady-state operator
-    // throughput, not one-off plan compilation / codegen / parquet
-    // footer reads — the costs that amortize away on a long-lived
-    // cluster. JVM-wide warmup first (guarded: entry reads a fixed
-    // smoke path that may not exist on every bench host).
+    // JVM-wide warmup (guarded: entry reads a fixed smoke path that
+    // may not exist on every bench host) — pays the one-off Spark
+    // bootstrap so q1's cold time is the QUERY's cold cost, not the
+    // session's.
     try SparkEntry.entry(spark).collect()
     catch { case _: Throwable => () }
-    names.foreach { name =>
-      try qs(name)(spark, sfDir).collect()
-      catch { case _: Throwable => () }
-    }
 
+    // Cold/warm protocol (round-7 verdict item 4): each query runs
+    // 3x in-session — run 1 is COLD (plan compilation, codegen,
+    // parquet footer reads), runs 2-3 give WARM = min (steady-state
+    // operator throughput; the minimum is the standard low-variance
+    // estimator under shared-machine scheduler noise — round-2 driver
+    // runs showed sustained 3-8x inflation vs local best on single
+    // samples). The contract line totals WARM times; cold times ship
+    // alongside in the full artifact so a cold-vs-warm gap reads as
+    // JVM/compile amortization, not a plan regression.
     val results = names.map { name =>
       // Drop cached frames from prior queries first: the dedup /
       // similarity operators persist() intermediates and a suite-long
@@ -106,13 +110,7 @@ object Bench {
       // 60th query the executor heap is mostly stale cache and GC
       // drag inflates the tail of the suite (measured: the d-family,
       // benched last, ran 3x slower in a shared session than alone).
-      // Per-query steady state is what the bench is defined to
-      // measure; cross-query cache pollution is not.
       spark.catalog.clearCache()
-      // best-of-3 measured runs: a single sample on a shared machine
-      // carries ±30% scheduler noise (round-2 driver runs showed
-      // sustained 3-8x inflation vs local best), and the minimum is
-      // the standard low-variance estimator of the query's actual cost
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -125,20 +123,24 @@ object Bench {
         // a plausible fast result in the contract line
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val cold = times.head
+      val warm = if (times.exists(_ < 0)) -1.0 else times.tail.min
+      (name, cold, warm)
     }
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._3).filter(_ >= 0).sum
+    val coldTotal = results.map(_._2).filter(_ >= 0).sum
     // Full per-query map goes to a FILE (committed with the repo); the
     // stdout contract line is kept under the driver's 2000-char tail
     // buffer — BENCH_r04/r05 proved a 97-query single line gets its
     // head clipped by that buffer and arrives unparseable.
-    val fullJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    val fullJson = results.map { case (k, c, w) =>
+      "\"" + k + f"""":{"cold":$c%.3f,"warm":$w%.3f}"""
+    }.mkString("{", ",", "}")
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {
       val w = new java.io.PrintWriter(benchOut, "UTF-8")
       try w.println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullJson,"sf":"$sfDir"}""")
+        f"""{"metric":"total","value":$total%.3f,"cold_total":$coldTotal%.3f,"unit":"sec","queries":$fullJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
@@ -156,12 +158,15 @@ object Bench {
       "d8_substring_spans", "d11_containment", "s11_profile", "m3_frame_align",
       "a23_hll_union", "j8_pit_lookup", "x5_linear_attribution",
       "v15_recall_eval", "w16_ewma", "m8_audio_resample")
-    val ordered = results.sortBy { case (k, _) =>
+    val ordered = results.sortBy { case (k, _, _) =>
       val i = tracked.indexOf(k); if (i >= 0) i else tracked.length }
-    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","full":"$benchOut","queries":{"""
+    // contract line: value + per-query entries are WARM times (numeric,
+    // driver-parseable); cold_total rides along so the cold picture is
+    // one subtraction away
+    val header = f"""{"metric":"total","value":$total%.3f,"cold_total":$coldTotal%.3f,"unit":"sec","sf":"$sfDir","full":"$benchOut","queries":{"""
     val sb = new StringBuilder(header)
     var first = true
-    ordered.foreach { case (k, v) =>
+    ordered.foreach { case (k, _, v) =>
       val entry = (if (first) "" else ",") + "\"" + k + f"\":$v%.2f"
       if (sb.length + entry.length + 2 <= budget) { sb.append(entry); first = false }
     }
