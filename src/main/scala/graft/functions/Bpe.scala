@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Rows pulled to the driver by [[train]]'s argmax collects, for the
+    * PipelineSpec invariant guard. INVARIANT (do not relax): the ONLY
+    * data that crosses the executor→driver boundary during training is
+    * the single rank-1 merge pair per round — the pair-count table and
+    * the vocab stay distributed (localCheckpoint, never collect). A
+    * future edit that collects the counts table breaks BPE at corpus
+    * scale; the spec pins this counter to exactly `rounds` rows. */
+  private[graft] val driverCollectedRows = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Space-joined character representation of a word (the round-0
     * symbol sequence). Spark's `split` keeps a trailing empty capture
     * on an empty regex — filter it, DuckDB's char split has none. */
@@ -76,8 +85,11 @@ object Bpe {
         .select(lit(r).as("round"), row_number().over(wRank).as("rank"),
           col("pair"), col("cnt"))
         .localCheckpoint(true) // pin: next round mutates vocab under it
-      val best = ranked.filter(col("rank") === 1)
-        .select("pair").collect().headOption.map(_.getString(0))
+      // the argmax collect: exactly ONE row per round (see
+      // driverCollectedRows invariant above)
+      val bestRows = ranked.filter(col("rank") === 1).select("pair").collect()
+      driverCollectedRows.addAndGet(bestRows.length.toLong)
+      val best = bestRows.headOption.map(_.getString(0))
       best.foreach { p =>
         val merged = p.replace(" ", "")
         val padded = concat(lit(" "), col("repr"), lit(" "))

@@ -810,6 +810,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((2, 1, "lo w", 3L), (2, 2, "e r", 1L), (2, 3, "w e", 1L)))
   }
 
+  test("BPE training collects ONLY the 1-row argmax per merge round") {
+    // the scale invariant (Bpe.driverCollectedRows doc): counts and
+    // vocab stay distributed; one rank-1 row crosses to the driver
+    // per round. rounds=3 must add exactly 3 collected rows.
+    val d = docs((1L, "low low lower lowest"))
+    val before = graft.functions.Bpe.driverCollectedRows.get()
+    graft.functions.Bpe.train(d, rounds = 3, topK = 4).collect()
+    val pulled = graft.functions.Bpe.driverCollectedRows.get() - before
+    assert(pulled == 3L,
+      s"BPE pulled $pulled rows to the driver over 3 rounds (expected 3: " +
+        "one argmax row per round — did someone collect the counts table?)")
+  }
+
   test("BPE merge application closes boundary-sharing repeat chains") {
     // "aaaa" reprs as "a a a a"; a single boundary-anchored replace
     // pass leaves a straggler ("aa a a"), the extra passes close it
