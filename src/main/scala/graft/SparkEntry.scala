@@ -2381,7 +2381,7 @@ object SparkEntry {
       graft.streaming.Streaming.availableNowDaily(s, s"$d/events.parquet")
         .orderBy("date")),
 
-    // ---- ST4 (executed): streaming dedup state × aggregation state —
+    // ---- ST2 (executed): streaming dedup state × aggregation state —
     // per-day distinct users through dropDuplicates' cross-batch
     // exactly-once-per-key state, converging to the batch distinct ----
     "st2_stream_dedup" -> ((s, d) =>
@@ -2402,8 +2402,15 @@ object SparkEntry {
         .withColumn("c_acctbal",
           when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(1000.0))
             .otherwise(col("c_acctbal")))
+      // synthesize inserts by re-keying past the table's key space:
+      // offset = broadcast MAX(c_custkey) (1-row agg), so shifted keys
+      // cannot collide with base keys at ANY scale factor (a constant
+      // offset silently reclassifies inserts once the table outgrows it)
+      val maxKey = base.agg(max("c_custkey").as("mk"))
       val inserts = base.filter(col("c_custkey") % 17 === 5)
-        .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+        .crossJoin(broadcast(maxKey))
+        .withColumn("c_custkey", col("c_custkey") + col("mk"))
+        .drop("mk")
       val next = mod.unionByName(inserts)
       val o = base.select(col("c_custkey").as("key"),
         col("c_acctbal").cast("decimal(18,2)").as("obal"))
@@ -5465,7 +5472,8 @@ object SparkEntry {
         |              ELSE c_acctbal END AS DECIMAL(18,2)) AS nbal
         |  FROM customer WHERE c_custkey % 13 <> 3
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, CAST(c_acctbal AS DECIMAL(18,2))
+        |  SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer),
+        |         CAST(c_acctbal AS DECIMAL(18,2))
         |  FROM customer WHERE c_custkey % 17 = 5),
         |j AS (
         |  SELECT COALESCE(b.key, n.key) AS key, obal, nbal

@@ -167,24 +167,39 @@ object Streaming {
     * micro-batches (unlike a one-shot `Trigger.Once`), so the same
     * call catches up a 100 TB backlog without building one giant
     * batch; the aggregate state is day-grain (tiny). */
-  def availableNowDaily(s: SparkSession, eventsPath: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    // same nanos/micros adaptation as Tables.events, stream-side
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Streaming file-source path. The source needs a directory or a
+    * glob: directories pass straight through; a bare single FILE (the
+    * driver's sf0.x tables) is wrapped as a one-character glob class
+    * on its last character, making the parent the stream base. Paths
+    * ending in a glob metacharacter or separator are rejected instead
+    * of silently mis-globbing. */
+  private def streamablePath(p: String): String = {
+    if (new java.io.File(p).isDirectory) p
+    else {
+      require(p.nonEmpty && !"*?[]{}\\/".contains(p.last),
+        s"cannot stream from path ending in '${p.takeRight(1)}': $p")
+      p.dropRight(1) + "[" + p.last + "]"
+    }
+  }
+
+  /** Shared stream-side events reader: schema snapshot, directory/file
+    * path handling, and the same nanos/micros adaptation as
+    * `Tables.events` (conf ensured idempotently — session setup, not a
+    * per-query side effect). */
+  private def eventStream(s: SparkSession, eventsPath: String): DataFrame = {
+    graft.Tables.ensureNanosCompat(s)
     val schema = s.read.parquet(eventsPath).schema
-    // the file source requires a directory (or glob) path — the
-    // driver's table is a bare single FILE (sf1 ScaleGen output is a
-    // directory). Turn the last character into a one-char glob class:
-    // globs stream fine for both layouts, with the parent as base.
-    val globPath =
-      eventsPath.dropRight(1) + "[" + eventsPath.takeRight(1) + "]"
-    val raw = s.readStream.schema(schema).parquet(globPath)
-    val events = schema("ts").dataType match {
+    val raw = s.readStream.schema(schema).parquet(streamablePath(eventsPath))
+    schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ => raw
     }
-    val agg = events.groupBy(to_date(col("ts")).as("date"))
+  }
+
+  def availableNowDaily(s: SparkSession, eventsPath: String): DataFrame = {
+    val agg = eventStream(s, eventsPath)
+      .groupBy(to_date(col("ts")).as("date"))
       .agg(count(lit(1)).as("n"))
     runToMemory(agg, "st1_parity")
   }
@@ -199,18 +214,7 @@ object Streaming {
     * [[dedupStream]]. */
   def availableNowDistinctUsers(s: SparkSession,
       eventsPath: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(eventsPath).schema
-    val globPath =
-      eventsPath.dropRight(1) + "[" + eventsPath.takeRight(1) + "]"
-    val raw = s.readStream.schema(schema).parquet(globPath)
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
-    val agg = events
+    val agg = eventStream(s, eventsPath)
       .select(to_date(col("ts")).as("date"), col("user_id"))
       .filter(col("user_id").isNotNull)
       .dropDuplicates("date", "user_id")
