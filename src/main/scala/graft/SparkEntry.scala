@@ -2658,6 +2658,36 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // ---- T28: temperature-weighted source mixing — the multinomial
+    // data-mix op from LLM training recipes: sample each source
+    // proportionally to n_s^alpha (alpha = 0.5 here), flattening the
+    // head so small sources keep representation. Weights are
+    // integer-exact (floor(sqrt(n)) — IEEE sqrt is correctly rounded
+    // in both engines), quotas integer division against a broadcast
+    // 1-row total, and the per-source pick is the deterministic
+    // hash-rank prefix (no rand(): rerun-stable, engine-exact). The
+    // per-source row_number spreads across sources at scale; the
+    // corpus never collects ----
+    "t28_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tok"),
+        Text.hash60(concat(col("source"), lit("|"),
+          col("doc_id").cast("string"))).as("h"))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+      val tot = counts.agg(sum("w").as("tot_w"))
+      val quota = counts.crossJoin(broadcast(tot))
+        .withColumn("target", expr("(200 * w) div tot_w"))
+      val wnd = Window.partitionBy("source").orderBy("h", "doc_id")
+      docs.join(broadcast(quota.select("source", "target", "n_docs")), Seq("source"))
+        .withColumn("rk", row_number().over(wnd))
+        .filter(col("rk") <= col("target"))
+        .groupBy("source")
+        .agg(max("n_docs").as("n_docs"), max("target").as("target"),
+          count(lit(1)).as("n_kept"), sum("n_tok").as("tok_kept"))
+        .orderBy("source")
+    }),
+
     // ---- V7: hybrid retrieval with reciprocal-rank fusion — the
     // standard way training-data pipelines combine lexical and
     // embedding retrieval. Both rankers end in TakeOrderedAndProject
@@ -3411,6 +3441,24 @@ object SparkEntry {
          |  FROM t)
          |SELECT source, doc_id, n_tok, CAST(cum AS BIGINT) AS cum
          |FROM c WHERE cum <= 600 ORDER BY source, doc_id""".stripMargin,
+
+    "t28_temperature_mix" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+         |    ${hex60("source || '|' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |c AS (SELECT source, COUNT(*) AS n_docs,
+         |        CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w FROM t GROUP BY 1),
+         |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM c),
+         |q AS (SELECT source, n_docs, (200 * w) // tot_w AS target FROM c, tw),
+         |r AS (SELECT t.source, t.n_tok, q.n_docs, q.target,
+         |        ROW_NUMBER() OVER (PARTITION BY t.source
+         |          ORDER BY h, doc_id) AS rk
+         |      FROM t JOIN q USING (source))
+         |SELECT source, MAX(n_docs) AS n_docs, MAX(target) AS target,
+         |       COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+         |FROM r WHERE rk <= target GROUP BY 1 ORDER BY source""".stripMargin,
 
     "v7_rrf_fusion" ->
       """WITH mm AS (
