@@ -157,8 +157,18 @@ object Text {
     * and exactly reproducible in ANSI SQL. */
   def languageId(text: Column): Column = {
     val toks = tokens(text)
-    val counts = langMarkers.map { case (lang, markers) =>
-      (lang, size(filter(toks, t => t.isin(markers.map(lit(_)): _*))))
+    // ONE traversal of the token array: all four marker counters fold
+    // into a single packed long (16 bits per language — marker hits
+    // per doc stay far under 65k) instead of four filter passes that
+    // each allocate a filtered copy of the array.
+    val packed = aggregate(toks, lit(0L), (acc, t) =>
+      acc + langMarkers.zipWithIndex.map { case ((_, markers), i) =>
+        when(t.isin(markers.map(lit(_)): _*), lit(1L << (16 * i)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _))
+    val counts: Seq[(String, Column)] = langMarkers.zipWithIndex.map {
+      case ((lang, _), i) =>
+        (lang, shiftright(packed, 16 * i).bitwiseAND(lit(0xFFFFL)))
     }
     // argmax, keeping the earlier (lexicographically-first) language on ties
     val (l0, c0) = counts.head
