@@ -1320,6 +1320,27 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- C14: URL canonicalization — the web-crawl dedup key.
+    // Five synthetic raw variants per id collapse under the canonical
+    // form (case, default port, www, tracking params, trailing
+    // slash); two-level aggregate keeps the distinct-count Expand-free ----
+    "c14_url_canonical" -> ((s, d) => {
+      val m = col("event_id") % 5
+      val idv = (col("user_id") % 50).cast("string")
+      val raw = when(m === 0, concat(lit("https://WWW.Example.com/Path/page/?id="),
+          idv, lit("&utm_source=x")))
+        .when(m === 1, concat(lit("https://example.com:443/Path/page?id="), idv))
+        .when(m === 2, concat(lit("http://example.com/Other?id="), idv, lit("#sec")))
+        .when(m === 3, concat(lit("https://example.com/Path/page?utm_campaign=c&id="), idv))
+        .otherwise(lit("https://other.org/a/b/"))
+      ev(s, d).select(raw.as("u"))
+        .select(col("u"), graft.classify.Classify.canonicalUrl(col("u")).as("canon"))
+        .groupBy("canon", "u").agg(count(lit(1)).as("cnt"))
+        .groupBy("canon")
+        .agg(sum("cnt").as("n_raw"), count(lit(1)).as("n_variants"))
+        .orderBy("canon")
+    }),
+
     // ---- C4: percent-decoding (url_decode: %XX and '+') ----
     "c4_percent_decode" -> ((s, d) => {
       val t = col("event_type")
@@ -4587,6 +4608,37 @@ object SparkEntry {
         |    ELSE '/docs' END AS path,
         |  COUNT(*) AS cnt
         |FROM events GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
+
+    "c14_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT CASE
+        |    WHEN event_id % 5 = 0 THEN 'https://WWW.Example.com/Path/page/?id='
+        |      || CAST(user_id % 50 AS VARCHAR) || '&utm_source=x'
+        |    WHEN event_id % 5 = 1 THEN 'https://example.com:443/Path/page?id='
+        |      || CAST(user_id % 50 AS VARCHAR)
+        |    WHEN event_id % 5 = 2 THEN 'http://example.com/Other?id='
+        |      || CAST(user_id % 50 AS VARCHAR) || '#sec'
+        |    WHEN event_id % 5 = 3 THEN 'https://example.com/Path/page?utm_campaign=c&id='
+        |      || CAST(user_id % 50 AS VARCHAR)
+        |    ELSE 'https://other.org/a/b/' END AS u
+        |  FROM events),
+        |s1 AS (SELECT u, regexp_replace(u, '#.*$', '') AS v FROM raw),
+        |s2 AS (SELECT u,
+        |  lower(regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+        |  substr(v, length(regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1)
+        |  AS v FROM s1),
+        |s3 AS (SELECT u, regexp_replace(v, '^(https?://)www\.', '\1') AS v FROM s2),
+        |s4 AS (SELECT u, regexp_replace(regexp_replace(v,
+        |  '^(https://[^/?#]*):443([/?#].*)?$', '\1\2'),
+        |  '^(http://[^/?#]*):80([/?#].*)?$', '\1\2') AS v FROM s3),
+        |s5 AS (SELECT u, regexp_replace(v,
+        |  '[?&](utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g') AS v FROM s4),
+        |s6 AS (SELECT u, regexp_replace(v, '^([^?&]*)&', '\1?') AS v FROM s5),
+        |s7 AS (SELECT u, regexp_replace(v, '[?&]$', '') AS v FROM s6),
+        |s8 AS (SELECT u, regexp_replace(v, '/(\?|$)', '\1') AS v FROM s7),
+        |g AS (SELECT v AS canon, u, COUNT(*) AS cnt FROM s8 GROUP BY 1, 2)
+        |SELECT canon, CAST(SUM(cnt) AS BIGINT) AS n_raw, COUNT(*) AS n_variants
+        |FROM g GROUP BY 1 ORDER BY canon""".stripMargin,
 
     "c4_percent_decode" ->
       """SELECT event_type,

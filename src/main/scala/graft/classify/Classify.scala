@@ -63,6 +63,33 @@ object Classify {
   /** %XX percent-decoding (ref `Referrer.pm:50`). */
   def percentDecode(c: Column): Column = url_decode(c)
 
+  /** URL canonicalization — the dedup key for web-crawl pipelines
+    * (beyond the reference, which only parses referrers): drop the
+    * fragment, lowercase scheme+authority, strip `www.`, strip
+    * default ports (:80/:443), remove tracking params (utm_*,
+    * fbclid, gclid) with separator repair, and strip one trailing
+    * path slash. Pure regexp/string chain — codegen'd, no UDF — and
+    * every step has an exact DuckDB mirror (RE2-compatible patterns:
+    * no lookaround, explicit delimiter alternation instead). */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*$", "")
+    // lowercase only scheme://authority; path/query keep their case
+    val prefixPat = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    val prefix = regexp_extract(noFrag, prefixPat, 1)
+    val lowered = concat(lower(prefix),
+      noFrag.substr(length(prefix) + 1, length(noFrag)))
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(https://[^/?#]*):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/?#]*):80([/?#].*)?$", "$1$2")
+    val noTrack = regexp_replace(noPort,
+      "[?&](utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*", "")
+    // if the removed param was first, the next separator must become '?'
+    val fixSep = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    val noDangle = regexp_replace(fixSep, "[?&]$", "")
+    regexp_replace(noDangle, "/(\\?|$)", "$1")
+  }
+
   /** Referrer classification cascade (ref `Referrer.pm:39-116`).
     * `localHost` is the repository's own hostname. */
   def referrer(url: Column, localHost: String): Column = {
