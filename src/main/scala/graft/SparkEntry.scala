@@ -2402,6 +2402,16 @@ object SparkEntry {
       graft.streaming.Streaming.availableNowDaily(s, s"$d/events.parquet")
         .orderBy("date")),
 
+    // ---- ST3 (executed): watermarked windowed aggregate in APPEND
+    // mode — 6h tumbling windows, 1h watermark; emits only finalized
+    // windows (win_end <= max(ts) - 1h), which the batch oracle
+    // reproduces deterministically. Gates watermark finalization ----
+    "st3_stream_window" -> ((s, d) =>
+      graft.streaming.Streaming.availableNowWindowed(s, s"$d/events.parquet")
+        .select(col("win_start").cast("long").as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")),
+
     // ---- ST2 (executed): streaming dedup state × aggregation state —
     // per-day distinct users through dropDuplicates' cross-batch
     // exactly-once-per-key state, converging to the batch distinct ----
@@ -5561,6 +5571,18 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, COUNT(DISTINCT user_id) AS users
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY 1 ORDER BY date""".stripMargin,
+
+    "st3_stream_window" ->
+      """WITH m AS (
+        |  SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS mx FROM events),
+        |w AS (
+        |  SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 21600) * 21600 AS win_start,
+        |         event_type
+        |  FROM events)
+        |SELECT win_start, event_type, COUNT(*) AS n
+        |FROM w, m
+        |WHERE win_start + 21600 <= mx - 3600
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
     "s16_snapshot_diff" ->
       """WITH base AS (

@@ -222,15 +222,37 @@ object Streaming {
     runToMemory(agg, "st2_parity")
   }
 
+  /** Windowed sibling of [[availableNowDaily]]: 6-hour tumbling
+    * windows with a 1-hour event-time watermark in APPEND mode — the
+    * canonical production streaming aggregate. Append emits a window
+    * only once the watermark passes its end, so the result set is the
+    * batch answer RESTRICTED to finalized windows: exactly the rows
+    * with win_end <= max(ts) - 1h, which the batch DuckDB oracle
+    * reproduces deterministically. Gates watermark finalization
+    * semantics, not just incremental aggregation. */
+  def availableNowWindowed(s: SparkSession, eventsPath: String): DataFrame = {
+    // event-time columns must be TIMESTAMP (with local tz); newer
+    // driver snapshots read as NTZ — cast is identity under the
+    // engine's fixed UTC session timezone
+    val agg = eventStream(s, eventsPath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    runToMemory(agg, "st3_parity", OutputMode.Append())
+  }
+
   /** Run a (bounded) streaming aggregate to a memory sink with
     * `Trigger.AvailableNow` and return the sink table. Sink names are
     * uniqued per call — the memory table is session-global. */
-  private def runToMemory(agg: DataFrame, prefix: String): DataFrame = {
+  private def runToMemory(agg: DataFrame, prefix: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val s = agg.sparkSession
     val sink = prefix + "_" + java.lang.Long.toHexString(System.nanoTime())
     val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -185,4 +185,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(rows.contains(("2024-03-01", 1, "downloads", 2L)))
   }
+
+  test("ST3: append-mode windowed aggregate emits only watermark-finalized windows") {
+    val s = spark; import s.implicits._
+    // three 6h windows; max ts 13:30 -> watermark 12:30 finalizes the
+    // 00-06 and 06-12 windows, the 12-18 window must NOT appear
+    val dir = java.nio.file.Files.createTempDirectory("st3spec").toString
+    Seq(
+      ("2024-03-01 01:00:00", "a"), ("2024-03-01 05:00:00", "a"),
+      ("2024-03-01 07:00:00", "b"), ("2024-03-01 13:30:00", "a"))
+      .map { case (t, e) => (java.sql.Timestamp.valueOf(t), 1L, e, 0.0, "{}", 0L) }
+      .toDF("ts", "user_id", "event_type", "value", "props", "event_id")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = Streaming.availableNowWindowed(spark, s"$dir/events.parquet")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("win_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    assert(rows == Set(
+      ("2024-03-01 00:00:00.0", "a", 2L),
+      ("2024-03-01 06:00:00.0", "b", 1L)),
+      s"unexpected finalized-window set: $rows")
+  }
 }
