@@ -499,6 +499,37 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nodes <= 4, s"closure plan grew with depth ($nodes nodes):\n$p")
   }
 
+  test("c14 URL canonicalization stays Expand-free (two-level distinct)") {
+    val p = plan("c14_url_canonical")
+    assert(!p.contains("Expand"), s"c14 picked up a count-distinct Expand:\n$p")
+    assert(!p.contains("Join"), s"join crept into c14:\n$p")
+    assert(scansOf(p) == 1, s"c14 re-scans:\n$p")
+  }
+
+  test("t28 temperature mix broadcasts quotas; only the 1-row total nested-loops") {
+    val p = plan("t28_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), s"t28 quota join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"t28 quota join degraded to shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t28:\n$p")
+    // the single BroadcastNestedLoopJoin is the 1-row grand-total attach
+    val bnlj = p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(bnlj <= 1, s"t28 grew nested-loop joins beyond the 1-row total:\n$p")
+  }
+
+  test("set_closure_whitelist broadcasts the depositability dim") {
+    val p = plan("set_closure_whitelist")
+    assert(p.contains("BroadcastHashJoin"), s"whitelist filter lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in closure whitelist:\n$p")
+  }
+
+  test("w3 month labels render in the projection — no join, no UDF") {
+    val p = plan("w3_month_labels")
+    assert(!p.contains("Join"), s"join crept into w3:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
+      s"w3 label left codegen:\n$p")
+  }
+
   test("c13 JSON props parse stays a scan-side projection") {
     val p = plan("c13_json_props")
     assert(scansOf(p) == 1, s"c13 re-scans:\n$p")
