@@ -2307,6 +2307,29 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("format")
     }),
 
+    // ---- S17: schema evolution across snapshot generations — an
+    // older narrow snapshot and a newer one that added a column read
+    // together under mergeSchema (footer-only merge: no data pass to
+    // union schemas at 100 TB); missing columns surface as NULLs and
+    // the aggregate accounts for both generations ----
+    "s17_schema_evolution" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_evo").toString
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+        .write.mode("overwrite").parquet(s"$tmp/gen1")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").as("c_bal"))
+        .write.mode("overwrite").parquet(s"$tmp/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/gen1", s"$tmp/gen2")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_bal")).as("n_with_bal"),
+          sum(when(col("c_bal").isNull, 1L).otherwise(0L)).as("n_missing"))
+    }),
+
     // ---- S11: single-pass table profiling (ANALYZE shape) — all
     // columns' stats in ONE scan; exact ndv here (oracle-gated),
     // approx_count_distinct is the 100 TB path ----
@@ -4010,6 +4033,14 @@ object SparkEntry {
         |  FROM events)
         |SELECT format, n_rows, id_sum, n_types, n_days
         |FROM f CROSS JOIN a ORDER BY format""".stripMargin,
+
+    "s17_schema_evolution" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_bal,
+        |  CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing
+        |FROM customer""".stripMargin,
 
     "t6_quality_rules" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
