@@ -445,4 +445,40 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expected, s"corpus: $texts")
     }
   }
+
+  test("canonicalUrl: idempotent, tracking-free, and variant-collapsing on random URLs") {
+    val sp = spark; import sp.implicits._
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "https", "HTTPS", "Http")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("example.com", "Sub.Example.org", "data.net")
+      port <- Gen.oneOf("", ":443", ":80", ":8080")
+      path <- Gen.oneOf("", "/a", "/a/b", "/a/b/")
+      track <- Gen.oneOf("", "utm_source=x", "fbclid=z", "gclid=1")
+      real <- Gen.oneOf("", "id=5", "q=spark")
+      frag <- Gen.oneOf("", "#sec")
+      order <- Gen.oneOf(true, false)
+    } yield {
+      val params = (if (order) Seq(track, real) else Seq(real, track))
+        .filter(_.nonEmpty)
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      s"$scheme://$www$host$port$path$q$frag"
+    }
+    forAllSeeded(Gen.listOfN(40, urlGen), n = 5) { urls =>
+      val df = urls.zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "u")
+        .select(col("u"),
+          graft.classify.Classify.canonicalUrl(col("u")).as("c1"))
+        .select(col("u"), col("c1"),
+          graft.classify.Classify.canonicalUrl(col("c1")).as("c2"))
+      df.collect().foreach { r =>
+        val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+        assert(c1 == c2, s"not idempotent: $u -> $c1 -> $c2")
+        assert(!c1.contains("utm_") && !c1.contains("fbclid") &&
+          !c1.contains("gclid"), s"tracking survived: $u -> $c1")
+        assert(!c1.contains("#"), s"fragment survived: $u -> $c1")
+        assert(!c1.endsWith("?") && !c1.endsWith("&"),
+          s"dangling separator: $u -> $c1")
+      }
+    }
+  }
 }
