@@ -27,6 +27,34 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("fact-store scans prune partitions, push filters, and prune columns") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("prune").toString
+    val days = (1 to 9).map(d => java.sql.Date.valueOf(f"2024-03-0$d"))
+    graft.store.FactStore.append(
+      days.flatMap(d => (1L to 20L).map(i => (d, i, "downloads", i)))
+        .toDF("date", "id", "value", "count"), dir)
+    val q = graft.store.FactStore.read(spark, dir)
+      .filter(col("date") === java.sql.Date.valueOf("2024-03-04") &&
+        col("count") > 5L)
+      .select("id", "count")
+    val plan = q.queryExecution.executedPlan.toString
+    // date is a partition column: the predicate must prune at the
+    // directory level, never reach row filtering
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("date"), s"date not in PartitionFilters:\n$plan")
+    // the count predicate must reach the parquet reader
+    assert(plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("GreaterThan(count"), s"count filter not pushed:\n$plan")
+    // a 2-column projection must not read the value column
+    assert(plan.replaceAll("(?s).*ReadSchema: ([^\\n]*).*", "$1")
+      .split("\\n").head.split("value").length == 1,
+      s"value column read for a 2-column projection:\n$plan")
+    // and the pruned scan actually reads 1/9th of the partitions
+    assert(q.count() == 15L)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark; import s.implicits._
     val facts = (1 to 1000).map(i => (i.toLong % 50, s"v$i", i.toLong))
