@@ -103,7 +103,14 @@ object Multimodal {
     * side must round-trip genuine PNG bytes to recover them. */
   def pngMediaTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    // spread the codec work across all cores: the id projection
+    // inherits the (often single-split) parquet scan's partitioning,
+    // which would serialize encode/decode on 1-2 tasks; a hash
+    // repartition of the tiny long ids is the deterministic, cheap
+    // fix — and the right 100 TB posture (even codec load per task)
+    val rdd = docs.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val w = 8 + (id % 32).toInt
@@ -138,7 +145,14 @@ object Multimodal {
     * what gives the hamming-near-dup operator true positives to find. */
   def phashMediaTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    // spread the codec work across all cores: the id projection
+    // inherits the (often single-split) parquet scan's partitioning,
+    // which would serialize encode/decode on 1-2 tasks; a hash
+    // repartition of the tiny long ids is the deterministic, cheap
+    // fix — and the right 100 TB posture (even codec load per task)
+    val rdd = docs.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val fam = id / 10
@@ -294,7 +308,14 @@ object Multimodal {
     * bytes through the genuine JDK audio codec to recover it. */
   def wavMediaTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    // spread the codec work across all cores: the id projection
+    // inherits the (often single-split) parquet scan's partitioning,
+    // which would serialize encode/decode on 1-2 tasks; a hash
+    // repartition of the tiny long ids is the deterministic, cheap
+    // fix — and the right 100 TB posture (even codec load per task)
+    val rdd = docs.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val n = 64 + (id % 64).toInt
