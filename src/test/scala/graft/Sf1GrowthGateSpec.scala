@@ -43,7 +43,7 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "a18_approx_quantiles" -> (6.0, "exact-percentile comparison side"),
     // inherently super-linear or constant-per-row-bound shapes, measured
     // and explained in COVERAGE.md round-7 sweep
-    "g2_triangles" -> (8.0, "exact wedge count, avg degree ~120 at sf1"),
+    "g2_triangles" -> (10.0, "exact wedge count, avg degree ~120 at sf1"),
     "g1_pagerank" -> (8.0, "10x edges x fixed iterations"),
     "h21_waiting_supplier" -> (16.0, "TPC-H Q21 broadcast->shuffle flip"),
     "m4_image_decode" -> (14.0, "row-at-a-time binary decode, linear in rows"),
