@@ -113,6 +113,15 @@ object Bench {
       // benched last, ran 3x slower in a shared session than alone).
       spark.catalog.clearCache()
       val times = (1 to 3).map { _ =>
+        // clearCache drops SQL-cached frames but NOT localCheckpoint
+        // RDD blocks (graph/closure/BPE queries checkpoint per
+        // iteration): those linger in storage memory until the
+        // ContextCleaner's next GC pass and starve execution memory —
+        // measured at 30x data as a 2.7x slowdown on g1 and the
+        // difference between fitting in heap and OOM. Prior runs'
+        // blocks are dead (each run rebuilds its plans from scratch),
+        // so dropping every persistent RDD between runs is safe.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         val t0 = System.nanoTime()
         val ok =
           try { qs(name)(spark, sfDir).collect(); true }

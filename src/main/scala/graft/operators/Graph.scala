@@ -33,8 +33,14 @@ object Graph {
     val und = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) — the iteration-invariant edge table, built once
-    val edges = und.join(deg, "src").localCheckpoint(true)
+    // (src, dst, deg) — the iteration-invariant edge table, built
+    // once. Stored SERIALIZED with disk spill: the edge table is the
+    // one corpus-sized structure here, and the default deserialized
+    // row cache is 5-10x its on-disk size — at 30x data that is the
+    // difference between fitting and OOM, while the per-iteration
+    // deserialization cost is noise against the join it feeds.
+    val edges = und.join(deg, "src").localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
     (1 to iters).foreach { _ =>
       ranks = edges.join(ranks, edges("src") === ranks("node"))
