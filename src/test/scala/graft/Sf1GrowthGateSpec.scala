@@ -30,7 +30,8 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "d11_containment" -> (35.0, "same true-pair growth; no length filter by design"),
     "d2_minhash_lsh" -> (12.0, "LSH buckets hold 10-clone families"),
     "d6_dedup_clusters" -> (12.0, "label propagation: more rounds x more edges"),
-    "d9_semantic_dedup" -> (12.0, "IVF cells 10x denser at fixed cell count"),
+    "d9_semantic_dedup" -> (15.0, "IVF cells 10x denser at fixed cell count"),
+    "v10_pq_trained" -> (5.0, "codebook training passes scale with corpus"),
     "d3_simhash" -> (10.0, "pigeonhole blocks hold clone families"),
     "d8_substring_spans" -> (6.0, "hit windows grow with clone density"),
     "d12_record_linkage" -> (10.0, "block-key groups hold clone families"),
