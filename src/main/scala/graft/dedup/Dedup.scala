@@ -321,10 +321,15 @@ object Dedup {
     // table instead of re-analyzing that pipeline's plan tree. The
     // re-analysis was measured at sf0.1 as the dominant per-round cost
     // of the loop, dwarfing its actual 256-edge data movement.
-    val edges = raw.repartition(p, col("x")).localCheckpoint(true)
+    // edge and label tables are corpus-scale (one row per pair /
+    // per doc): store SERIALIZED with disk spill — the deserialized
+    // default is 5-10x larger and is what turns a tight heap into an
+    // OOM at 30x data (see Graph.pageRank's edge table, same class)
+    val edges = raw.repartition(p, col("x")).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     raw.unpersist()
     val sess = docs.sparkSession
     // AQE re-plans every exchange as its own query-stage job — the
@@ -376,7 +381,8 @@ object Dedup {
         val finished = converged || i + 1 >= maxIters
         if (i % 5 == 4 && !finished) {
           // periodic lineage truncation (extra job, 1 round in 5)
-          val ck = next.localCheckpoint(true)
+          val ck = next.localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
           next.unpersist(); labels.unpersist()
           labels = ck
         } else {

@@ -48,7 +48,10 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum("c").as("sc"))
         .select(col("node"), expr("150000 + (850 * sc) div 1000").as("pr"))
-        .localCheckpoint(true)
+        // node-sized but still corpus-scale at billions of nodes:
+        // serialized like the edge table
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     ranks
   }
