@@ -110,6 +110,44 @@ object FactStore {
     f.delete(): Unit
   }
 
+  /** Execute the compaction the o15 query plans: rewrite the
+    * partitioned fact table so every day partition holds files of at
+    * most `targetRows` rows, collapsing the many small files that
+    * incremental appends accumulate (each daily append = one-plus
+    * files per partition; a year of appends = hundreds of tiny files
+    * whose open/footer cost dominates the scan). One distributed
+    * read + one dynamic-partition overwrite: `maxRecordsPerFile`
+    * does the splitting inside the writer, so no driver-side file
+    * surgery and no extra shuffle beyond the write's own
+    * partitioning. Safe to re-run (idempotent); crash mid-write
+    * leaves the old partitions in place (dynamic overwrite commits
+    * per partition). Returns (date, n_rows) per compacted day for
+    * audit. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetRows: Int = 500000): DataFrame = {
+    val df = read(spark, path)
+    // stable row order within partitions so repeated compactions are
+    // byte-identical, not just row-set-identical
+    val ordered = df.repartition(col("date"))
+      .sortWithinPartitions("date", "id", "value")
+    // materialize (serialized, disk-spillable) before overwriting the
+    // same path — Spark rejects writes whose input scan reads the
+    // output location otherwise. At warehouse scale compact to a new
+    // root and swap instead; the in-place form is for the day-window
+    // a backfill just touched, which fits executor storage.
+    val snap = ordered.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    snap.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", targetRows.toLong)
+      .partitionBy("date").parquet(path)
+    snap.unpersist()
+    read(spark, path).groupBy("date")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+      .orderBy("date")
+  }
+
   /** S8 uninstall (ref `Handler.pm:1411-1430` drops `irstats2_%`):
     * remove every fact table under the root. Parquet dirs are the
     * tables, so uninstall is a recursive delete. */

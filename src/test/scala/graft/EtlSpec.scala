@@ -250,6 +250,38 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set(("2024-03-01", 5L), ("2024-03-02", 9L)))
   }
 
+  test("FactStore: compact collapses append-accumulated small files, preserves data") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("compact").toString
+    val d1 = java.sql.Date.valueOf("2024-03-01")
+    val d2 = java.sql.Date.valueOf("2024-03-02")
+    // 6 incremental appends x 2 days -> many tiny files per partition
+    (1 to 6).foreach { i =>
+      FactStore.append(Seq(
+        (d1, i.toLong, "downloads", 1L), (d1, i.toLong + 10, "views", 2L),
+        (d2, i.toLong, "downloads", 3L))
+        .toDF("date", "id", "value", "count"), dir)
+    }
+    def filesOf(day: String): Int =
+      Option(new java.io.File(s"$dir/date=$day").listFiles).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    val before = FactStore.read(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(filesOf("2024-03-01") >= 6, "appends should leave many small files")
+    val stats = FactStore.compact(spark, dir, targetRows = 10)
+      .collect().map(r => (r.getAs[java.sql.Date]("date").toString, r.getLong(1)))
+    assert(stats.toSeq == Seq(("2024-03-01", 12L), ("2024-03-02", 6L)))
+    // each day fits targetRows -> exactly one file per partition now
+    assert(filesOf("2024-03-01") == 2, "12 rows / target 10 -> 2 files")
+    assert(filesOf("2024-03-02") == 1)
+    val after = FactStore.read(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction must not change the data")
+    // idempotent: a second compaction is a no-op on layout and data
+    FactStore.compact(spark, dir, targetRows = 10).collect()
+    assert(filesOf("2024-03-01") == 2 && filesOf("2024-03-02") == 1)
+  }
+
   test("FactStore: checkpoint save/load roundtrip") {
     val dir = Files.createTempDirectory("ckpt").toString
     assert(FactStore.loadCheckpoint(dir, "access").isEmpty)
