@@ -114,6 +114,32 @@ object SparkEntry {
         .orderBy("set_value", "grouping_value")
     }),
 
+    // ---- KS1: the compiler kitchen sink — every Context feature in
+    // ONE request, the reference's real AJAX shape ("top cohorts
+    // within segment seg1, purchases only, archive-only, date-bounded,
+    // paged"): F7 datafilter + F8 range + F6 live semi-join + J1 set
+    // restriction + J2 grouping join + O1 order + O2 offset/limit,
+    // all through QueryCompiler.compile ----
+    "ks1_full_stack" -> ((s, d) => {
+      val f = fact(s, d)
+      val ids = f.select("id").distinct()
+      val segDim = QueryCompiler.SetDim(ids.select(col("id"),
+        concat(lit("seg"), (col("id") % 4).cast("string")).as("set_value")))
+      val cohortDim = QueryCompiler.SetDim(ids.select(col("id"),
+        concat(lit("g"), (col("id") % 3).cast("string")).as("set_value")))
+      val live = ids.filter(col("id") % 7 =!= 0)
+      QueryCompiler.compile(
+        Context(datatype = "events", datafilter = Some("purchase"),
+          setName = Some("segment"), setValue = Some("seg1"),
+          grouping = Some("cohort"),
+          from = Some(java.time.LocalDate.parse("2024-01-10")),
+          to = Some(java.time.LocalDate.parse("2024-02-20")),
+          limit = Some(2), offset = Some(1)),
+        Catalog(facts = Map("events" -> f),
+          sets = Map("segment" -> segDim, "cohort" -> cohortDim),
+          liveFilter = Some(live)))
+    }),
+
     // ---- J3/F6: archive-only semi-join ----
     "j3_semi_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -2937,6 +2963,20 @@ object SparkEntry {
       """SELECT event_type AS value, COUNT(*) AS count FROM events
         |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'signup')
         |GROUP BY 1 ORDER BY value""".stripMargin,
+
+    "ks1_full_stack" ->
+      s"""WITH $factCte,
+         |f AS (
+         |  SELECT * FROM fact
+         |  WHERE value = 'purchase'
+         |    AND date >= DATE '2024-01-10' AND date <= DATE '2024-02-20'
+         |    AND id % 7 <> 0
+         |    AND ('seg' || CAST(id % 4 AS VARCHAR)) = 'seg1')
+         |SELECT ('g' || CAST(id % 3 AS VARCHAR)) AS grouping_value,
+         |       CAST(SUM(count) AS BIGINT) AS count
+         |FROM f GROUP BY 1
+         |ORDER BY count DESC, grouping_value ASC
+         |LIMIT 2 OFFSET 1""".stripMargin,
 
     "w1_densify" ->
       """WITH s AS (

@@ -530,6 +530,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"w3 label left codegen:\n$p")
   }
 
+  test("ks1 kitchen sink: every dim broadcasts, one fact scan aggregates") {
+    val p = plan("ks1_full_stack")
+    assert(p.contains("BroadcastHashJoin"), s"ks1 dims lost their broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"ks1 dim join degraded to shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ks1:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ks1 limit lost its top-n physical form:\n$p")
+  }
+
   test("c13 JSON props parse stays a scan-side projection") {
     val p = plan("c13_json_props")
     assert(scansOf(p) == 1, s"c13 re-scans:\n$p")
