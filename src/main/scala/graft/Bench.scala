@@ -133,8 +133,13 @@ object Bench {
         // a plausible fast result in the contract line
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val cold = times.head
-      val warm = if (times.exists(_ < 0)) -1.0 else times.tail.min
+      // A failure in ANY of the 3 runs marks BOTH phases -1: if cold
+      // kept its time while warm went -1, cold_total and value would
+      // aggregate different query sets and the documented cold-vs-warm
+      // "one subtraction away" comparison would silently skew.
+      val failed = times.exists(_ < 0)
+      val cold = if (failed) -1.0 else times.head
+      val warm = if (failed) -1.0 else times.tail.min
       (name, cold, warm)
     }
     val total = results.map(_._3).filter(_ >= 0).sum

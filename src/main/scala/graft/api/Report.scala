@@ -39,8 +39,40 @@ object Report {
   def renderJson(spec: Spec, cat: Catalog,
       today: java.time.LocalDate): Map[String, String] =
     compile(spec, cat, today).map { case (view, df) =>
-      view -> graft.export.Export.toJson(df,
-        context = Map("report" -> spec.name, "view" -> view,
-          "datatype" -> spec.base.datatype))
+      val payload =
+        if (view == "geochart") geoChartJson(df)
+        else graft.export.Export.toJson(df,
+          context = Map("report" -> spec.name, "view" -> view,
+            "datatype" -> spec.base.datatype))
+      view -> payload
     }.toMap
+
+  /** GeoChart item payload (ref `View/Google/GeoChart.pm:16-41`): the
+    * reference selects `fields => ['value']` — value being the
+    * country code for the countries datatype — and prints
+    * `{ "data": [["code", count], ...] }` for its client-side map.
+    * Each pair gains a third `display` element here: the localized
+    * country name from the JDK's CLDR data, so the payload is
+    * renderer-ready without a client-side lookup table. Expects the
+    * compiled (value, count) frame; bounded by the ISO country space,
+    * so a driver-side take is the right boundary (same rationale as
+    * the Export serializers, cap enforced). */
+  def geoChartJson(df: DataFrame,
+      locale: java.util.Locale = java.util.Locale.ENGLISH): String = {
+    val cap = 500 // ~250 ISO codes; anything past this is not a geo series
+    val rows = df.take(cap + 1)
+    require(rows.length <= cap,
+      s"geochart payload exceeds $cap rows — not a per-country series")
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val items = rows.map { r =>
+      val code = Option(r.get(0)).map(_.toString).getOrElse("")
+      val display = {
+        val name = new java.util.Locale("", code).getDisplayCountry(locale)
+        if (name.isEmpty) code else name
+      }
+      s"""["${esc(code)}", ${r.get(1)}, "${esc(display)}"]"""
+    }
+    s"""{ "data": [${items.mkString(",")}] }"""
+  }
 }

@@ -87,7 +87,14 @@ object Classify {
     // if the removed param was first, the next separator must become '?'
     val fixSep = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
     val noDangle = regexp_replace(fixSep, "[?&]$", "")
-    regexp_replace(noDangle, "/(\\?|$)", "$1")
+    // strip the path's trailing slash. Two ANCHORED replaces (slash
+    // before the first '?', then slash at end-of-string) instead of one
+    // global "/(\?|$)": anchors make each pattern match at most once in
+    // any engine, so the DuckDB oracle (first-match-only without the
+    // 'g' flag) agrees by construction even for URLs carrying both a
+    // slash-before-'?' and a trailing slash.
+    val noPathSlash = regexp_replace(noDangle, "^([^?]*)/\\?", "$1?")
+    regexp_replace(noPathSlash, "/$", "")
   }
 
   /** Referrer classification cascade (ref `Referrer.pm:39-116`).

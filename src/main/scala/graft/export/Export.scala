@@ -20,21 +20,42 @@ object Export {
     case x => x.toString
   }
 
+  /** Default driver-side row cap for the string serializers. */
+  val defaultMaxRows: Int = 100000
+
+  /** Enforced driver-side boundary (in the spirit of
+    * `Similarity.cosineNearDup`'s execution-time cap): the string
+    * serializers exist for bounded, post-LIMIT result sets — exactly
+    * where the reference fetches rows — and nothing used to stop a
+    * caller handing them an unlimited DataFrame. `take(cap+1)` fetches
+    * incrementally (no extra count job, no full materialization of a
+    * runaway input) and fails loudly past the cap. */
+  private def boundedCollect(df: DataFrame, maxRows: Int): Array[Row] = {
+    val rows = df.take(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"export serializer got more than $maxRows rows — these build a " +
+        "single driver-side string for bounded (post-LIMIT) results; " +
+        "use df.write.csv/json (distributed file sink) for unbounded " +
+        "exports, or LIMIT the result / raise maxRows deliberately")
+    rows
+  }
+
   /** CSV with header; RFC-ish quoting of commas/quotes/newlines. */
-  def toCsv(df: DataFrame): String = {
+  def toCsv(df: DataFrame, maxRows: Int = defaultMaxRows): String = {
     val cols = df.columns
     def q(s: String): String =
       if (s.contains(",") || s.contains("\"") || s.contains("\n"))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
-    val rows = df.collect().map(r =>
+    val rows = boundedCollect(df, maxRows).map(r =>
       cols.indices.map(i => q(cell(r.get(i)))).mkString(","))
     (cols.map(q).mkString(",") +: rows).mkString("\n")
   }
 
   /** JSON envelope: {"context": {...}, "data": [{col: val}...]} —
     * mirrors the reference's AJAX payload shape. */
-  def toJson(df: DataFrame, context: Map[String, String] = Map.empty): String = {
+  def toJson(df: DataFrame, context: Map[String, String] = Map.empty,
+      maxRows: Int = defaultMaxRows): String = {
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -49,7 +70,7 @@ object Export {
       case x => jstr(cell(x))
     }
     val cols = df.columns
-    val data = df.collect().map(r =>
+    val data = boundedCollect(df, maxRows).map(r =>
       cols.indices.map(i => s"${jstr(cols(i))}: ${jval(r.get(i))}").mkString("{", ", ", "}"))
       .mkString("[", ", ", "]")
     val ctx = context.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
@@ -58,11 +79,12 @@ object Export {
   }
 
   /** XML rows: <rows><row><col>val</col>...</row></rows>. */
-  def toXml(df: DataFrame, rootTag: String = "rows", rowTag: String = "row"): String = {
+  def toXml(df: DataFrame, rootTag: String = "rows", rowTag: String = "row",
+      maxRows: Int = defaultMaxRows): String = {
     def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val cols = df.columns
-    val rows = df.collect().map { r =>
+    val rows = boundedCollect(df, maxRows).map { r =>
       cols.indices.map(i => s"<${cols(i)}>${esc(cell(r.get(i)))}</${cols(i)}>")
         .mkString(s"<$rowTag>", "", s"</$rowTag>")
     }

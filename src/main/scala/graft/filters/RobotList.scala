@@ -51,16 +51,17 @@ object RobotList {
   final case class Config(cachePath: String, fallbackResource: String,
       minBytes: Long, maxAge: Duration = Duration.ofDays(7))
 
-  /** The shipped UA-list config (ref floor 5000 bytes — the bundled
-    * list here is smaller, so the floor is scaled to its size class;
-    * the DECISION procedure is what's mirrored, the constant is a
-    * deployment knob). */
+  /** The shipped UA-list config — the reference's own 5,000-byte
+    * sanity floor (`Robots.pm:35-41`); the bundled fallback list
+    * (~450 patterns, 5.7 KB) clears it, so reverting to the bundle
+    * is never a coverage downgrade below the floor. */
   def uaConfig(cachePath: String): Config =
-    Config(cachePath, "graft/robots_ua.txt", minBytes = 500L)
+    Config(cachePath, "graft/robots_ua.txt", minBytes = 5000L)
 
-  /** The shipped IP-list config (ref floor 2000 bytes). */
+  /** The shipped IP-list config — the reference's 2,000-byte floor
+    * (`Robots.pm:62-69`); bundled list ~230 prefixes, 3.2 KB. */
   def ipConfig(cachePath: String): Config =
-    Config(cachePath, "graft/robots_ip.txt", minBytes = 200L)
+    Config(cachePath, "graft/robots_ip.txt", minBytes = 2000L)
 
   /** True iff the cache must be re-fetched: missing, or last modified
     * more than `maxAge` ago (ref `-C $file < 7`, `Robots.pm:26`). */

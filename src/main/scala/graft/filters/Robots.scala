@@ -69,11 +69,14 @@ object Robots {
     patterns
   }
 
-  /** The shipped full UA list (~110 crawlers/tools). */
+  /** The shipped full UA list (~450 crawlers/tools/monitors —
+    * original, assembled from public crawler knowledge; exceeds the
+    * reference's 5,000-byte sanity floor, see COVERAGE.md). */
   lazy val shippedUaPatterns: Seq[String] =
     loadResourcePatterns("graft/robots_ua.txt")
 
-  /** The shipped full IP-prefix list. */
+  /** The shipped full IP-prefix list (~230 documented crawler /
+    * scanner ranges; exceeds the reference's 2,000-byte floor). */
   lazy val shippedIpPrefixes: Seq[String] =
     loadResourcePatterns("graft/robots_ip.txt")
 

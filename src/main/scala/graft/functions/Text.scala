@@ -158,13 +158,17 @@ object Text {
   def languageId(text: Column): Column = {
     val toks = tokens(text)
     // ONE traversal of the token array: all four marker counters fold
-    // into a single packed long (16 bits per language — marker hits
-    // per doc stay far under 65k) instead of four filter passes that
-    // each allocate a filtered copy of the array.
+    // into a single packed long (16 bits per language) instead of four
+    // filter passes that each allocate a filtered copy of the array.
+    // Each field saturates at 0xFFFF — the increment is gated on the
+    // field's current value — so a pathological document with >65535
+    // hits for one language can never carry into the neighboring
+    // field and flip the argmax (a saturated field is still the max).
     val packed = aggregate(toks, lit(0L), (acc, t) =>
       acc + langMarkers.zipWithIndex.map { case ((_, markers), i) =>
-        when(t.isin(markers.map(lit(_)): _*), lit(1L << (16 * i)))
-          .otherwise(lit(0L))
+        when(t.isin(markers.map(lit(_)): _*) &&
+            shiftright(acc, 16 * i).bitwiseAND(lit(0xFFFFL)) < lit(0xFFFFL),
+          lit(1L << (16 * i))).otherwise(lit(0L))
       }.reduce(_ + _))
     val counts: Seq[(String, Column)] = langMarkers.zipWithIndex.map {
       case ((lang, _), i) =>

@@ -243,6 +243,47 @@ object Streaming {
     runToMemory(agg, "st3_parity", OutputMode.Append())
   }
 
+  /** St5 parity, executed (round-8 verdict item 4): the STREAMING
+    * repeat filter ([[repeatFilterStream]], `flatMapGroupsWithState`
+    * with "last kept" state — ref `Filter/Repeat.pm:39-102`) run over
+    * the events table as a bounded backlog, then batch-aggregated to
+    * the same (id, value, count) shape as the batch `f3_repeat_seq`
+    * query — so the DuckDB recursive-CTE oracle gates the streaming
+    * state op's semantics, not just a spec fixture.
+    *
+    * Determinism: kept output rows are (key, sec) only, and for
+    * same-sec ties exactly one row is kept whichever is processed
+    * first — the kept multiset is order-invariant, so no tie-break
+    * column is needed (the batch form needs one only because it emits
+    * whole rows). Null user_ids are excluded: the state key is a
+    * string and SQL equality-joins can't follow null keys through the
+    * oracle's recursive step. The backlog must land in ONE
+    * micro-batch for strict sequential parity (per-group in-batch
+    * sort); AvailableNow does that for up to 1000 source files —
+    * far above any SF dir here. NoTimeout: bounded input, state dies
+    * with the query (the production form keeps the event-time
+    * timeout). */
+  def availableNowRepeat(s: SparkSession, eventsPath: String,
+      timeoutSec: Long): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val keyed = eventStream(s, eventsPath)
+      .filter(col("user_id").isNotNull)
+      .select(
+        concat_ws("|", col("user_id"), col("event_type")).as("key"),
+        unix_timestamp(col("ts").cast("timestamp")).as("sec"))
+      .as[Keyed]
+    val kept = repeatFilterStream(keyed, timeoutSec,
+      GroupStateTimeout.NoTimeout())
+    val keptRows = runToMemory(kept.toDF(), "st4_parity", OutputMode.Append())
+    keptRows
+      .select(split(col("key"), "\\|").getItem(0).cast("long").as("id"),
+        split(col("key"), "\\|").getItem(1).as("value"))
+      .groupBy("id", "value")
+      .agg(count(lit(1)).as("count"))
+      .orderBy("id", "value")
+  }
+
   /** Run a (bounded) streaming aggregate to a memory sink with
     * `Trigger.AvailableNow` and return the sink table. Sink names are
     * uniqued per call — the memory table is session-global. */

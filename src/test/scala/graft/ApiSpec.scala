@@ -258,6 +258,41 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(xml.contains("<name>&lt;tag&gt;</name>"))
   }
 
+  test("exporters: unbounded input fails loudly at the row cap") {
+    val s = spark; import s.implicits._
+    val big = s.range(0, 50).toDF("n") // "unlimited" relative to a cap of 10
+    val e1 = intercept[IllegalArgumentException](Export.toCsv(big, maxRows = 10))
+    assert(e1.getMessage.contains("distributed file sink"))
+    intercept[IllegalArgumentException](Export.toJson(big, maxRows = 10))
+    intercept[IllegalArgumentException](
+      Export.toXml(big, rootTag = "rows", rowTag = "row", maxRows = 10))
+    // inside the cap the serializers still work
+    assert(Export.toCsv(big.limit(5), maxRows = 10).linesIterator.size == 6)
+  }
+
+  test("geochart item renders the GeoChart payload with display names") {
+    // golden vs ref View/Google/GeoChart.pm:29-41 — '{ "data":
+    // [["code", count], ...] }', extended with the CLDR display name
+    val s = spark; import s.implicits._
+    val countryFact = Seq(
+      (java.sql.Date.valueOf("2024-03-01"), 1L, "US", 7L),
+      (java.sql.Date.valueOf("2024-03-01"), 2L, "DE", 3L),
+      (java.sql.Date.valueOf("2024-03-02"), 3L, "US", 2L))
+      .toDF("date", "id", "value", "count")
+    val cat = Catalog(facts = Map("countries" -> countryFact))
+    val spec = Report.Spec("geo",
+      base = Context(datatype = "countries", fields = Seq("value")),
+      items = Seq(Report.Item("geochart")))
+    val payloads = Report.renderJson(spec, cat, java.time.LocalDate.of(2024, 6, 15))
+    val p = payloads("geochart")
+    // compiler orders by count DESC: US 9, DE 3
+    assert(p == """{ "data": [["US", 9, "United States"],["DE", 3, "Germany"]] }""", p)
+    // cap guard: a non-geo-sized series fails loudly
+    val big = s.range(0, 600).toDF("value")
+      .withColumn("count", org.apache.spark.sql.functions.lit(1L))
+    intercept[IllegalArgumentException](Report.geoChartJson(big))
+  }
+
   test("W3 graph labels: golden reference output per date resolution") {
     val s = spark; import s.implicits._
     // golden strings from ref Graph.pm:131-150 — day "$3 $month $1",

@@ -394,6 +394,108 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!r(2).getBoolean(0) && !r(2).getBoolean(1)) // human
   }
 
+  test("Robots: shipped lists clear the reference sanity floors") {
+    // the reference's own floors (Robots.pm:35-41 ua=5000, :62-69
+    // ip=2000): reverting to the bundle must never drop below them
+    def resourceBytes(r: String): Long = {
+      val in = getClass.getClassLoader.getResourceAsStream(r)
+      try Iterator.continually(in.read()).takeWhile(_ >= 0).size.toLong
+      finally in.close()
+    }
+    assert(resourceBytes("graft/robots_ua.txt") >= 5000L)
+    assert(resourceBytes("graft/robots_ip.txt") >= 2000L)
+    assert(Robots.shippedUaPatterns.size >= 400)
+    assert(Robots.shippedIpPrefixes.size >= 200)
+  }
+
+  test("Robots: real-world bot UA fixture — catch parity under alternation semantics") {
+    val s = spark; import s.implicits._
+    // real-world crawler/tool UA strings (public knowledge); the
+    // reference matches lc(ua) against one '|'-joined alternation
+    // (Robots.pm:100-147) — ours must catch every one of these
+    val botUas = Seq(
+      "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+      "Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
+      "Mozilla/5.0 (compatible; YandexBot/3.0; +http://yandex.com/bots)",
+      "Mozilla/5.0 (compatible; Baiduspider/2.0; +http://www.baidu.com/search/spider.html)",
+      "DuckDuckBot/1.0; (+http://duckduckgo.com/duckduckbot.html)",
+      "Mozilla/5.0 (compatible; AhrefsBot/7.0; +http://ahrefs.com/robot/)",
+      "Mozilla/5.0 (compatible; SemrushBot/7~bl; +http://www.semrush.com/bot.html)",
+      "Mozilla/5.0 (compatible; MJ12bot/v1.4.8; http://mj12bot.com/)",
+      "Mozilla/5.0 (compatible; DotBot/1.2; +https://opensiteexplorer.org/dotbot)",
+      "facebookexternalhit/1.1 (+http://www.facebook.com/externalhit_uatext.php)",
+      "Twitterbot/1.0",
+      "LinkedInBot/1.0 (compatible; Mozilla/5.0; Jakarta Commons-HttpClient/3.1)",
+      "Slackbot-LinkExpanding 1.0 (+https://api.slack.com/robots)",
+      "TelegramBot (like TwitterBot)",
+      "WhatsApp/2.19.81 A",
+      "curl/7.68.0",
+      "Wget/1.20.3 (linux-gnu)",
+      "python-requests/2.25.1",
+      "Python-urllib/3.8",
+      "Scrapy/2.5.0 (+https://scrapy.org)",
+      "Java/11.0.2",
+      "okhttp/4.9.0",
+      "Go-http-client/1.1",
+      "axios/0.21.1",
+      "node-fetch/1.0 (+https://github.com/bitinn/node-fetch)",
+      "Apache-HttpClient/4.5.13 (Java/1.8.0_292)",
+      "GPTBot/1.0 (+https://openai.com/gptbot)",
+      "CCBot/2.0 (https://commoncrawl.org/faq/)",
+      "Mozilla/5.0 (compatible; PetalBot;+https://webmaster.petalsearch.com/site/petalbot)",
+      "Mozilla/5.0 (compatible; Bytespider; spider-feedback@bytedance.com)",
+      "Mozilla/5.0 (compatible; heritrix/3.4.0 +http://archive.org)",
+      "ia_archiver (+http://www.alexa.com/site/help/webmasters; crawler@alexa.com)",
+      "Pingdom.com_bot_version_1.4_(http://www.pingdom.com/)",
+      "Mozilla/5.0+(compatible; UptimeRobot/2.0; http://www.uptimerobot.com/)",
+      "Screaming Frog SEO Spider/16.7",
+      "Sogou web spider/4.0(+http://www.sogou.com/docs/help/webmasters.htm#07)",
+      "Applebot/0.1 (+http://www.apple.com/go/applebot)",
+      "Amazonbot/0.1 (+https://developer.amazon.com/support/amazonbot)",
+      "Mozilla/5.0 (compatible; Exabot/3.0; +http://www.exabot.com/go/robot)",
+      "Mozilla/5.0 (compatible; SeznamBot/3.2; +http://napoveda.seznam.cz/en/seznambot-intro/)",
+      "HTTrack/3.49-2",
+      "Mozilla/5.0 (compatible; Pinterestbot/1.0; +http://www.pinterest.com/bot.html)")
+    // mainstream browsers that must NOT be classified
+    val humanUas = Seq(
+      "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+      "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+      "Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1",
+      "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.0.0",
+      "Mozilla/5.0 (Linux; Android 13; SM-G991B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+      "Mozilla/5.0 (Windows NT 10.0; WOW64; Trident/7.0; rv:11.0) like Gecko",
+      "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15")
+    val pats = Robots.shippedUaPatterns
+    val df = (botUas.map((_, true)) ++ humanUas.map((_, false))).toDF("ua", "is_bot")
+    val got = df.select(col("ua"), col("is_bot"),
+      Robots.isRobotUa(col("ua"), pats).as("got")).collect()
+    got.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2),
+        s"misclassified: ${r.getString(0)} expected bot=${r.getBoolean(1)}")
+      // parity with the reference's alternation-of-substrings
+      // semantics: the quoted-regex alternation must agree with a
+      // plain any-substring match over the same list
+      val naive = pats.exists(r.getString(0).toLowerCase.contains(_))
+      assert(naive == r.getBoolean(2),
+        s"alternation/substring divergence on: ${r.getString(0)}")
+    }
+    // IP side: anchored-prefix classification == startsWith semantics
+    val botIps = Seq("66.249.66.1" -> true, "157.55.39.200" -> true,
+      "180.76.15.5" -> true, "17.58.101.2" -> true, "54.36.148.10" -> true,
+      "192.168.1.10" -> false, "8.8.8.8" -> false,
+      // anchored: a SUFFIX collision with a robot prefix must not match
+      "5.66.249.1" -> false)
+    val ipd = botIps.toDF("ip", "is_bot")
+    ipd.select(col("ip"), col("is_bot"),
+        Robots.isRobotIp(col("ip"), Robots.shippedIpPrefixes).as("got"))
+      .collect().foreach { r =>
+        assert(r.getBoolean(1) == r.getBoolean(2), s"ip misclassified: ${r.getString(0)}")
+        val naive = Robots.shippedIpPrefixes.exists(r.getString(0).startsWith)
+        assert(naive == r.getBoolean(2),
+          s"anchored/startsWith divergence on: ${r.getString(0)}")
+      }
+  }
+
   test("Robots: empty pattern lists classify nothing as robots") {
     val s = spark; import s.implicits._
     val df = Seq(("Mozilla/5.0", "1.2.3.4")).toDF("ua", "ip")

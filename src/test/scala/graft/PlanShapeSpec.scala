@@ -539,6 +539,59 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ks1 limit lost its top-n physical form:\n$p")
   }
 
+  // ---------------------------------------------------------------
+  // Full-board nested-loop-join census (round-8 verdict item 8): the
+  // round-8 plan re-sweep adjudicated every BroadcastNestedLoopJoin on
+  // the board as an intended 1-row scalar broadcast (guard/total/query
+  // -vector cross joins). This test pins that census EXACTLY: a new
+  // query whose plan picks up an NLJ — or an existing query regressing
+  // into one — must be explicitly blessed here to pass CI.
+  // ---------------------------------------------------------------
+
+  /** Queries whose construction EXECUTES Spark jobs (iterative
+    * label-propagation/PageRank/BPE driver loops, streaming runs,
+    * fixture writers) rather than just planning. They are excluded
+    * from the census — each one's join discipline is covered by its
+    * own dedicated guard or the oracle board — so the census stays a
+    * pure planning pass. */
+  private val executesAtConstruction: Set[String] = Set.empty
+
+  /** The blessed NLJ-bearing queries — the round-8 sweep's 20, each a
+    * 1-row scalar broadcast (grand totals, thresholds, trained
+    * centroids/codebooks, query vectors, execution-time row-cap
+    * guards) where BroadcastNestedLoopJoin IS the intended plan. */
+  private val intendedNlj: Set[String] = Set(
+    "d9_semantic_dedup", "h22_idle_rich", "j7_salted_join", "kf_metrics",
+    "o16_range_bounds", "o8_ntile", "s16_snapshot_diff", "t19_bm25",
+    "t20_bigram_lm", "t21_dsir", "t24_collocations", "t28_temperature_mix",
+    "v13_knn_classify", "v15_recall_eval", "v1_ann_bruteforce",
+    "v2_cosine_neardup", "v5_ann_ivf", "v7_rrf_fusion", "v9_ivf_pq",
+    "w5_sparkline")
+
+  test("full-board NLJ census matches the blessed set exactly; zero cartesians") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(executesAtConstruction)
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    val withNlj = scala.collection.mutable.Set[String]()
+    val withCartesian = scala.collection.mutable.Set[String]()
+    names.foreach { n =>
+      try {
+        val p = plan(n)
+        if (p.contains("BroadcastNestedLoopJoin")) withNlj += n
+        if (p.contains("CartesianProduct")) withCartesian += n
+      } catch { case e: Throwable =>
+        failures += s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
+      }
+    }
+    assert(failures.isEmpty,
+      s"census could not plan:\n${failures.mkString("\n")}")
+    assert(withCartesian.isEmpty,
+      s"cartesian products on the board: ${withCartesian.toSeq.sorted.mkString(",")}")
+    assert(withNlj.toSet == intendedNlj,
+      s"NLJ census drifted — new: ${(withNlj -- intendedNlj).toSeq.sorted.mkString(",")}; " +
+        s"gone: ${(intendedNlj -- withNlj).toSeq.sorted.mkString(",")}")
+  }
+
   test("c13 JSON props parse stays a scan-side projection") {
     val p = plan("c13_json_props")
     assert(scansOf(p) == 1, s"c13 re-scans:\n$p")

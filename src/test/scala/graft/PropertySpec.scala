@@ -481,4 +481,196 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  // ================================================================
+  // QueryCompiler differential test (round-8 verdict item 5): random
+  // valid Contexts vs an INDEPENDENT naive interpreter of the
+  // reference's decision table (ref `Table.pm:57-86` field/set
+  // selection, `Handler.pm:313-371` predicates, `Handler.pm:439-536`
+  // set/grouping joins). The interpreter is plain Scala collections —
+  // no Spark — so a shared bug in the DataFrame plan can't hide.
+  // ================================================================
+
+  import graft.model.Context
+  import graft.query.QueryCompiler
+  import graft.query.QueryCompiler.{Catalog, SetDim}
+
+  private case class FR(date: java.time.LocalDate, id: Long,
+      value: String, count: Long)
+
+  // deterministic fixture: 7 days x ids 1..9 x 3 values (sparse), a
+  // multi-valued "author" set, a single-valued "division" set, a live
+  // filter that drops ids 7..9, and a FAITHFUL lifetime MV (so A5
+  // substitution must be semantically invisible)
+  private val d0 = java.time.LocalDate.of(2024, 3, 1)
+  private lazy val diffFact: Seq[FR] =
+    for {
+      day <- 0 until 7
+      id <- 1L to 9L
+      value <- Seq("downloads", "views", "other")
+      if (day + id + value.length) % 3 != 0 // sparsity, deterministic
+    } yield FR(d0.plusDays(day), id, value, (day * id + value.length) % 7 + 1)
+  private lazy val diffSets: Map[String, Seq[(Long, String)]] = Map(
+    // division: single-valued, ids 1..8 (9 unmapped)
+    "division" -> (1L to 8L).map(i => i -> s"d${i % 3}"),
+    // author: multi-valued (ids 2,4,6 have two authors), ids 1..7
+    "author" -> ((1L to 7L).map(i => i -> s"a${i % 4}") ++
+      Seq(2L -> "a9", 4L -> "a9", 6L -> "a9")))
+  private lazy val diffLive: Set[Long] = (1L to 6L).toSet
+
+  private lazy val diffCat: Catalog = {
+    val s = spark; import s.implicits._
+    val fact = diffFact.map(r =>
+        (java.sql.Date.valueOf(r.date), r.id, r.value, r.count))
+      .toDF("date", "id", "value", "count")
+    val mv = fact.groupBy("id", "value").agg(sum("count").as("count"))
+    Catalog(
+      facts = Map("downloads" -> fact),
+      sets = diffSets.map { case (k, v) =>
+        k -> SetDim(v.toDF("id", "set_value"))
+      },
+      liveFilter = Some(diffLive.toSeq.toDF("id")),
+      lifetime = Map("downloads" -> mv))
+  }
+
+  /** The dims the compiler will group by — mirrored for the generator
+    * (to draw a valid orderBy) and the interpreter. */
+  private def dimsOf(ctx: Context): Seq[String] = {
+    val groupCols = ctx.setName match {
+      case Some(set) if set != "eprint" =>
+        if (ctx.grouping.isDefined) Seq("grouping_value")
+        else if (ctx.setValue.isDefined) ctx.fields
+        else Seq("set_value")
+      case _ => ctx.fields
+    }
+    (if (groupCols.nonEmpty) groupCols else ctx.fields).distinct
+  }
+
+  /** Naive reference interpreter: decision-table semantics over plain
+    * collections, ending in the compiler's pinned total order. */
+  private def naiveEval(ctx: Context): Seq[(Seq[Any], Long)] = {
+    var rows: Seq[Map[String, Any]] = diffFact.map(r => Map[String, Any](
+      "date" -> r.date, "id" -> r.id, "value" -> r.value, "count" -> r.count))
+    def date(m: Map[String, Any]) = m("date").asInstanceOf[java.time.LocalDate]
+    (ctx.from, ctx.to) match {
+      case (Some(f), Some(t)) if f == t => rows = rows.filter(date(_) == f)
+      case (f, t) =>
+        f.foreach(d => rows = rows.filter(m => !date(m).isBefore(d)))
+        t.foreach(d => rows = rows.filter(m => !date(m).isAfter(d)))
+    }
+    ctx.datafilter.foreach(v => rows = rows.filter(_("value") == v))
+    rows = rows.filter(m => diffLive(m("id").asInstanceOf[Long]))
+    ctx.setName match {
+      case Some(set) if set != "eprint" =>
+        val dim = diffSets(set)
+        ctx.grouping match {
+          case Some(g) =>
+            val dimIds = ctx.setValue
+              .map(v => dim.filter(_._2 == v)).getOrElse(dim)
+              .map(_._1).toSet
+            val gdim = diffSets(g)
+            rows = rows.filter(m => dimIds(m("id").asInstanceOf[Long]))
+              .flatMap { m =>
+                gdim.filter(_._1 == m("id")).map { case (_, gv) =>
+                  m + ("grouping_value" -> gv)
+                }
+              }
+          case None =>
+            val d = ctx.setValue
+              .map(v => dim.filter(_._2 == v)).getOrElse(dim)
+            rows = rows.flatMap { m =>
+              d.filter(_._1 == m("id")).map { case (_, sv) =>
+                m + ("set_value" -> sv)
+              }
+            }
+        }
+      case _ =>
+        ctx.setValue.foreach { v =>
+          rows = scala.util.Try(v.toLong).toOption match {
+            case Some(idv) => rows.filter(_("id") == idv)
+            case None => Seq.empty
+          }
+        }
+    }
+    val dims = dimsOf(ctx)
+    val grouped = rows.groupBy(m => dims.map(m(_)))
+      .map { case (k, g) =>
+        k -> g.map(_("count").asInstanceOf[Long]).sum
+      }.toSeq
+    // pinned total order: primary (count or a dim) then remaining dims asc
+    def cmpVal(name: String, a: Any, b: Any): Int = name match {
+      case "date" => a.asInstanceOf[java.time.LocalDate]
+        .compareTo(b.asInstanceOf[java.time.LocalDate])
+      case "id" => a.asInstanceOf[Long].compareTo(b.asInstanceOf[Long])
+      case "count" => a.asInstanceOf[Long].compareTo(b.asInstanceOf[Long])
+      case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    }
+    val primary = ctx.orderBy.getOrElse("count")
+    val ties = dims.filterNot(_ == primary)
+    val ordered = grouped.sortWith { case ((ka, ca), (kb, cb)) =>
+      def dimVal(k: Seq[Any], n: String): Any = k(dims.indexOf(n))
+      val p =
+        if (primary == "count") ca.compareTo(cb)
+        else cmpVal(primary, dimVal(ka, primary), dimVal(kb, primary))
+      val lead = if (ctx.orderDesc) -p else p
+      if (lead != 0) lead < 0
+      else {
+        val t = ties.iterator.map(n =>
+          cmpVal(n, dimVal(ka, n), dimVal(kb, n))).find(_ != 0).getOrElse(0)
+        t < 0
+      }
+    }
+    val offsetted = ctx.offset.fold(ordered)(ordered.drop)
+    ctx.limit.fold(offsetted)(offsetted.take)
+  }
+
+  private lazy val ctxGen: Gen[Context] = for {
+    datafilter <- Gen.option(Gen.oneOf("downloads", "views", "absent"))
+    setName <- Gen.frequency(
+      3 -> Gen.const(None), 3 -> Gen.const(Some("division")),
+      3 -> Gen.const(Some("author")), 1 -> Gen.const(Some("eprint")))
+    setValue <- setName match {
+      case Some("division") => Gen.option(Gen.oneOf("d0", "d1", "zz"))
+      case Some("author") => Gen.option(Gen.oneOf("a1", "a9", "zz"))
+      case _ => Gen.option(Gen.oneOf("3", "6", "999", "abc"))
+    }
+    grouping <- setName match {
+      case Some("division") => Gen.option(Gen.const("author"))
+      case Some("author") => Gen.option(Gen.const("division"))
+      case _ => Gen.const(None)
+    }
+    from <- Gen.option(Gen.choose(0, 6).map(d0.plusDays(_)))
+    to <- Gen.option(Gen.choose(0, 6).map(d0.plusDays(_)))
+    fields <- Gen.oneOf(Seq("value"), Seq("id"), Seq("date"),
+      Seq("id", "value"), Seq("date", "value"), Seq.empty)
+    orderDesc <- Gen.oneOf(true, false)
+    limit <- Gen.option(Gen.choose(1, 5))
+    offset <- Gen.option(Gen.choose(0, 3))
+    base = Context(datatype = "downloads", datafilter = datafilter,
+      setName = setName, setValue = setValue, grouping = grouping,
+      from = from, to = to, fields = fields, orderDesc = orderDesc,
+      limit = limit, offset = offset)
+    orderBy <- Gen.option(Gen.oneOf(dimsOf(base) :+ "count"))
+  } yield base.copy(orderBy = orderBy)
+
+  test("QueryCompiler == naive decision-table interpreter on random Contexts") {
+    var cases = 0
+    forAllSeeded(ctxGen, n = 130) { ctx =>
+      cases += 1
+      val dims = dimsOf(ctx)
+      val got = QueryCompiler.compile(ctx, diffCat).collect().toSeq.map { r =>
+        val key: Seq[Any] = dims.map { n =>
+          r.get(r.fieldIndex(n)) match {
+            case d: java.sql.Date => d.toLocalDate
+            case x => x
+          }
+        }
+        key -> r.getAs[Long]("count")
+      }
+      val want = naiveEval(ctx)
+      assert(got == want,
+        s"compiler diverged from interpreter for $ctx\n got: $got\nwant: $want")
+    }
+    assert(cases >= 100, s"generator produced only $cases cases")
+  }
 }
