@@ -206,7 +206,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(
       lshBands(minhashSignaturesFrom(features, k), rowsPerBand), maxBucketSize)
-    val out = verifyJaccardOn(cands, features, num, den).localCheckpoint(true)
+    val out = verifyJaccardOn(cands, features, num, den)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     features.unpersist()
     out
   }
@@ -260,7 +261,11 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-      .localCheckpoint(true)
+      // SERIALIZED: on a clone-dense corpus the pair table itself is
+      // large (every k-clone family emits C(k,2) rows); deserialized
+      // checkpoint rows cost 5-10x their serialized size and OOM'd
+      // the 8g bench heap at the 30x step
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     sh.unpersist()
     out
   }
@@ -654,7 +659,7 @@ object Dedup {
         first(col("x.nsh")).as("na"), first(col("y.nsh")).as("nb"))
       .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
       .select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     shingles.unpersist()
     out
   }
@@ -692,7 +697,7 @@ object Dedup {
       .select(col("a"), col("b"),
         expr("(1000 * inter) div least(na, nb)").as("cont_pm"))
       .filter(col("cont_pm") >= thresholdPm)
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     shingles.unpersist()
     out
   }

@@ -75,10 +75,19 @@ object Graph {
         col("u") === col("x")).drop("x")
       .join(deg.select(col("u").as("y"), col("deg").as("dv")),
         col("v") === col("y")).drop("y")
-    // keep the edge only in its low-endpoint orientation
+    // keep the edge only in its low-endpoint orientation.
+    // Checkpointed SERIALIZED: the oriented edge set feeds THREE
+    // plan branches (both wedge sides and the closing probe), and
+    // without materialization Catalyst rebuilds the union + two
+    // degree joins for each — at 30x data that is six extra
+    // corpus-sized sorts and the heap churn that OOM'd the suite
+    // bench. One m-sized serialized table, built once, is the
+    // iteration-invariant-edges pattern from pageRank above.
     val oriented = withDeg.filter(
       col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"), col("dv"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // wedges (v, w) at each source u, ordered by the SAME (deg, id)
     // key so the closing edge is exactly the oriented v -> w
     val wedges = oriented.as("e1")

