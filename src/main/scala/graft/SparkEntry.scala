@@ -80,6 +80,22 @@ object SparkEntry {
   private def moneySum(c: String): org.apache.spark.sql.Column =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
+  /** Co-purchase pair set for the graph queries (g1/g2/g2b): parts
+    * sharing an order, WITHOUT a fact self-join — order sizes are
+    * small and bounded (TPC-H ≤ 7 items), so collect the part set
+    * per order (one shuffle) and emit the ordered pairs from the
+    * array; the self-join form sorts the fact twice and merges
+    * 6M×6M-keyed streams for the same ≤ k² map-side work. */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    l.groupBy("ok").agg(collect_set(col("p")).as("ps"))
+      .select(explode(expr(
+        "filter(flatten(transform(ps, x -> transform(ps, " +
+          "y -> struct(x AS a, y AS b)))), s -> s.a < s.b)")).as("s"))
+      .select(col("s.a").as("a"), col("s.b").as("b")).distinct()
+  }
+
   // ===========================================================
   // Flagship: monthly event volume, densified (the reference's
   // "monthly downloads for one item" Graph, z_irstats2.pl:325-332).
@@ -984,16 +1000,7 @@ object SparkEntry {
     // 2 Lloyd-style iterations, the whole loop oracle-checked ----
     "g1_pagerank" -> ((s, d) => {
       import graft.operators.Graph
-      val l = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      // per-order array pair generation — same rationale as g2: no
-      // fact self-join, one shuffle, ≤ k² map-side work per order
-      val pairs = l.groupBy("ok").agg(collect_set(col("p")).as("ps"))
-        .select(explode(expr(
-          "filter(flatten(transform(ps, x -> transform(ps, " +
-            "y -> struct(x AS a, y AS b)))), s -> s.a < s.b)")).as("s"))
-        .select(col("s.a").as("a"), col("s.b").as("b")).distinct()
-      Graph.pageRank(pairs, iters = 2)
+      Graph.pageRank(coPurchasePairs(s, d), iters = 2)
         .orderBy(col("pr").desc, col("node")).limit(20)
     }),
 
@@ -1003,19 +1010,18 @@ object SparkEntry {
     // set as g1 ----
     "g2_triangles" -> ((s, d) => {
       import graft.operators.Graph
-      val l = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      // co-purchase pair projection WITHOUT a fact self-join: order
-      // sizes are small and bounded (TPC-H ≤ 7 items), so collect the
-      // part set per order (one shuffle) and emit the ordered pairs
-      // from the array — the self-join form sorts the fact twice and
-      // merges 6M×6M-keyed streams for the same ≤ k² map-side work
-      val pairs = l.groupBy("ok").agg(collect_set(col("p")).as("ps"))
-        .select(explode(expr(
-          "filter(flatten(transform(ps, x -> transform(ps, " +
-            "y -> struct(x AS a, y AS b)))), s -> s.a < s.b)")).as("s"))
-        .select(col("s.a").as("a"), col("s.b").as("b")).distinct()
-      Graph.triangleCounts(pairs)
+      Graph.triangleCounts(coPurchasePairs(s, d))
+        .orderBy(col("n_tri").desc, col("node")).limit(20)
+    }),
+
+    // ---- G2b: same per-node triangle counts by adjacency-set
+    // intersection (compact-forward) — the wedge self-join's
+    // O(m^1.5) intermediate rows stay packed as sorted neighbor
+    // arrays; only actual triangle members become rows. Same oracle
+    // as g2: the two forms must agree exactly. ----
+    "g2b_triangles_adj" -> ((s, d) => {
+      import graft.operators.Graph
+      Graph.triangleCountsAdj(coPurchasePairs(s, d))
         .orderBy(col("n_tri").desc, col("node")).limit(20)
     }),
 
@@ -3689,6 +3695,22 @@ object SparkEntry {
          |FROM sv WHERE rk = 1 ORDER BY cluster""".stripMargin,
 
     "g2_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT i.l_partkey AS a, j.l_partkey AS b
+        |  FROM lineitem i JOIN lineitem j
+        |    ON i.l_orderkey = j.l_orderkey AND i.l_partkey < j.l_partkey),
+        |tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (SELECT unnest([u, v, w]) AS node FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM n GROUP BY 1
+        |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+
+    // the adjacency-intersection form must produce EXACTLY the wedge
+    // form's result — same oracle text as g2_triangles
+    "g2b_triangles_adj" ->
       """WITH e AS (
         |  SELECT DISTINCT i.l_partkey AS a, j.l_partkey AS b
         |  FROM lineitem i JOIN lineitem j

@@ -70,7 +70,11 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(charRepr(col("w")).as("repr"), col("freq"))
-      .localCheckpoint(true)
+      // serialized: the vocab is corpus-vocabulary-scale and lives
+      // across every training round — deserialized rows are 5-10x
+      // the footprint and OOM a 30x data step
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // post-limit topK rows only, but keep a non-foldable constant key
     // so WindowExec doesn't warn on every training round (the warning
     // noise would mask real single-partition regressions in the bench)
@@ -84,7 +88,10 @@ object Bpe {
         .orderBy(col("cnt").desc, col("pair").asc).limit(topK)
         .select(lit(r).as("round"), row_number().over(wRank).as("rank"),
           col("pair"), col("cnt"))
-        .localCheckpoint(true) // pin: next round mutates vocab under it
+        // pin: next round mutates vocab under it (topK rows, but SER
+        // uniformly — CheckpointStorageLintSpec)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // the argmax collect: exactly ONE row per round (see
       // driverCollectedRows invariant above)
       val bestRows = ranked.filter(col("rank") === 1).select("pair").collect()
@@ -96,7 +103,8 @@ object Bpe {
         val appliedPad = (1 to 3).foldLeft(padded)((c, _) => mergeOnce(c, p, merged))
         vocab = vocab
           .select(trim(appliedPad).as("repr"), col("freq"))
-          .localCheckpoint(true)
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       }
       ranked
     }

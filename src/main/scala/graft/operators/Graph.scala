@@ -100,4 +100,53 @@ object Graph {
     tris.select(explode(array(col("tu"), col("tv"), col("tw"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** [[triangleCounts]] by adjacency-set intersection (the edge-
+    * iterator form of Chiba-Nishizeki / Latapy's compact-forward):
+    * same degree-ordered orientation, but instead of ENUMERATING
+    * every wedge as a row and shuffling O(m^1.5) of them into the
+    * closing join, each node's oriented out-neighborhood is packed
+    * once into a sorted array (≤ O(√m) entries under orientation)
+    * and every oriented edge (u, v) closes its triangles locally via
+    * `array_intersect(adj(u), adj(v))` — the only triangle-dependent
+    * row set materialized is the O(#triangles) exploded members.
+    * The shuffled byte volume is the same Σ outdeg² bound, but it
+    * moves as packed arrays inside m rows (no per-wedge row
+    * overhead, no m^1.5-row hash-join build side), which is the
+    * difference between heap-resident and spilling at a 30x step.
+    * Returns (node, n_tri) — exactly [[triangleCounts]]'s result
+    * (equality property-tested in GraphSpec). */
+  def triangleCountsAdj(pairs: DataFrame): DataFrame = {
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val und = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("u").as("x"), col("deg").as("du")),
+        col("u") === col("x")).drop("x")
+      .join(deg.select(col("u").as("y"), col("deg").as("dv")),
+        col("v") === col("y")).drop("y")
+    val oriented = withDeg.filter(
+      col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
+      .localCheckpoint(true, ser) // feeds adj build + both edge joins
+    val adj = oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("v"))).as("ns"))
+      .localCheckpoint(true, ser) // feeds both sides of the edge join
+    val closed = oriented
+      .join(adj, Seq("u"))
+      .withColumnRenamed("ns", "nsu")
+      .join(adj.select(col("u").as("v"), col("ns").as("nsv")), Seq("v"))
+      .select(col("u"), col("v"),
+        array_intersect(col("nsu"), col("nsv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // u and v each participate in every triangle this edge closes;
+    // each w in exactly one per membership
+    val uv = closed.select(
+      explode(array(col("u"), col("v"))).as("node"),
+      size(col("ws")).cast("long").as("c"))
+    val wc = closed.select(explode(col("ws")).as("node"), lit(1L).as("c"))
+    uv.unionByName(wc)
+      .groupBy("node").agg(sum("c").as("n_tri"))
+  }
 }

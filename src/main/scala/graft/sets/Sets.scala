@@ -134,7 +134,12 @@ object Sets {
       whitelist: Set[String] = Set.empty): DataFrame = {
     // assignments: (set_value, id); tree: (child, parent)
     val t = broadcast(tree.select(col("child"), col("parent")).distinct())
-    var acc = assignments.select("set_value", "id").distinct().localCheckpoint()
+    // serialized: the accumulator is assignment-scale (one row per
+    // item x ancestor) and survives the whole loop — see
+    // CheckpointStorageLintSpec for the OOM class this avoids
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    var acc = assignments.select("set_value", "id").distinct()
+      .localCheckpoint(true, ser)
     var frontier = acc
     var depth = 0
     var growing = true
@@ -143,10 +148,10 @@ object Sets {
         .join(t, frontier("set_value") === t("child"))
         .select(col("parent").as("set_value"), col("id"))
         .distinct()
-      val added = parents.except(acc).localCheckpoint()
+      val added = parents.except(acc).localCheckpoint(true, ser)
       if (added.isEmpty) growing = false
       else {
-        acc = acc.unionByName(added).distinct().localCheckpoint()
+        acc = acc.unionByName(added).distinct().localCheckpoint(true, ser)
         frontier = added
       }
       depth += 1

@@ -150,7 +150,8 @@ object Similarity {
         .withColumn("r", row_number().over(wAssign))
         .filter(col("r") === 1)
       cents = assigned.groupBy("cid").agg(vecMean(col("v")).as("cv"))
-        .localCheckpoint(true)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     cents
   }
@@ -521,7 +522,8 @@ object Similarity {
           transform(col("pv"), p => p.getField("v")).as("cv"))
         // truncate the per-iteration lineage (the codebook is m·k
         // rows; re-analyzing a growing plan tree would dominate)
-        .localCheckpoint(true)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     cb
   }

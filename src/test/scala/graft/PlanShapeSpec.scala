@@ -370,6 +370,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"g2 lost its top-k:\n$p")
   }
 
+  test("g2b adjacency form: equi-joins only, intersection stays codegen") {
+    val p = plan("g2b_triangles_adj")
+    assert(!p.contains("CartesianProduct"), s"cartesian in g2b:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in g2b:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"g2b lost its top-k:\n$p")
+  }
+
   test("v13 kNN classify broadcasts the vote table into the label dim") {
     val p = plan("v13_knn_classify")
     assert(p.contains("BroadcastHashJoin"), s"v13 lost its broadcast:\n$p")

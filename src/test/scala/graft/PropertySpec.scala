@@ -367,6 +367,12 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
             edges.toDF("a", "b"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
         assert(got == expected, s"edges: $edges")
+        // the adjacency-intersection form must agree exactly — it is
+        // the same orientation closing triangles via array_intersect
+        val gotAdj = graft.operators.Graph.triangleCountsAdj(
+            edges.toDF("a", "b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(gotAdj == expected, s"adj form diverged; edges: $edges")
       }
     }
   }
