@@ -59,6 +59,17 @@ object Multimodal {
     }
   }
 
+  /** ImageIO's default stream cache is DISK-backed: every encode or
+    * decode through a plain Input/OutputStream spills to a temp file
+    * in java.io.tmpdir, making per-image wall time depend on /tmp
+    * page-cache state (measured as a 5x run-to-run swing on the
+    * sf0.1 codec queries) and racing a StreamCloser shutdown hook.
+    * Our payloads are in-heap byte arrays — the memory cache is
+    * strictly better. JVM-global and idempotent; referenced at the
+    * top of every codec path so each executor flips it once. */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL decoder for the image modality: JDK `javax.imageio` —
     * decodes the payload's actual pixel buffer (PNG/BMP/GIF/JPEG, the
     * formats whose readers ship with every JDK) and reports the true
@@ -69,6 +80,7 @@ object Multimodal {
   object ImageIoDecoder extends Decoder {
     val kind = "image/png"
     def decode(payload: Array[Byte]): Decoded = {
+      imageIoMemCache
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null) Decoded(0, 0) else Decoded(img.getWidth, img.getHeight)
@@ -126,6 +138,7 @@ object Multimodal {
           }
           y += 1
         }
+        imageIoMemCache
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         val bytes = bos.toByteArray
@@ -175,6 +188,7 @@ object Multimodal {
           }
           y += 1
         }
+        imageIoMemCache
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         val bytes = bos.toByteArray
@@ -202,6 +216,7 @@ object Multimodal {
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(0)
+        imageIoMemCache
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
         if (img == null || img.getWidth < 8 || img.getHeight < 8)

@@ -45,13 +45,12 @@ class Bench30xGateSpec extends AnyFunSuite {
     "g2_triangles" -> (120.0, "exact wedge count, degree grows with corpus"),
     "g2b_triangles_adj" -> (120.0,
       "same sum-outdeg^2 triangle volume as packed arrays"),
-    // codec wall time at sf0.1 is sub-second and quantized by
-    // partition rounding / imageio JIT state (r9 refresh moved the
-    // base 4.9s -> 1.0s while every ABSOLUTE sf1/30x time improved);
-    // the ratio must absorb that base noise — 90s for 30x the PNGs
-    // is ~30x of the un-noisy 3s base
+    // codec wall time at sf0.1 is sub-second, so the ~0.4s fixed
+    // per-job cost inflates the ratio (49s for 30x the PNGs is ~30x
+    // of the fixed-cost-free base); the ImageIO memory-cache fix
+    // removed the former 5x /tmp-state swing but not the fixed cost
     "m6_image_phash" -> (120.0,
-      "CPU-bound PNG decode, linear; noisy sub-second sf0.1 base"))
+      "CPU-bound PNG decode, linear; sub-second sf0.1 base"))
 
   private def times(path: String): Map[String, (Double, Double)] = {
     val root = new ObjectMapper().readTree(new java.io.File(path))

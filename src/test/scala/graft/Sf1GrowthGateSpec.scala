@@ -150,7 +150,9 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "g2b_triangles_adj" -> (14.0,
       "identical sum-outdeg^2 volume as packed arrays; absolute time < g2"),
     "st3_stream_window" -> (6.0, "micro-batch machinery + more windows"),
-    "st4_stream_repeat" -> (6.0, "per-key state chains grow with backlog"),
+    "st4_stream_repeat" -> (12.0,
+      "per-key flatMapGroupsWithState updates are linear in backlog " +
+        "events (10x) on top of micro-batch machinery"),
     "m1_multimodal_decode" -> (14.0, "binary decode linear in rows"),
     "m2_frame_sample" -> (14.0, "frame extraction linear in rows"),
     "m3_frame_align" -> (14.0, "decode + as-of alignment"),
