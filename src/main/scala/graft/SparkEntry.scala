@@ -1413,12 +1413,27 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // ---- C5: referrer classification cascade ----
-    "c5_referrer" -> ((s, d) =>
-      ev(s, d).withColumn("ref", syntheticReferrer)
-        .select(graft.classify.Classify.referrer(col("ref"), "myrepo.org").as("label"))
+    // ---- C5: referrer classification cascade — every branch of ref
+    // Referrer.pm:39-116: the search engines, the Internal paths
+    // (abstract/search/view/latest/profile), the config-driven
+    // local_domains hook, Direct, and the raw-hostname fallback ----
+    "c5_referrer" -> ((s, d) => {
+      val m = col("event_id") % 8
+      val ref = when(m === 0, "https://www.google.com/search?q=spark")
+        .when(m === 1, "https://myrepo.org/123")
+        .when(m === 2, "https://search.yahoo.com/search?p=plans")
+        .when(m === 3, "")
+        .when(m === 4, "https://www.bing.com/search?q=x")
+        .when(m === 5, "https://myrepo.org/profile/jsmith")
+        .when(m === 6, "https://intranet.campus.example/page")
+        .otherwise("https://unknown.example.net/page")
+      ev(s, d).select(
+          graft.classify.Classify.referrer(ref, "myrepo.org",
+            localDomains = Seq(
+              "Campus Intranet" -> "(^|\\.)campus\\.example$")).as("label"))
         .groupBy("label").agg(count(lit(1)).as("cnt"))
-        .orderBy("label")),
+        .orderBy("label")
+    }),
 
     // ---- C6: search-term extraction (UDTF-style explode) ----
     "c6_search_terms" -> ((s, d) => {
@@ -4798,12 +4813,15 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
 
     "c5_referrer" ->
-      """SELECT CASE event_type
-        |    WHEN 'view' THEN 'Google'
-        |    WHEN 'click' THEN 'Internal (Abstract page)'
-        |    WHEN 'purchase' THEN 'Yahoo'
-        |    WHEN 'signup' THEN 'Direct'
-        |    ELSE 'partner.example.com' END AS label,
+      """SELECT CASE event_id % 8
+        |    WHEN 0 THEN 'Google'
+        |    WHEN 1 THEN 'Internal (Abstract page)'
+        |    WHEN 2 THEN 'Yahoo'
+        |    WHEN 3 THEN 'Direct'
+        |    WHEN 4 THEN 'MSN/Bing'
+        |    WHEN 5 THEN 'Internal (MePrints Profile Page)'
+        |    WHEN 6 THEN 'Campus Intranet'
+        |    ELSE 'unknown.example.net' END AS label,
         |  COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY label""".stripMargin,
 
@@ -5709,14 +5727,15 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY date""".stripMargin,
 
     // same sequential-suppression recursion as f3_repeat_seq, minus
-    // null user_ids (the streaming state key is a string; SQL's
-    // recursive equality join can't follow null keys)
+    // null user_ids / event_types (the streaming state key is a
+    // string; SQL's recursive equality join can't follow null keys,
+    // and concat_ws would silently drop a null component)
     "st4_stream_repeat" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id,
         |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |           ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS rn
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
         |keep AS (
         |  SELECT user_id, event_type, sec, rn, sec AS last_kept, TRUE AS kept
         |  FROM ev WHERE rn = 1

@@ -51,13 +51,18 @@ object Report {
     * reference selects `fields => ['value']` — value being the
     * country code for the countries datatype — and prints
     * `{ "data": [["code", count], ...] }` for its client-side map.
-    * Each pair gains a third `display` element here: the localized
-    * country name from the JDK's CLDR data, so the payload is
-    * renderer-ready without a client-side lookup table. Expects the
-    * compiled (value, count) frame; bounded by the ISO country space,
-    * so a driver-side take is the right boundary (same rationale as
-    * the Export serializers, cap enforced). */
+    * The default output keeps the reference's 2-element pairs exactly
+    * (clients feed it to `arrayToDataTable` expecting two columns);
+    * `includeDisplay = true` opts into a third element — the
+    * localized country name from the JDK's CLDR data — for renderers
+    * that want to skip the client-side lookup table. The count is
+    * validated to be numeric before interpolation, so the payload is
+    * valid JSON by construction. Expects the compiled (value, count)
+    * frame; bounded by the ISO country space, so a driver-side take
+    * is the right boundary (same rationale as the Export serializers,
+    * cap enforced). */
   def geoChartJson(df: DataFrame,
+      includeDisplay: Boolean = false,
       locale: java.util.Locale = java.util.Locale.ENGLISH): String = {
     val cap = 500 // ~250 ISO codes; anything past this is not a geo series
     val rows = df.take(cap + 1)
@@ -67,11 +72,17 @@ object Report {
       s.replace("\\", "\\\\").replace("\"", "\\\"")
     val items = rows.map { r =>
       val code = Option(r.get(0)).map(_.toString).getOrElse("")
-      val display = {
-        val name = new java.util.Locale("", code).getDisplayCountry(locale)
-        if (name.isEmpty) code else name
+      val count = r.get(1) match {
+        case n: java.lang.Number => String.valueOf(n)
+        case other => throw new IllegalArgumentException(
+          s"geochart count column is not numeric: " +
+            s"${Option(other).map(_.getClass.getName).getOrElse("null")}")
       }
-      s"""["${esc(code)}", ${r.get(1)}, "${esc(display)}"]"""
+      if (includeDisplay) {
+        val name = new java.util.Locale("", code).getDisplayCountry(locale)
+        val display = if (name.isEmpty) code else name
+        s"""["${esc(code)}", $count, "${esc(display)}"]"""
+      } else s"""["${esc(code)}", $count]"""
     }
     s"""{ "data": [${items.mkString(",")}] }"""
   }

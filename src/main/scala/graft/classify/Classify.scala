@@ -98,24 +98,41 @@ object Classify {
   }
 
   /** Referrer classification cascade (ref `Referrer.pm:39-116`).
-    * `localHost` is the repository's own hostname. */
-  def referrer(url: Column, localHost: String): Column = {
+    * `localHost` is the repository's own hostname. `localDomains` is
+    * the deployment's label → hostname-regex map (ref
+    * `Referrer.pm:26,109-113` reads `irstats2.local_domains` from
+    * config and consults it after the built-in engines, before the
+    * raw-hostname fallback). An ordered Seq, not a Map: the reference
+    * iterates its hash with Perl `each`, so overlapping patterns
+    * resolve in nondeterministic order there — first-match-wins over
+    * a caller-ordered list is the deterministic refinement.
+    *
+    * Documented divergence: the reference DROPS records whose
+    * referrer is empty/undefined (`Referrer.pm:46-47` returns before
+    * classification); here they are labeled `Direct` so direct
+    * traffic stays countable — a caller wanting byte-for-byte
+    * reference breakdowns filters `label != 'Direct'`. */
+  def referrer(url: Column, localHost: String,
+      localDomains: Seq[(String, String)] = Nil): Column = {
     val u = parseUrl(url)
     val host = lower(u.getField("host"))
     val path = u.getField("path")
-    when(url.isNull || url === "", lit("Direct"))
+    val builtins = when(url.isNull || url === "", lit("Direct"))
       .when(url.rlike("^[0-9]+$") || host === "localhost", lit("Internal (Abstract page)"))
       .when(url.startsWith("info:oai"), lit("Internal (OAI-PMH)"))
       .when(host === localHost && path.rlike("^/[0-9]+"), lit("Internal (Abstract page)"))
       .when(host === localHost && path.startsWith("/cgi/search"), lit("Internal (Search)"))
       .when(host === localHost && path.startsWith("/view/"), lit("Internal (Browse view)"))
       .when(host === localHost && path.startsWith("/cgi/latest"), lit("Internal (Latest Additions)"))
+      .when(host === localHost && path.startsWith("/profile/"), lit("Internal (MePrints Profile Page)"))
       .when(host === localHost, lit("Internal"))
       .when(host.rlike("(^|\\.)google\\."), lit("Google"))
       .when(host.rlike("(^|\\.)yahoo\\."), lit("Yahoo"))
-      .when(host.rlike("(^|\\.)(msn|bing)\\."), lit("Bing"))
+      .when(host.rlike("(^|\\.)(msn|bing)\\."), lit("MSN/Bing"))
       .when(host.rlike("(^|\\.)facebook\\."), lit("Facebook"))
-      .otherwise(host)
+    localDomains.foldLeft(builtins) { case (c, (label, hostRegex)) =>
+      c.when(host.rlike(hostRegex), lit(label))
+    }.otherwise(host)
   }
 
   /** Extract the raw search query from a referrer URL: `q=` for

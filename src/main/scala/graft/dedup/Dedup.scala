@@ -27,6 +27,29 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Materialization policy for the bounded pair-table OUTPUTS of
+    * d2/d3/d4/d11 (minhash/simhash/jaccard/containment): each op
+    * unpersists its internal feature cache before returning, so by
+    * default the output is eagerly `localCheckpoint`ed SERIALIZED
+    * while the cache is still hot — the 30x heap insurance from
+    * round 9 (deserialized checkpoint rows cost 5-10x their
+    * serialized size). `Some(level)` = eager checkpoint at that
+    * level; `None` = return the LAZY plan and leave materialization
+    * to the caller (who then pays the feature-pipeline recompute on
+    * every action — both self-join sides re-shingle). A var, not a
+    * per-call param: it is a measurement/ops knob (`DedupCkptBench`
+    * sweeps it and COVERAGE.md records the measured trade), not
+    * query semantics — results are identical under every setting. */
+  private[graft] var pairCheckpoint
+      : Option[org.apache.spark.storage.StorageLevel] =
+    Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** Apply [[pairCheckpoint]] to a bounded pair-table output. */
+  private def ckptPairs(df: DataFrame): DataFrame = pairCheckpoint match {
+    case Some(lvl) => df.localCheckpoint(true, lvl) // MEMORY_AND_DISK_SER default
+    case None => df
+  }
+
   /** Shared skew guard: drop rows whose group (by `cols`) exceeds
     * `cap` members. The sizing window rides the same shuffle the
     * downstream per-group join/aggregate needs. None = no-op. */
@@ -206,8 +229,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(
       lshBands(minhashSignaturesFrom(features, k), rowsPerBand), maxBucketSize)
-    val out = verifyJaccardOn(cands, features, num, den)
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val out = ckptPairs(verifyJaccardOn(cands, features, num, den))
     features.unpersist()
     out
   }
@@ -261,13 +283,13 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-      // SERIALIZED: on a clone-dense corpus the pair table itself is
-      // large (every k-clone family emits C(k,2) rows); deserialized
-      // checkpoint rows cost 5-10x their serialized size and OOM'd
-      // the 8g bench heap at the 30x step
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // SERIALIZED (default policy): on a clone-dense corpus the pair
+    // table itself is large (every k-clone family emits C(k,2) rows);
+    // deserialized checkpoint rows cost 5-10x their serialized size
+    // and OOM'd the 8g bench heap at the 30x step
+    val ck = ckptPairs(out)
     sh.unpersist()
-    out
+    ck
   }
 
   /** Connected components over a near-dup pair list: every document
@@ -659,9 +681,9 @@ object Dedup {
         first(col("x.nsh")).as("na"), first(col("y.nsh")).as("nb"))
       .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
       .select(col("a"), col("b"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val ck = ckptPairs(out)
     shingles.unpersist()
-    out
+    ck
   }
 
   /** Asymmetric containment near-dup: pairs where the SMALLER
@@ -697,8 +719,8 @@ object Dedup {
       .select(col("a"), col("b"),
         expr("(1000 * inter) div least(na, nb)").as("cont_pm"))
       .filter(col("cont_pm") >= thresholdPm)
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val ck = ckptPairs(out)
     shingles.unpersist()
-    out
+    ck
   }
 }

@@ -255,30 +255,38 @@ object Streaming {
     * same-sec ties exactly one row is kept whichever is processed
     * first — the kept multiset is order-invariant, so no tie-break
     * column is needed (the batch form needs one only because it emits
-    * whole rows). Null user_ids are excluded: the state key is a
-    * string and SQL equality-joins can't follow null keys through the
-    * oracle's recursive step. The backlog must land in ONE
-    * micro-batch for strict sequential parity (per-group in-batch
-    * sort); AvailableNow does that for up to 1000 source files —
-    * far above any SF dir here. NoTimeout: bounded input, state dies
-    * with the query (the production form keeps the event-time
-    * timeout). */
+    * whole rows). Null user_ids AND null event_types are excluded —
+    * symmetrically with the oracle: the state key is a string, SQL
+    * equality-joins can't follow null keys through the oracle's
+    * recursive step, and `concat_ws` would otherwise silently DROP a
+    * null component and merge those events into the bare-id group.
+    * The decode splits with limit=2, so a '|' inside event_type stays
+    * in the value instead of corrupting it (user_id, a number, can't
+    * contain one). The backlog must land in ONE micro-batch for
+    * strict sequential parity (per-group in-batch sort); AvailableNow
+    * does that for up to 1000 source files — and `runToMemory`
+    * ASSERTS it (`requireSingleBatch`), so a directory that ever
+    * outgrows the default file cap fails loudly instead of silently
+    * breaking cross-batch event order. NoTimeout: bounded input,
+    * state dies with the query (the production form keeps the
+    * event-time timeout). */
   def availableNowRepeat(s: SparkSession, eventsPath: String,
       timeoutSec: Long): DataFrame = {
     import s.implicits._
     implicit val sp: SparkSession = s
     val keyed = eventStream(s, eventsPath)
-      .filter(col("user_id").isNotNull)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
       .select(
         concat_ws("|", col("user_id"), col("event_type")).as("key"),
         unix_timestamp(col("ts").cast("timestamp")).as("sec"))
       .as[Keyed]
     val kept = repeatFilterStream(keyed, timeoutSec,
       GroupStateTimeout.NoTimeout())
-    val keptRows = runToMemory(kept.toDF(), "st4_parity", OutputMode.Append())
+    val keptRows = runToMemory(kept.toDF(), "st4_parity", OutputMode.Append(),
+      requireSingleBatch = true)
     keptRows
-      .select(split(col("key"), "\\|").getItem(0).cast("long").as("id"),
-        split(col("key"), "\\|").getItem(1).as("value"))
+      .select(split(col("key"), "\\|", 2).getItem(0).cast("long").as("id"),
+        split(col("key"), "\\|", 2).getItem(1).as("value"))
       .groupBy("id", "value")
       .agg(count(lit(1)).as("count"))
       .orderBy("id", "value")
@@ -286,9 +294,15 @@ object Streaming {
 
   /** Run a (bounded) streaming aggregate to a memory sink with
     * `Trigger.AvailableNow` and return the sink table. Sink names are
-    * uniqued per call — the memory table is session-global. */
+    * uniqued per call — the memory table is session-global.
+    * `requireSingleBatch` asserts (from the query's own progress
+    * feed) that the whole backlog landed in ONE data-bearing
+    * micro-batch — callers whose semantics assume in-batch ordering
+    * ([[availableNowRepeat]]) pass true so a violated assumption
+    * fails loudly rather than producing subtly wrong state. */
   private def runToMemory(agg: DataFrame, prefix: String,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+      mode: OutputMode = OutputMode.Complete(),
+      requireSingleBatch: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val s = agg.sparkSession
     val sink = prefix + "_" + java.lang.Long.toHexString(System.nanoTime())
@@ -297,6 +311,12 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (requireSingleBatch) {
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"$prefix: backlog split across $dataBatches micro-batches — " +
+          "single-batch sequential-parity assumption violated")
+    }
     s.table(sink)
   }
 }

@@ -270,9 +270,11 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Export.toCsv(big.limit(5), maxRows = 10).linesIterator.size == 6)
   }
 
-  test("geochart item renders the GeoChart payload with display names") {
+  test("geochart item renders the GeoChart payload (reference wire format)") {
     // golden vs ref View/Google/GeoChart.pm:29-41 — '{ "data":
-    // [["code", count], ...] }', extended with the CLDR display name
+    // [["code", count], ...] }': 2-element pairs by default (clients
+    // feed arrayToDataTable expecting two columns); display names are
+    // an opt-in third element
     val s = spark; import s.implicits._
     val countryFact = Seq(
       (java.sql.Date.valueOf("2024-03-01"), 1L, "US", 7L),
@@ -286,11 +288,22 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val payloads = Report.renderJson(spec, cat, java.time.LocalDate.of(2024, 6, 15))
     val p = payloads("geochart")
     // compiler orders by count DESC: US 9, DE 3
-    assert(p == """{ "data": [["US", 9, "United States"],["DE", 3, "Germany"]] }""", p)
+    assert(p == """{ "data": [["US", 9],["DE", 3]] }""", p)
+    // opt-in display names (CLDR)
+    val compiled = Report.compile(spec, cat,
+      java.time.LocalDate.of(2024, 6, 15)).head._2
+    val withNames = Report.geoChartJson(compiled, includeDisplay = true)
+    assert(withNames ==
+      """{ "data": [["US", 9, "United States"],["DE", 3, "Germany"]] }""",
+      withNames)
     // cap guard: a non-geo-sized series fails loudly
     val big = s.range(0, 600).toDF("value")
       .withColumn("count", org.apache.spark.sql.functions.lit(1L))
     intercept[IllegalArgumentException](Report.geoChartJson(big))
+    // non-numeric count column fails loudly instead of emitting
+    // invalid JSON
+    val badCount = Seq(("US", "nine")).toDF("value", "count")
+    intercept[IllegalArgumentException](Report.geoChartJson(badCount))
   }
 
   test("W3 graph labels: golden reference output per date resolution") {

@@ -557,11 +557,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Queries whose construction EXECUTES Spark jobs (iterative
     * label-propagation/PageRank/BPE driver loops, streaming runs,
-    * fixture writers) rather than just planning. They are excluded
-    * from the census — each one's join discipline is covered by its
-    * own dedicated guard or the oracle board — so the census stays a
-    * pure planning pass. */
-  private val executesAtConstruction: Set[String] = Set.empty
+    * fixture writers, checkpointing graph builds) rather than just
+    * planning. They are excluded from the census — each one's join
+    * discipline is covered by its own dedicated guard or the oracle
+    * board — so the census stays a pure (and fast) planning pass. */
+  private val executesAtConstruction: Set[String] = Set(
+    "st1_stream_daily", "st2_stream_dedup", "st3_stream_window",
+    "st4_stream_repeat", // streaming runs execute at construction
+    "s13_multiformat", "s17_schema_evolution", // fixture writers
+    "t22_bpe_train", "g1_pagerank", "d6_dedup_clusters", // driver loops
+    "g2_triangles", "g2b_triangles_adj") // checkpointed edge build
 
   /** The blessed NLJ-bearing queries — the round-8 sweep's 20, each a
     * 1-row scalar broadcast (grand totals, thresholds, trained
