@@ -54,6 +54,14 @@ object Etl {
         * via [[ReportCache.warm]] with its configured report specs. */
       reportCacheDir: Option[String] = None)
 
+  /** Label the jobs of `body` in the Spark UI / listeners — phase
+    * attribution for ops (which of the ~25 pipeline jobs is slow is
+    * unanswerable from anonymous SQL-execution call sites). */
+  private def phase[T](spark: SparkSession, name: String)(body: => T): T = {
+    spark.sparkContext.setJobDescription(s"etl: $name")
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
+
   /** One batch run; returns (datatype -> rows written). */
   def run(spark: SparkSession, cfg: Config): Map[String, Long] = {
     val from = cfg.fromDate.orElse(
@@ -109,18 +117,22 @@ object Etl {
       // the diff-delete below would wipe the partitions just written
       val dtCol =
         if (p.provides.size == 1) lit(p.provides.head) else col("value")
-      val perDayByDt = fact
-        .groupBy(dtCol.as("dt"),
-          date_format(col("date"), "yyyy-MM-dd").as("d"))
-        .agg(count(lit(1)).as("c")).collect()
-        .groupBy(_.getString(0))
+      val perDayByDt = phase(spark, s"day-counts ${p.provides.mkString("/")}") {
+        fact
+          .groupBy(dtCol.as("dt"),
+            date_format(col("date"), "yyyy-MM-dd").as("d"))
+          .agg(count(lit(1)).as("c")).collect()
+          .groupBy(_.getString(0))
+      }
       val counts = outputs.map { case (dt, df) =>
         val perDay = perDayByDt.getOrElse(dt,
           Array.empty[org.apache.spark.sql.Row])
         val n = perDay.map(_.getLong(2)).sum
         // n == 0 writes nothing: a parquet dir with no data files
         // breaks schema inference for later readers.
-        if (n > 0) FactStore.overwritePartitions(df, s"${cfg.factRoot}/$dt")
+        if (n > 0) phase(spark, s"write $dt") {
+          FactStore.overwritePartitions(df, s"${cfg.factRoot}/$dt")
+        }
         // Backfill idempotency, write-THEN-delete: dynamic overwrite
         // only replaces days present in the recomputed frame, so a
         // previously-populated in-window day whose recount goes to
@@ -149,14 +161,18 @@ object Etl {
     // start so a backfill that touched already-merged days rebuilds
     // instead of double-merging.
     if (cfg.maintainLifetimeMv) written.keys.foreach { dt =>
-      graft.store.LifetimeMv.update(spark, s"${cfg.factRoot}/_mv/$dt",
-        s"${cfg.factRoot}/$dt", rewrittenFrom = from): Unit
+      phase(spark, s"mv $dt") {
+        graft.store.LifetimeMv.update(spark, s"${cfg.factRoot}/_mv/$dt",
+          s"${cfg.factRoot}/$dt", rewrittenFrom = from): Unit
+      }
     }
 
     // Checkpoint the newest fully-ingested FILE day, taken from the
     // PRE-filter scan: a closed day whose hits are all robots must
     // still advance the watermark or it would be re-ingested forever.
-    val maxDay = rawPersisted.agg(max(col("file_date"))).head().getDate(0)
+    val maxDay = phase(spark, "checkpoint watermark") {
+      rawPersisted.agg(max(col("file_date"))).head().getDate(0)
+    }
     if (maxDay != null)
       FactStore.saveCheckpoint(cfg.checkpointDir, "access", maxDay.toString)
     filtered.unpersist()

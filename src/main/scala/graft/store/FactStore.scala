@@ -21,9 +21,23 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   */
 object FactStore {
 
+  /** Cluster rows by the partition column before a partitionBy write.
+    * Without this every upstream task writes its own file into EVERY
+    * day dir it touches — N tasks x D days small files per table (the
+    * dominant cost of the whole ETL run once measured: 3,840 tiny
+    * parquet files + committer renames per table at 32 tasks x 120
+    * days). One hash shuffle on `date` makes each task own whole
+    * days — file count drops to ~D. Day volume is bounded by the
+    * daily pre-aggregation (rows per day = distinct (id, value)), so
+    * a one-task-per-day write does not skew at scale; a deployment
+    * with genuinely huge single days would salt this with a second
+    * column, not remove it. */
+  private def clusterByDay(fact: DataFrame): DataFrame =
+    fact.repartition(col("date"))
+
   /** Append daily fact rows (date, id, value, count) partitioned by date. */
   def append(fact: DataFrame, path: String): Unit =
-    fact.write.mode("append").partitionBy("date").parquet(path)
+    clusterByDay(fact).write.mode("append").partitionBy("date").parquet(path)
 
   /** St3 idempotent backfill: replace exactly the day partitions
     * present in `fact`, leave all others untouched. The overwrite mode
@@ -31,7 +45,7 @@ object FactStore {
     * silently change the semantics of every later partitioned
     * overwrite in the same session). */
   def overwritePartitions(fact: DataFrame, path: String): Unit =
-    fact.write.mode("overwrite")
+    clusterByDay(fact).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("date").parquet(path)
 

@@ -30,6 +30,13 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "d11_containment" -> (35.0, "same true-pair growth; no length filter by design"),
     "d2_minhash_lsh" -> (12.0, "LSH buckets hold 10-clone families"),
     "d6_dedup_clusters" -> (12.0, "label propagation: more rounds x more edges"),
+    // round 10: the remaining d-family joins the pinned subset (the
+    // driver's 2x gate compares against it; same envelopes as the
+    // full-board gate below)
+    "d1_exact_dedup" -> (6.0, "dup groups hold 10-clone families"),
+    "d5_line_dedup" -> (6.0, "line-frequency groups grow with clones"),
+    "d7_fuzzy_pairs" -> (12.0, "block-key groups hold clone families"),
+    "d10_incremental" -> (6.0, "incremental-dedup join candidates grow with clones"),
     "d9_semantic_dedup" -> (15.0, "IVF cells 10x denser at fixed cell count"),
     "v10_pq_trained" -> (5.0, "codebook training passes scale with corpus"),
     "d3_simhash" -> (10.0, "pigeonhole blocks hold clone families"),
@@ -109,7 +116,7 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
-  // FULL-BOARD gate (round-8 verdict item 1): the 33-query heavy
+  // FULL-BOARD gate (round-8 verdict item 1): the 38-query heavy
   // subset above proved the known-hot paths; the other ~160 queries
   // had no committed evidence above sf0.1. `BENCH_SF1_FULL.json` is
   // the full board at sf1, gated against the same-host full-board
