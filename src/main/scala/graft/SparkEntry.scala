@@ -2524,6 +2524,15 @@ object SparkEntry {
       graft.streaming.Streaming.availableNowRepeat(
         s, s"$d/events.parquet", timeoutSec = 3600L)),
 
+    // ---- ST5 (executed): STREAM-STREAM interval join — purchases
+    // attributed to the same user's views within the preceding two
+    // hours through the engine's two-sided join state (watermarks
+    // bound both ends), batch-aggregated to per-user match counts
+    // and gated by the batch interval-join oracle ----
+    "st5_stream_join" -> ((s, d) =>
+      graft.streaming.Streaming.availableNowAttribution(
+        s, s"$d/events.parquet", maxLagSec = 7200L)),
+
     // ---- ST2 (executed): streaming dedup state × aggregation state —
     // per-day distinct users through dropDuplicates' cross-batch
     // exactly-once-per-key state, converging to the batch distinct ----
@@ -5747,6 +5756,18 @@ object SparkEntry {
         |    AND e.event_type = k.event_type AND e.rn = k.rn + 1)
         |SELECT user_id AS id, event_type AS value, COUNT(*) AS count
         |FROM keep WHERE kept GROUP BY 1, 2 ORDER BY id, value""".stripMargin,
+
+    // matched pairs only: inner stream-stream rows emit independent
+    // of watermark finalization (single-batch asserted); outer-row
+    // emission is eviction mechanics, pinned by StreamingSpec instead
+    "st5_stream_join" ->
+      """SELECT p.user_id AS id, COUNT(*) AS pairs
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        | AND v.ts BETWEEN p.ts - INTERVAL 7200 SECOND AND p.ts
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND p.user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY id""".stripMargin,
 
     "st3_stream_window" ->
       """WITH m AS (

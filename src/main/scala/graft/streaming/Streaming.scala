@@ -292,6 +292,44 @@ object Streaming {
       .orderBy("id", "value")
   }
 
+  /** Stream-stream parity for [[attributionStream]], executed: the
+    * interval join (purchases ⋈ views within `maxLagSec`, both sides
+    * watermarked) runs THROUGH the streaming engine over the events
+    * table as a bounded backlog, then the MATCHED pairs batch-
+    * aggregate to per-user counts — the DuckDB interval-join oracle
+    * gates the stream-stream join's state semantics, not a fixture.
+    *
+    * Determinism: inner matches emit as soon as both sides are in
+    * state, independent of watermark finalization — but only within
+    * a micro-batch horizon: across batches, state eviction could
+    * drop a match a single-batch run would find, so the single-batch
+    * assumption is ASSERTED (same contract as
+    * [[availableNowRepeat]]). Outer (unattributed) rows are excluded
+    * from the parity shape: their emission depends on where the
+    * FINAL watermark lands on a bounded input — eviction mechanics,
+    * not join semantics (StreamingSpec pins them on a controlled
+    * MemoryStream). Null user_ids are excluded symmetrically with
+    * the SQL oracle (equality joins never match null keys). The join
+    * condition compares raw timestamps (micros), so the oracle's
+    * INTERVAL arithmetic agrees exactly — no epoch flooring. */
+  def availableNowAttribution(s: SparkSession, eventsPath: String,
+      maxLagSec: Long): DataFrame = {
+    val ev = eventStream(s, eventsPath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .filter(col("user_id").isNotNull)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    val joined = attributionStream(purchases, views, maxLagSec)
+    val rows = runToMemory(joined, "st5_parity", OutputMode.Append(),
+      requireSingleBatch = true)
+    rows.filter(col("v_user_id").isNotNull)
+      .groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("id")
+  }
+
   /** Run a (bounded) streaming aggregate to a memory sink with
     * `Trigger.AvailableNow` and return the sink table. Sink names are
     * uniqued per call — the memory table is session-global.
