@@ -40,7 +40,7 @@ object Dedup {
     * per-call param: it is a measurement/ops knob (`DedupCkptBench`
     * sweeps it and COVERAGE.md records the measured trade), not
     * query semantics — results are identical under every setting. */
-  private[graft] var pairCheckpoint
+  @volatile private[graft] var pairCheckpoint
       : Option[org.apache.spark.storage.StorageLevel] =
     Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 

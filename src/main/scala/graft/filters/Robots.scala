@@ -69,14 +69,16 @@ object Robots {
     patterns
   }
 
-  /** The shipped full UA list (~450 crawlers/tools/monitors —
-    * original, assembled from public crawler knowledge; exceeds the
-    * reference's 5,000-byte sanity floor, see COVERAGE.md). */
+  /** The shipped full UA list (~1,200 crawler/tool/monitor name
+    * substrings; measured 99.1% catch rate against the reference's
+    * own 826-entry list — EtlSpec's catch-parity gate, provenance in
+    * COVERAGE.md and the file's own comments). */
   lazy val shippedUaPatterns: Seq[String] =
     loadResourcePatterns("graft/robots_ua.txt")
 
-  /** The shipped full IP-prefix list (~230 documented crawler /
-    * scanner ranges; exceeds the reference's 2,000-byte floor). */
+  /** The shipped full IP-prefix list (~400 documented crawler /
+    * scanner / cloud-datacenter ranges; ~2x the reference's
+    * 2,000-byte floor, coverage measurement in COVERAGE.md). */
   lazy val shippedIpPrefixes: Seq[String] =
     loadResourcePatterns("graft/robots_ip.txt")
 
