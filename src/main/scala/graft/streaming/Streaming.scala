@@ -97,35 +97,67 @@ object Streaming {
     events.groupByKey(_.key)
       .flatMapGroupsWithState[Long, Kept](
         OutputMode.Append(), stateTimeout) {
-        case (key, it, state: GroupState[Long]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var lastKept = state.getOption.getOrElse(Long.MinValue)
-            val kept = scala.collection.mutable.ArrayBuffer.empty[Kept]
-            for (e <- it.toSeq.sortBy(_.sec)) {
-              if (lastKept == Long.MinValue || e.sec - lastKept > timeoutSec) {
-                kept += Kept(key, e.sec)
-                lastKept = e.sec
-              }
-            }
-            if (lastKept != Long.MinValue) {
-              state.update(lastKept)
-              // The timeout API is mode-specific: duration for
-              // processing time, absolute timestamp for event time.
-              if (stateTimeout == GroupStateTimeout.ProcessingTimeTimeout())
-                state.setTimeoutDuration(timeoutSec * 1000)
-              else if (stateTimeout == GroupStateTimeout.EventTimeTimeout())
-                // clamp above the watermark: setTimeoutTimestamp throws
-                // if the timestamp is not strictly later than it
-                state.setTimeoutTimestamp(
-                  math.max(state.getCurrentWatermarkMs() + 1,
-                    (lastKept + timeoutSec) * 1000))
-            }
-            kept.iterator
-          }
+        (key, it, state) => repeatStep(key, it.map(_.sec), timeoutSec,
+          state, stateTimeout)
       }
+  }
+
+  /** One keyed click carrying the WATERMARKED event-time column —
+    * Spark's unsupported-operation checker requires the watermark to
+    * be visible at the stateful operator for event-time timeouts, so
+    * the production form keeps the timestamp alongside `sec`. */
+  case class KeyedEt(key: String, sec: Long, eventTime: java.sql.Timestamp)
+
+  /** PRODUCTION form of [[repeatFilterStream]]: event-time timeout —
+    * per-key state expires when the WATERMARK passes lastKept +
+    * timeout, i.e. exactly when it can no longer suppress any
+    * non-late event. Late stragglers are DROPPED by the engine's
+    * pre-stateful late-row filter (they can neither be suppressed
+    * nor kept, so expired state can never yield a wrong keep; the
+    * batch form, which sees all data, arbitrates backfills). Input
+    * must carry `withWatermark` on `eventTime`. */
+  def repeatFilterStreamEt(events: Dataset[KeyedEt], timeoutSec: Long)(
+      implicit spark: SparkSession): Dataset[Kept] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, Kept](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, it, state) => repeatStep(key, it.map(_.sec), timeoutSec,
+          state, GroupStateTimeout.EventTimeTimeout())
+      }
+  }
+
+  /** Shared "since last KEPT" state step (ref `Filter/Repeat.pm:39-102`). */
+  private def repeatStep(key: String, secs: Iterator[Long],
+      timeoutSec: Long, state: GroupState[Long],
+      stateTimeout: GroupStateTimeout): Iterator[Kept] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var lastKept = state.getOption.getOrElse(Long.MinValue)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Kept]
+      for (sec <- secs.toSeq.sorted) {
+        if (lastKept == Long.MinValue || sec - lastKept > timeoutSec) {
+          kept += Kept(key, sec)
+          lastKept = sec
+        }
+      }
+      if (lastKept != Long.MinValue) {
+        state.update(lastKept)
+        // The timeout API is mode-specific: duration for
+        // processing time, absolute timestamp for event time.
+        if (stateTimeout == GroupStateTimeout.ProcessingTimeTimeout())
+          state.setTimeoutDuration(timeoutSec * 1000)
+        else if (stateTimeout == GroupStateTimeout.EventTimeTimeout())
+          // clamp above the watermark: setTimeoutTimestamp throws
+          // if the timestamp is not strictly later than it
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs() + 1,
+              (lastKept + timeoutSec) * 1000))
+      }
+      kept.iterator
+    }
   }
 
   /** Stream-stream interval join: attribute each purchase to the

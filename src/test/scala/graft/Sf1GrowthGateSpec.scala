@@ -164,6 +164,10 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "st4_stream_repeat" -> (12.0,
       "per-key flatMapGroupsWithState updates are linear in backlog " +
         "events (10x) on top of micro-batch machinery"),
+    "st5_stream_join" -> (12.0,
+      "two-sided stream-stream join state: 10x rows on each side " +
+        "within the fixed lag window (measured sf1 warm 8.6s at " +
+        "round-10 introduction, sf0.1 base ~1.3s)"),
     "m1_multimodal_decode" -> (14.0, "binary decode linear in rows"),
     "m2_frame_sample" -> (14.0, "frame extraction linear in rows"),
     "m3_frame_align" -> (14.0, "decode + as-of alignment"),
