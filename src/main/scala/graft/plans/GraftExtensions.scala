@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
   *    node instead of a planes x maxDim unrolled term tree);
   *  - `nfc_normalize(string) -> string` ([[NfcNormalize]], codegen'd
   *    Unicode canonical composition with an allocation-free
-  *    already-normalized fast path).
+  *    already-normalized fast path);
+  *  - `contains_any(string, array<string> literal) -> boolean`
+  *    ([[ContainsAny]], Aho-Corasick multi-substring matcher — O(len)
+  *    per row vs the regex alternation's O(len x patterns); the
+  *    robot-UA filter's scale path).
   *
   * Registered planner strategy:
   *  - [[AsOfJoinStrategy]], planning the whole-operator
@@ -70,6 +74,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "nfc_normalize takes exactly 1 argument")
         NfcNormalize(Cast(children.head, StringType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("contains_any"),
+      new ExpressionInfo(classOf[ContainsAny].getName, "contains_any"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "contains_any takes (string, array<string> literal)")
+        val patterns = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(StringType, _)) =>
+            arr.toObjectArray(StringType)
+              .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+              .toSeq
+          case other => throw new IllegalArgumentException(
+            s"contains_any: patterns must be an array<string> literal, got $other")
+        }
+        ContainsAny(Cast(children.head, StringType), patterns)
       }))
   }
 }

@@ -934,4 +934,66 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0) == "caf\u00e9")  // composed
     assert(out(1) == "plain")
   }
+
+  test("AhoCorasick differential: agrees with naive substring search (seeded)") {
+    import graft.plans.AhoCorasick
+    // overlapping / nested / prefix-suffix patterns \u2014 the fail-link
+    // edge cases (out-propagation along suffix links, root restarts)
+    val tricky = AhoCorasick.build(Seq("ab", "abab", "bab", "aaa", "ba"))
+    assert(tricky.containsAny("xxabxx"))
+    assert(tricky.containsAny("aab"))      // 'aa' fails, suffix 'ab' hits
+    assert(tricky.containsAny("xbax"))     // 'ba'
+    assert(!tricky.containsAny("axaxa"))
+    assert(!tricky.containsAny(""))
+    // non-ASCII input bytes reset to root, never crash or false-match
+    assert(tricky.containsAny("caf\u00e9 ab"))
+    assert(!tricky.containsAny("caf\u00e9 a b"))
+    // seeded differential vs patterns.exists(contains) on a tiny
+    // alphabet (maximizes overlaps) \u2014 2000 random cases
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    (1 to 200).foreach { _ =>
+      val pats = (1 to (1 + rnd.nextInt(6))).map(_ => randStr(1 + rnd.nextInt(5))).distinct
+      val ac = AhoCorasick.build(pats)
+      (1 to 10).foreach { _ =>
+        val s = randStr(rnd.nextInt(30))
+        val expect = pats.exists(s.contains(_))
+        assert(ac.containsAny(s) == expect,
+          s"divergence: patterns=$pats input=$s expect=$expect")
+      }
+    }
+  }
+
+  test("contains_any native path agrees with the regex fallback on the robot fixtures") {
+    val s = spark; import s.implicits._
+    import graft.filters.Robots
+    assert(spark.catalog.functionExists("contains_any"))
+    val pats = Robots.shippedUaPatterns
+    val uas = Seq(
+      "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+      "Mozilla/5.0 (Linux; Android 9; CUBOT NOTE 7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/90.0.4430.210 Mobile Safari/537.36",
+      "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+      "curl/7.68.0", "Screaming Frog SEO Spider/16.7",
+      "caf\u00e9-browser/1.0", // multi-byte input through the byte walk
+      null)
+    val df = uas.toDF("ua")
+    // native engaged in THIS session (function registered): the plan
+    // must carry the contains_any expression, not an rlike
+    val nativeCol = Robots.isRobotUa(col("ua"), pats)
+    val plan = df.select(nativeCol).queryExecution.executedPlan.toString
+    assert(plan.contains("contains_any") || plan.contains("ContainsAny"),
+      s"native path not engaged:\n$plan")
+    val native = df.select(nativeCol.as("r")).collect().map(_.getBoolean(0))
+    val fallback = df.select(coalesce(
+        lower(col("ua")).rlike(
+          pats.map(java.util.regex.Pattern.quote).mkString("|")),
+        lit(false)).as("r"))
+      .collect().map(_.getBoolean(0))
+    assert(native.toSeq == fallback.toSeq,
+      s"native/fallback divergence: ${native.toSeq} vs ${fallback.toSeq}")
+    // and the naive driver-side truth
+    val naive = uas.map(u =>
+      u != null && pats.exists(u.toLowerCase.contains(_)))
+    assert(native.toSeq == naive)
+  }
 }
