@@ -2524,6 +2524,15 @@ object SparkEntry {
       graft.streaming.Streaming.availableNowRepeat(
         s, s"$d/events.parquet", timeoutSec = 3600L)),
 
+    // ---- ST6 (executed): STREAMING NEAR-DUP — documents stream in,
+    // get MinHash-banded row-locally (pure projection, no stream-side
+    // shuffle) and LSH-join a static corpus index; candidates
+    // exact-verify in batch. Replaying the corpus as the backlog must
+    // reproduce the batch d2 pair set EXACTLY -> same oracle ----
+    "st6_stream_neardup" -> ((s, d) =>
+      graft.streaming.Streaming.availableNowNearDup(
+        s, s"$d/documents.parquet").orderBy("a", "b")),
+
     // ---- ST5 (executed): STREAM-STREAM interval join — purchases
     // attributed to the same user's views within the preceding two
     // hours through the engine's two-sided join state (watermarks
@@ -3675,6 +3684,12 @@ object SparkEntry {
         |FROM u GROUP BY 1 ORDER BY canonical""".stripMargin,
 
     "d2_minhash_lsh" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin,
+
+    // the streaming LSH path must reproduce the batch pair set
+    // exactly (same shingles, masks, band keys, verify) — same oracle
+    "st6_stream_neardup" ->
       s"""WITH $minhashPairsCtes
          |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin,
 

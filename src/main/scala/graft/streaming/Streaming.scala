@@ -362,6 +362,72 @@ object Streaming {
       .orderBy("id")
   }
 
+  /** STREAMING NEAR-DUP — the production LLM-ingestion shape: a
+    * stream of documents is MinHash-banded row-locally and LSH-joined
+    * against a static corpus index, then candidates are exact-verified
+    * in batch. With the stream replaying the same corpus as a bounded
+    * backlog, the result must equal the batch `Dedup.minhashNearDup`
+    * EXACTLY (same shingles, same masks, same band keys, same
+    * verify), so d2's DuckDB oracle gates the streaming path too.
+    *
+    * The streaming-compatibility trick: the batch signature pipeline
+    * is posexplode + window + groupBy-MIN — none of which stream in
+    * append mode. Per-doc signatures are instead computed ROW-LOCALLY
+    * with array lambdas (shingles via `transform(sequence(...))`,
+    * each min-hash via `array_min(transform(sh, _ xor mask))`), which
+    * is also the right production shape: a new document's bands are a
+    * pure projection, so the stream side never shuffles — the only
+    * shuffle is the bucket join against the (pre-partitioned, reused)
+    * index. Stream-static joins are stateless, so no watermark and no
+    * single-batch assumption is needed; cross-batch duplicate
+    * candidates collapse in the batch distinct.
+    *
+    * Docs under 3 tokens carry no shingles and are excluded on both
+    * sides (the batch window form drops them via its lead-null
+    * filter). */
+  def availableNowNearDup(s: SparkSession, docsPath: String,
+      k: Int = 16, rowsPerBand: Int = 4,
+      num: Int = 1, den: Int = 2): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.functions.Text
+    val batchDocs = s.read.parquet(docsPath)
+    // static index: the batch band table + the exact-verify features
+    val features = Dedup.shingleHashes(batchDocs)
+      .select(col("id"), col("sh").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = Dedup.lshBands(Dedup.minhashSignaturesFrom(features, k),
+        rowsPerBand)
+      .select(col("id").as("b"), col("band"), col("bkey"))
+    // stream side: row-local 3-gram shingle hashes -> k masked minima
+    val stream = s.readStream.schema(batchDocs.schema)
+      .parquet(streamablePath(docsPath))
+      .filter(size(Text.tokens(col("text"))) >= 3)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("sh", transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => Text.hash60(concat_ws(" ",
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2),
+          element_at(col("toks"), i + 3)), Some(s))))
+    val sigCols = Dedup.minhashMasks(k).zipWithIndex.map { case (m, i) =>
+      array_min(transform(col("sh"), x => x.bitwiseXOR(lit(m)))).as(s"m$i")
+    }
+    val streamBands = Dedup.lshBands(
+      stream.select(col("doc_id").as("id") +: sigCols: _*), rowsPerBand)
+    // every unordered pair (a < b) surfaces once with the stream row
+    // as the smaller id (the stream replays every id)
+    val cands = streamBands.select(col("id").as("a"), col("band"), col("bkey"))
+      .join(index, Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val sunk = runToMemory(cands, "st6_parity", OutputMode.Append())
+    val out = Dedup.verifyJaccardOn(sunk.distinct(), features, num, den)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    features.unpersist()
+    out
+  }
+
   /** Run a (bounded) streaming aggregate to a memory sink with
     * `Trigger.AvailableNow` and return the sink table. Sink names are
     * uniqued per call — the memory table is session-global.

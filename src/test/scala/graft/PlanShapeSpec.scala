@@ -563,7 +563,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     * board — so the census stays a pure (and fast) planning pass. */
   private val executesAtConstruction: Set[String] = Set(
     "st1_stream_daily", "st2_stream_dedup", "st3_stream_window",
-    "st4_stream_repeat", "st5_stream_join", // streaming runs execute at construction
+    "st4_stream_repeat", "st5_stream_join", "st6_stream_neardup", // streaming runs execute at construction
     "s13_multiformat", "s17_schema_evolution", // fixture writers
     "t22_bpe_train", "g1_pagerank", "d6_dedup_clusters", // driver loops
     "g2_triangles", "g2b_triangles_adj") // checkpointed edge build

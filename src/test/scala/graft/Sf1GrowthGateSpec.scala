@@ -168,6 +168,9 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
       "two-sided stream-stream join state: 10x rows on each side " +
         "within the fixed lag window (measured sf1 warm 8.6s at " +
         "round-10 introduction, sf0.1 base ~1.3s)"),
+    "st6_stream_neardup" -> (14.0,
+      "d2's LSH clone-family candidate growth (12x) plus micro-batch " +
+        "machinery (measured sf1 warm 9.5s at round-10 introduction)"),
     "m1_multimodal_decode" -> (14.0, "binary decode linear in rows"),
     "m2_frame_sample" -> (14.0, "frame extraction linear in rows"),
     "m3_frame_align" -> (14.0, "decode + as-of alignment"),
