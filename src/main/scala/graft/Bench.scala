@@ -199,8 +199,16 @@ object Bench {
     // timing disputes). Effective warm = min(warm, retry): the
     // fastest correct execution is the operator's cost; the slower
     // probe is the noise sample, preserved in the artifact.
-    val suspects = results.collect { case (n, _, w)
-      if w >= 0 && baselineWarm.get(n).exists(b => b > 0 && w > 3 * b) => n }
+    // Two triggers: (a) warm >3x the committed baseline; (b) warm
+    // exceeding the SAME RUN's cold by >25% — physically nonsensical
+    // (the cold run pays plan compilation and codegen on top of the
+    // same work), so it can only be interference landing on runs 2-3.
+    // (b) caught a real case the 3x rule missed: a 56s-baseline query
+    // measured cold 75s / warm 114s under contention — 2.0x baseline,
+    // under the (a) threshold, yet obviously contaminated.
+    val suspects = results.collect { case (n, c, w)
+      if w >= 0 && (baselineWarm.get(n).exists(b => b > 0 && w > 3 * b) ||
+        (c > 0 && w > 1.25 * c && w > 1.0)) => n }
     if (suspects.nonEmpty)
       System.err.println(s"[bench] retrying ${suspects.size} suspect(s) " +
         s"(warm >3x committed $baselinePath): ${suspects.mkString(",")}")
