@@ -60,6 +60,20 @@ object Bench {
     // multimodal plumbing
     "m1_multimodal_decode", "m2_frame_sample", "m3_frame_align")
 
+  /** The host-contention suspect predicate — the three retry triggers
+    * documented at the retry pass below, extracted so the replay spec
+    * (BenchTriggerSpec) can pin known contention blips against it:
+    * (a) warm >3x committed warm; (b) warm >1.25x the same run's cold
+    * (physically nonsensical); (c) cold >2x committed cold AND warm
+    * >1.5x committed warm — the joint all-runs-inflated signature
+    * (the round-10 d4 blip) that evades (a) and (b). */
+  def contentionSuspect(cold: Double, warm: Double,
+      baseCold: Option[Double], baseWarm: Option[Double]): Boolean =
+    warm >= 0 && (baseWarm.exists(b => b > 0 && warm > 3 * b) ||
+      (cold > 0 && warm > 1.25 * cold && warm > 1.0) ||
+      (baseCold.exists(b => b > 0 && cold > 2 * b && cold > 1.0) &&
+        baseWarm.exists(b => b > 0 && warm > 1.5 * b)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -169,14 +183,24 @@ object Bench {
     // one fresh re-measure at the END of the suite; the artifact
     // records both plus a `noisy` marker, so a contaminated run
     // self-labels instead of reading as a plan regression.
+    // The baseline DEFAULTS to the file this run will overwrite
+    // (benchOut): an sf1 or subset run that omitted the explicit
+    // BASELINE override used to compare its warm times against the
+    // sf0.1 BENCH_FULL baselines, flagging nearly every query >3x and
+    // burning a spurious end-of-suite retry pass on all of them
+    // (round-10 advice). Same-file self-comparison is always
+    // scale-consistent; an explicit override still wins.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val baselinePath =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_FULL.json")
-    val baselineWarm: Map[String, Double] = try {
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", benchOut)
+    val (baselineWarm, baselineCold): (Map[String, Double], Map[String, Double]) = try {
       val src = scala.io.Source.fromFile(baselinePath, "UTF-8")
       val txt = try src.mkString finally src.close()
-      val re = """"([A-Za-z0-9_]+)":\{"cold":-?[0-9.]+,"warm":(-?[0-9.]+)""".r
-      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+      val re = """"([A-Za-z0-9_]+)":\{"cold":(-?[0-9.]+),"warm":(-?[0-9.]+)""".r
+      val entries = re.findAllMatchIn(txt)
+        .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toList
+      (entries.map(e => e._1 -> e._3).toMap, entries.map(e => e._1 -> e._2).toMap)
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
 
     val results = names.map { name =>
       // Cold/warm protocol: 3 runs; run 1 is COLD, warm = min of 2-3.
@@ -199,19 +223,26 @@ object Bench {
     // timing disputes). Effective warm = min(warm, retry): the
     // fastest correct execution is the operator's cost; the slower
     // probe is the noise sample, preserved in the artifact.
-    // Two triggers: (a) warm >3x the committed baseline; (b) warm
+    // Three triggers: (a) warm >3x the committed baseline; (b) warm
     // exceeding the SAME RUN's cold by >25% — physically nonsensical
     // (the cold run pays plan compilation and codegen on top of the
     // same work), so it can only be interference landing on runs 2-3.
     // (b) caught a real case the 3x rule missed: a 56s-baseline query
     // measured cold 75s / warm 114s under contention — 2.0x baseline,
     // under the (a) threshold, yet obviously contaminated.
+    // (c) cold >2x the committed cold while warm is also elevated:
+    // the round-10 d4 blip (cold 5.65s vs committed 2.0s, warm 3.61s
+    // vs 1.38s — fresh-JVM re-time 1.13s) inflated BOTH phases, so it
+    // slipped (a) at 2.61x and (b) because cold rose with warm. A
+    // contention burst spanning all 3 runs shows exactly this joint
+    // signature; a genuine plan regression would too, and the retry
+    // simply re-measures — agreement keeps the number, so (c) costs
+    // nothing when the slowdown is real.
     val suspects = results.collect { case (n, c, w)
-      if w >= 0 && (baselineWarm.get(n).exists(b => b > 0 && w > 3 * b) ||
-        (c > 0 && w > 1.25 * c && w > 1.0)) => n }
+      if contentionSuspect(c, w, baselineCold.get(n), baselineWarm.get(n)) => n }
     if (suspects.nonEmpty)
       System.err.println(s"[bench] retrying ${suspects.size} suspect(s) " +
-        s"(warm >3x committed $baselinePath): ${suspects.mkString(",")}")
+        s"(contention triggers vs committed $baselinePath): ${suspects.mkString(",")}")
     val retries: Map[String, Double] = suspects.map(n => n -> runOnce(n)).toMap
     def effWarm(name: String, warm: Double): Double =
       retries.get(name).filter(_ >= 0).map(math.min(_, warm)).getOrElse(warm)
@@ -229,7 +260,6 @@ object Bench {
       }
       "\"" + k + f"""":{"cold":$c%.3f,"warm":$w%.3f$noise}"""
     }.mkString("{", ",", "}")
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {
       val w = new java.io.PrintWriter(benchOut, "UTF-8")
       try w.println(

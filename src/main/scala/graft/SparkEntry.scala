@@ -1435,6 +1435,31 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // ---- C5 strict-parity mode: the reference DROPS empty-referrer
+    // records before classification (ref Referrer.pm:46-47) instead
+    // of labeling them Direct; dropEmptyReferrer=true + a null filter
+    // reproduces that byte-for-byte (round-10 verdict, last
+    // behavioral delta for migrating dashboards) ----
+    "c5_referrer_strict" -> ((s, d) => {
+      val m = col("event_id") % 8
+      val ref = when(m === 0, "https://www.google.com/search?q=spark")
+        .when(m === 1, "https://myrepo.org/123")
+        .when(m === 2, "https://search.yahoo.com/search?p=plans")
+        .when(m === 3, "")
+        .when(m === 4, "https://www.bing.com/search?q=x")
+        .when(m === 5, "https://myrepo.org/profile/jsmith")
+        .when(m === 6, "https://intranet.campus.example/page")
+        .otherwise("https://unknown.example.net/page")
+      ev(s, d).select(
+          graft.classify.Classify.referrer(ref, "myrepo.org",
+            localDomains = Seq(
+              "Campus Intranet" -> "(^|\\.)campus\\.example$"),
+            dropEmptyReferrer = true).as("label"))
+        .filter(col("label").isNotNull)
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+        .orderBy("label")
+    }),
+
     // ---- C6: search-term extraction (UDTF-style explode) ----
     "c6_search_terms" -> ((s, d) => {
       val e = ev(s, d).withColumn("ref", syntheticReferrer)
@@ -4848,6 +4873,21 @@ object SparkEntry {
         |    ELSE 'unknown.example.net' END AS label,
         |  COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY label""".stripMargin,
+
+    // strict mode: the empty-referrer rows (event_id % 8 = 3) are
+    // DROPPED, matching ref Referrer.pm:46-47 exactly
+    "c5_referrer_strict" ->
+      """SELECT CASE event_id % 8
+        |    WHEN 0 THEN 'Google'
+        |    WHEN 1 THEN 'Internal (Abstract page)'
+        |    WHEN 2 THEN 'Yahoo'
+        |    WHEN 4 THEN 'MSN/Bing'
+        |    WHEN 5 THEN 'Internal (MePrints Profile Page)'
+        |    WHEN 6 THEN 'Campus Intranet'
+        |    ELSE 'unknown.example.net' END AS label,
+        |  COUNT(*) AS cnt
+        |FROM events WHERE event_id % 8 <> 3
+        |GROUP BY 1 ORDER BY label""".stripMargin,
 
     "c6_search_terms" ->
       """WITH terms AS (

@@ -107,17 +107,23 @@ object Classify {
     * resolve in nondeterministic order there — first-match-wins over
     * a caller-ordered list is the deterministic refinement.
     *
-    * Documented divergence: the reference DROPS records whose
-    * referrer is empty/undefined (`Referrer.pm:46-47` returns before
-    * classification); here they are labeled `Direct` so direct
-    * traffic stays countable — a caller wanting byte-for-byte
-    * reference breakdowns filters `label != 'Direct'`. */
+    * Documented divergence (default mode): the reference DROPS
+    * records whose referrer is empty/undefined (`Referrer.pm:46-47`
+    * returns before classification); here they are labeled `Direct`
+    * so direct traffic stays countable. STRICT PARITY is opt-in:
+    * `dropEmptyReferrer = true` labels empty/null referrers NULL
+    * instead, so a caller's `label IS NOT NULL` filter reproduces the
+    * reference's drop byte-for-byte — the last behavioral delta for
+    * users migrating reference dashboards. */
   def referrer(url: Column, localHost: String,
-      localDomains: Seq[(String, String)] = Nil): Column = {
+      localDomains: Seq[(String, String)] = Nil,
+      dropEmptyReferrer: Boolean = false): Column = {
     val u = parseUrl(url)
     val host = lower(u.getField("host"))
     val path = u.getField("path")
-    val builtins = when(url.isNull || url === "", lit("Direct"))
+    val emptyLabel =
+      if (dropEmptyReferrer) lit(null).cast("string") else lit("Direct")
+    val builtins = when(url.isNull || url === "", emptyLabel)
       .when(url.rlike("^[0-9]+$") || host === "localhost", lit("Internal (Abstract page)"))
       .when(url.startsWith("info:oai"), lit("Internal (OAI-PMH)"))
       .when(host === localHost && path.rlike("^/[0-9]+"), lit("Internal (Abstract page)"))

@@ -99,19 +99,31 @@ object Robots {
     * measured 379 µs/row for a non-matching UA against the shipped
     * ~1,200-entry list vs ~0.35 µs/row native (EtlSpec pins the
     * two paths agree on every fixture). Non-ASCII patterns force the
-    * fallback (the automaton's alphabet is byte-wise ASCII). */
-  def isRobotUa(ua: Column, patterns: Seq[String] = defaultUaPatterns): Column =
+    * fallback (the automaton's alphabet is byte-wise ASCII).
+    *
+    * Pass the TARGET DataFrame's session when available (same rule as
+    * `Text.hash60`): the function-existence probe must consult the
+    * session that will ANALYZE the plan — in a mixed-session JVM a
+    * column built while a GraftExtensions session was active but
+    * analyzed by a plain session would otherwise fail with
+    * "undefined function contains_any". The no-session overload keeps
+    * the active-session heuristic for Column-only contexts. */
+  def isRobotUa(ua: Column, patterns: Seq[String],
+      session: Option[org.apache.spark.sql.SparkSession]): Column =
     if (patterns.isEmpty) lit(false)
     else {
       val lowered = lower(ua)
       val nativeOk = patterns.forall(p => p.nonEmpty && p.forall(_ < 128)) &&
-        org.apache.spark.sql.SparkSession.getActiveSession
+        session.orElse(org.apache.spark.sql.SparkSession.getActiveSession)
           .exists(_.catalog.functionExists("contains_any"))
       val hit =
         if (nativeOk) call_function("contains_any", lowered, lit(patterns.toArray))
         else lowered.rlike(patterns.map(quote).mkString("|"))
       coalesce(hit, lit(false))
     }
+
+  def isRobotUa(ua: Column, patterns: Seq[String] = defaultUaPatterns): Column =
+    isRobotUa(ua, patterns, None)
 
   /** True iff the IP starts with any robot prefix; empty list matches nothing. */
   def isRobotIp(ip: Column, prefixes: Seq[String] = defaultIpPrefixes): Column =
@@ -125,6 +137,7 @@ object Robots {
       ipCol: String = "requester_id",
       uaPatterns: Seq[String] = defaultUaPatterns,
       ipPrefixes: Seq[String] = defaultIpPrefixes): DataFrame =
-    events.filter(!isRobotUa(col(uaCol), uaPatterns) &&
+    // the target frame's OWN session picks the native-vs-regex path
+    events.filter(!isRobotUa(col(uaCol), uaPatterns, Some(events.sparkSession)) &&
       !isRobotIp(col(ipCol), ipPrefixes))
 }

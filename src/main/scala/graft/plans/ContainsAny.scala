@@ -111,7 +111,13 @@ object AhoCorasick {
     patterns.foreach(_.foreach { c =>
       if (charClass(c) < 0) { charClass(c) = alphaSize.toByte; alphaSize += 1 }
     })
-    require(alphaSize <= 127, "contains_any: alphabet exceeds 127 classes")
+    // <= 128: class indices 0..127 all fit the Byte table beside the
+    // -1 sentinel, so ANY all-ASCII pattern list builds — this gate
+    // can never fire for input that passed the callers' per-char
+    // `< 128` check (they are now the same condition; a 127 cap left
+    // a gap where a list spanning all 128 ASCII values passed the
+    // caller gate and then threw here instead of falling back)
+    require(alphaSize <= 128, "contains_any: alphabet exceeds 128 classes")
 
     // trie (growable), then BFS fail links with output propagation
     val cap = patterns.map(_.length).sum + 1

@@ -420,12 +420,42 @@ object Streaming {
       .join(index, Seq("band", "bkey"))
       .filter(col("a") < col("b"))
       .select("a", "b")
-    val sunk = runToMemory(cands, "st6_parity", OutputMode.Append())
+    // candidate pairs land in a PARQUET sink, not the driver-memory
+    // sink: the LSH candidate set grows with corpus density (d3's
+    // batch form emitted ~2.2M pairs at the 30x step and driver
+    // materialization OOM'd the harness there) — the file sink keeps
+    // the pair stream distributed end-to-end, and the follow-on batch
+    // verify reads it back as an ordinary scan
+    val sunk = runToParquet(cands, "st6_parity")
     val out = Dedup.verifyJaccardOn(sunk.distinct(), features, num, den)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     features.unpersist()
     out
+  }
+
+  /** Run a (bounded) append-mode stream to a throwaway PARQUET sink
+    * with `Trigger.AvailableNow` and read the result back — the
+    * scale-safe alternative to [[runToMemory]] for outputs that grow
+    * with the corpus (candidate-pair streams): rows are written by
+    * the executors where they are produced and never transit the
+    * driver. The sink directory lives under java.io.tmpdir and is
+    * deleted on JVM exit; the read-back carries an explicit schema so
+    * an empty result (zero files) still returns a well-formed frame. */
+  private def runToParquet(df: DataFrame, prefix: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val s = df.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    dir.deleteOnExit()
+    val data = new java.io.File(dir, "data").getAbsolutePath
+    val q = df.writeStream.format("parquet")
+      .option("path", data)
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").getAbsolutePath)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema(df.schema).parquet(data)
   }
 
   /** Run a (bounded) streaming aggregate to a memory sink with

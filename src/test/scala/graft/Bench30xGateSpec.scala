@@ -52,11 +52,15 @@ class Bench30xGateSpec extends AnyFunSuite {
     "m6_image_phash" -> (120.0,
       "CPU-bound PNG decode, linear; sub-second sf0.1 base"))
 
+  /** (cold, effective warm) — min(warm, retry) when the entry carries
+    * Bench's contention retry, matching Sf1GrowthGateSpec. */
   private def times(path: String): Map[String, (Double, Double)] = {
     val root = new ObjectMapper().readTree(new java.io.File(path))
     root.get("queries").properties().asScala.map { e =>
+      val warm = e.getValue.get("warm").asDouble()
+      val retry = Option(e.getValue.get("retry")).map(_.asDouble())
       e.getKey -> (e.getValue.get("cold").asDouble(),
-        e.getValue.get("warm").asDouble())
+        retry.filter(_ >= 0).map(math.min(_, warm)).getOrElse(warm))
     }.toMap
   }
 

