@@ -60,19 +60,25 @@ object Bench {
     // multimodal plumbing
     "m1_multimodal_decode", "m2_frame_sample", "m3_frame_align")
 
-  /** The host-contention suspect predicate — the three retry triggers
+  /** The host-contention suspect predicate — the four retry triggers
     * documented at the retry pass below, extracted so the replay spec
     * (BenchTriggerSpec) can pin known contention blips against it:
     * (a) warm >3x committed warm; (b) warm >1.25x the same run's cold
     * (physically nonsensical); (c) cold >2x committed cold AND warm
     * >1.5x committed warm — the joint all-runs-inflated signature
-    * (the round-10 d4 blip) that evades (a) and (b). */
+    * (the round-10 d4 blip) that evades (a) and (b); (d) warm >2x
+    * committed warm AND warm >2s — multi-second mid-board drift (the
+    * round-11 s11 blip: 7.5s vs 3.4s committed, 2.2x, under (a)'s 3x
+    * and with cold inflated in step so (b)/(c) stayed quiet; a retry
+    * costs one re-measure and agreement keeps the number, so the
+    * tighter ratio is safe where the absolute time is material). */
   def contentionSuspect(cold: Double, warm: Double,
       baseCold: Option[Double], baseWarm: Option[Double]): Boolean =
     warm >= 0 && (baseWarm.exists(b => b > 0 && warm > 3 * b) ||
       (cold > 0 && warm > 1.25 * cold && warm > 1.0) ||
       (baseCold.exists(b => b > 0 && cold > 2 * b && cold > 1.0) &&
-        baseWarm.exists(b => b > 0 && warm > 1.5 * b)))
+        baseWarm.exists(b => b > 0 && warm > 1.5 * b)) ||
+      baseWarm.exists(b => b > 0 && warm > 2 * b && warm > 2.0))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -238,6 +244,11 @@ object Bench {
     // signature; a genuine plan regression would too, and the retry
     // simply re-measures — agreement keeps the number, so (c) costs
     // nothing when the slowdown is real.
+    // (d) warm >2x committed AND >2s absolute: multi-second mid-board
+    // drift (round-11 s11: 7.5s vs 3.4s committed with cold inflated
+    // in step — under (a)/(b)/(c), yet a heavy-subset leg minutes
+    // later read 3.1s). Material times get the tighter ratio; the
+    // 2s floor keeps small-query jitter on (a)'s 3x rule.
     val suspects = results.collect { case (n, c, w)
       if contentionSuspect(c, w, baselineCold.get(n), baselineWarm.get(n)) => n }
     if (suspects.nonEmpty)

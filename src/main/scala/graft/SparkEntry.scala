@@ -1450,12 +1450,19 @@ object SparkEntry {
         .when(m === 5, "https://myrepo.org/profile/jsmith")
         .when(m === 6, "https://intranet.campus.example/page")
         .otherwise("https://unknown.example.net/page")
-      ev(s, d).select(
-          graft.classify.Classify.referrer(ref, "myrepo.org",
+      // The reference drops empty/null referrers BEFORE classification
+      // (Referrer.pm:46-47), so filter the raw URL first: filtering on
+      // the computed label instead made Catalyst inline the whole
+      // regex cascade into the Filter and evaluate it twice per row
+      // (measured 3.1s vs c5's 1.5s at sf0.1). dropEmptyReferrer stays
+      // on so the strict API path is the one exercised.
+      ev(s, d).select(ref.as("ref"))
+        .filter(col("ref").isNotNull && col("ref") =!= "")
+        .select(
+          graft.classify.Classify.referrer(col("ref"), "myrepo.org",
             localDomains = Seq(
               "Campus Intranet" -> "(^|\\.)campus\\.example$"),
             dropEmptyReferrer = true).as("label"))
-        .filter(col("label").isNotNull)
         .groupBy("label").agg(count(lit(1)).as("cnt"))
         .orderBy("label")
     }),

@@ -56,4 +56,41 @@ class BenchTriggerSpec extends AnyFunSuite {
     assert(!Bench.contentionSuspect(cold = 0.32, warm = 0.45,
       baseCold = Some(0.30), baseWarm = Some(0.31)))
   }
+
+  test("the round-11 discarded sf1 refresh: the flagged four fired, g2 did not") {
+    // One contaminated sf1 full-board leg (round-11, discarded):
+    // four small queries tripped the triggers and self-labeled noisy —
+    // x4_interval_overlap (a): warm 1.963 vs committed 0.612 = 3.2x
+    assert(Bench.contentionSuspect(cold = 4.380, warm = 1.963,
+      baseCold = Some(1.192), baseWarm = Some(0.612)))
+    // ks1_full_stack (c): cold 3.506 vs 1.333, warm 0.834 vs 0.495
+    assert(Bench.contentionSuspect(cold = 3.506, warm = 0.834,
+      baseCold = Some(1.333), baseWarm = Some(0.495)))
+    // w5_sparkline (a): warm 1.442 vs 0.471 = 3.1x (its retry read
+    // WORSE, 1.851 — contention spanning the retry window is exactly
+    // why the gate keeps min(warm, retry) rather than trusting either)
+    assert(Bench.contentionSuspect(cold = 1.502, warm = 1.442,
+      baseCold = Some(1.077), baseWarm = Some(0.471)))
+    // g2_triangles read 73.96 warm vs 54.63 committed (1.35x, cold
+    // 76.0 vs 87.4) — inside all four trigger envelopes, so the RUN
+    // could not self-label; the ABSOLUTE sf1 bound (70s) in
+    // Sf1GrowthGateSpec is the layer that caught it. Two layers on
+    // purpose: triggers catch spikes, absolute bounds catch drift.
+    assert(!Bench.contentionSuspect(cold = 76.024, warm = 73.962,
+      baseCold = Some(87.382), baseWarm = Some(54.632)))
+  }
+
+  test("trigger (d): material 2x drift flags the round-11 s11 blip") {
+    // s11_profile, second round-11 sf1 leg: committed 4.183/3.363,
+    // measured 7.714/7.542 — 2.24x warm (under (a)'s 3x), cold
+    // inflated in step (1.8x, under (c)'s 2x), warm below cold (no
+    // (b)). The heavy-subset leg 20 minutes later read 3.06s, so the
+    // number was noise the run could not self-label before (d).
+    assert(Bench.contentionSuspect(cold = 7.714, warm = 7.542,
+      baseCold = Some(4.183), baseWarm = Some(3.363)))
+    // ...but the same 2.24x ratio on a sub-2s query must NOT fire:
+    // small-query scheduler jitter is what (a)'s 3x exists for
+    assert(!Bench.contentionSuspect(cold = 0.9, warm = 0.74,
+      baseCold = Some(0.5), baseWarm = Some(0.33)))
+  }
 }

@@ -613,4 +613,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one bucket aggregate + the final order-by; nothing else shuffles
     assert(exchangesOf(p) <= 3, s"c13 grew extra shuffles:\n$p")
   }
+
+  test("c5 strict mode filters the RAW referrer, not the computed label") {
+    // Filtering on the classified label made Catalyst substitute the
+    // whole regex cascade (parse_url + a dozen rlikes) into the Filter
+    // condition and evaluate it twice per row — measured 2x c5's cost
+    // at sf0.1. The strict query must keep the cheap raw-URL filter
+    // below the single classifying Project.
+    val p = plan("c5_referrer_strict")
+    val filterLines = p.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(filterLines.nonEmpty, s"strict filter vanished from c5:\n$p")
+    assert(!filterLines.exists(_.contains("parse_url")),
+      s"classification cascade leaked into the Filter (double-eval):\n$p")
+  }
 }
