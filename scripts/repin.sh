@@ -1,0 +1,56 @@
+#!/bin/bash
+# Re-pin the four committed bench artifacts as ONE quiet chain.
+#
+# The artifacts form two pairs that the growth gates (Sf1GrowthGateSpec)
+# compare query-by-query, so each pair must come from the same code and
+# the same session, with nothing else running on the machine:
+#
+#   BENCH_FULL.json      full board (200 q)  at sf0.1   ~10 min
+#   BENCH_SF1_FULL.json  full board          at sf1     ~25 min
+#   BENCH_SF01_REF.json  heavy-38 subset     at sf0.1    ~5 min
+#   BENCH_SF1.json       heavy-38 subset     at sf1     ~12 min
+#
+# Bench reads each OUT file as its contention baseline BEFORE
+# overwriting it (SPARK_GRAFT_BENCH_BASELINE overrides), so run this
+# from a tree where the four files hold the last GOOD committed values
+# (git checkout -- BENCH*.json first if a discarded run overwrote them).
+# After the chain: `sbt test` must be green (the artifact gates read the
+# fresh pair) BEFORE the four files are committed together — committing
+# a pair the gates reject is how round 10 shipped a red suite.
+#
+# Contention self-labeling: a query tripping any retry trigger gets one
+# end-of-suite re-measure plus "noisy": true; gates use min(warm, retry).
+# A leg with noisy > ~5 ran contended — discard it (git checkout) and
+# re-run the whole chain in a quieter window rather than mixing legs.
+#
+# Usage: nohup bash scripts/repin.sh > /tmp/repin_chain.log 2>&1 &
+set -e
+cd "$(dirname "$0")/.."
+
+# sf1 data: deterministic 10x replication of the sf0.1 tables. Skip if
+# present (ScaleGen is deterministic, so regeneration is a no-op).
+if [ ! -d target/sfgen/sf1 ]; then
+  sbt -batch "runMain graft.ScaleGen /root/testdata/sf0.1 target/sfgen/sf1 10" \
+    > /tmp/repin_scalegen.log 2>&1
+fi
+
+HEAVY=$(python3 -c "import json; print(','.join(sorted(json.load(open('BENCH_SF01_REF.json'))['queries'])))")
+
+SPARK_GRAFT_BENCH_OUT=BENCH_FULL.json \
+  sbt -batch "runMain graft.Bench" > /tmp/repin_full01.log 2>&1
+SPARK_GRAFT_SF_DIR=target/sfgen/sf1 SPARK_GRAFT_BENCH_OUT=BENCH_SF1_FULL.json \
+  sbt -batch "runMain graft.Bench" > /tmp/repin_full1.log 2>&1
+SPARK_GRAFT_BENCH_ONLY=$HEAVY SPARK_GRAFT_BENCH_OUT=BENCH_SF01_REF.json \
+  sbt -batch "runMain graft.Bench" > /tmp/repin_ref01.log 2>&1
+SPARK_GRAFT_SF_DIR=target/sfgen/sf1 SPARK_GRAFT_BENCH_ONLY=$HEAVY \
+  SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json \
+  sbt -batch "runMain graft.Bench" > /tmp/repin_ref1.log 2>&1
+
+for f in BENCH_FULL.json BENCH_SF1_FULL.json BENCH_SF01_REF.json BENCH_SF1.json; do
+  python3 -c "
+import json; d = json.load(open('$f')); q = d['queries']
+noisy = [k for k, v in q.items() if isinstance(v, dict) and v.get('noisy')]
+fails = [k for k, v in q.items() if isinstance(v, dict) and v.get('warm', 0) < 0]
+print(f'$f: {len(q)} queries, total {d[\"value\"]}s, noisy {noisy or 0}, fails {fails or 0}')"
+done
+echo "REPIN_DONE — now run: sbt test   (artifact gates must be green before committing)"
