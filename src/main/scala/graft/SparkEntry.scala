@@ -1359,7 +1359,10 @@ object SparkEntry {
     // ---- C2 + F1: browser classification after robot filtering ----
     "c2_browser" -> ((s, d) => {
       val e = ev(s, d).withColumn("ua", syntheticUa)
-      e.filter(!graft.filters.Robots.isRobotUa(col("ua")))
+      // thread the frame's own session for the native-path probe
+      // (Robots.scala: the mixed-session 'undefined function' trap)
+      e.filter(!graft.filters.Robots.isRobotUa(col("ua"),
+          graft.filters.Robots.defaultUaPatterns, Some(e.sparkSession)))
         .select(graft.classify.Classify.browser(col("ua")).as("browser"))
         .groupBy("browser").agg(count(lit(1)).as("cnt"))
         .orderBy("browser")

@@ -446,7 +446,17 @@ object Streaming {
     import org.apache.spark.sql.streaming.Trigger
     val s = df.sparkSession
     val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
-    dir.deleteOnExit()
+    // recursive removal at JVM exit: File.deleteOnExit only deletes
+    // the one registered path and only if EMPTY — with the parquet
+    // data/, _spark_metadata and ckpt/ children inside, it was a
+    // no-op and every invocation leaked its full pair dump into /tmp
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir)
+    }
     val data = new java.io.File(dir, "data").getAbsolutePath
     val q = df.writeStream.format("parquet")
       .option("path", data)

@@ -60,7 +60,7 @@ class Bench30xGateSpec extends AnyFunSuite {
       val warm = e.getValue.get("warm").asDouble()
       val retry = Option(e.getValue.get("retry")).map(_.asDouble())
       e.getKey -> (e.getValue.get("cold").asDouble(),
-        retry.filter(_ >= 0).map(math.min(_, warm)).getOrElse(warm))
+        Bench.effectiveWarm(warm, retry))
     }.toMap
   }
 

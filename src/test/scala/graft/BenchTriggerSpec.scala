@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Replay of known host-contention blips (and known-clean runs)
-  * through [[Bench.contentionSuspect]] — the three retry triggers.
+  * through [[Bench.contentionSuspect]] — the four retry triggers.
   * Every case is a REAL (query, round) measurement from the committed
   * artifact history, so a trigger regression is caught against the
   * exact noise signatures that motivated each rule. */

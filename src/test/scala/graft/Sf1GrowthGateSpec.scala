@@ -55,16 +55,10 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "a18_approx_quantiles" -> (6.0, "exact-percentile comparison side"),
     // inherently super-linear or constant-per-row-bound shapes, measured
     // and explained in COVERAGE.md round-7 sweep
-    // recalibrated round 11: the round-10 re-pin measured 10.29x
-    // (5.46s -> 56.2s) against the old 10x cap — wedge work is
-    // sum-deg^2-bound, so 10x data raising the avg degree makes
-    // super-10x growth STRUCTURAL, not a regression; 12x leaves the
-    // measured number inside with ~15% headroom while still failing
-    // a genuine plan change (the pre-orientation form measured >40x)
-    "g2_triangles" -> (12.0, "exact wedge count, avg degree ~120 at sf1; measured 10.3x at round-10 re-pin"),
-    "g2b_triangles_adj" -> (14.0,
-      "same triangle work as packed-array intersections: volume is the " +
-        "identical sum-outdeg^2 bound (absolute time stays well under g2's)"),
+    // g2/g2b live in absoluteSf1Caps (round-11): BOTH gates consult
+    // the absolute bound first, so no ratio entry here — their sf0.1
+    // bases swing 2.8-7.6s with suite position and ratio caps flapped
+    // on base noise twice (rounds 10 and 11)
     "g1_pagerank" -> (8.0, "10x edges x fixed iterations"),
     "h21_waiting_supplier" -> (16.0, "TPC-H Q21 broadcast->shuffle flip"),
     "m4_image_decode" -> (14.0, "row-at-a-time binary decode, linear in rows"),
@@ -93,7 +87,7 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     root.get("queries").properties().asScala.map { e =>
       val warm = e.getValue.get("warm").asDouble()
       val retry = Option(e.getValue.get("retry")).map(_.asDouble())
-      e.getKey -> retry.filter(_ >= 0).map(math.min(_, warm)).getOrElse(warm)
+      e.getKey -> Bench.effectiveWarm(warm, retry)
     }.toMap
   }
 
@@ -111,14 +105,23 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     val offenders = sf1.toSeq.sortBy(_._1).flatMap { case (q, t1) =>
       sf01.get(q).flatMap { t01 =>
         if (t1 < 0 || t01 < 0) Some(s"$q FAILED in a bench run (sf0.1=$t01 sf1=$t1)")
-        else {
-          // floor the denominator: sub-0.2s sf0.1 times are dominated by
-          // per-job scheduling noise and make ratios meaningless
-          val ratio = t1 / math.max(t01, 0.2)
-          val cap = exceptions.get(q).map(_._1).getOrElse(3.0)
-          if (ratio > cap)
-            Some(f"$q grew $ratio%.1fx (cap ${cap}%.0fx): ${t01}%.2fs -> ${t1}%.2fs")
-          else None
+        else absoluteSf1Caps.get(q) match {
+          // absolute-bound queries (g2 in this subset): same treatment
+          // as the full-board gate — its sf0.1 base swings with suite
+          // position, so a ratio here would flap on base noise while
+          // the sf1 absolute is the stable signal
+          case Some((absCap, _)) =>
+            if (t1 > absCap)
+              Some(f"$q exceeded its ABSOLUTE sf1 bound: ${t1}%.2fs > ${absCap}%.1fs")
+            else None
+          case None =>
+            // floor the denominator: sub-0.2s sf0.1 times are dominated by
+            // per-job scheduling noise and make ratios meaningless
+            val ratio = t1 / math.max(t01, 0.2)
+            val cap = exceptions.get(q).map(_._1).getOrElse(3.0)
+            if (ratio > cap)
+              Some(f"$q grew $ratio%.1fx (cap ${cap}%.0fx): ${t01}%.2fs -> ${t1}%.2fs")
+            else None
         }
       }
     }
