@@ -3690,7 +3690,7 @@ object SparkEntry {
         |  SELECT vec_id,
         |    CAST(list_sum(list_transform(range(1, len(codes) + 1),
         |      i -> codes[i] * q_codes[i])) AS BIGINT) AS dot
-        |  FROM codes, q),
+        |  FROM codes, q WHERE vec_id <> 0),
         |vec AS (
         |  SELECT vec_id,
         |    ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS vec_rank
@@ -4771,11 +4771,13 @@ object SparkEntry {
 
     "d10_incremental" ->
       """WITH b AS (
-        |  SELECT doc_id AS id, md5(lower(text)) AS key,
-        |         ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
-        |                            ORDER BY doc_id) AS rn
+        |  SELECT doc_id AS id,
+        |         COALESCE(md5(lower(text)), '__null_text__') AS key,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY COALESCE(md5(lower(text)), '__null_text__')
+        |           ORDER BY doc_id) AS rn
         |  FROM documents WHERE doc_id % 10 = 0),
-        |ck AS (SELECT DISTINCT md5(lower(text)) AS key
+        |ck AS (SELECT DISTINCT COALESCE(md5(lower(text)), '__null_text__') AS key
         |       FROM documents WHERE doc_id % 10 <> 0),
         |cls AS (
         |  SELECT b.id,

@@ -27,6 +27,10 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Serializes [[nearDupClusters]]' session-global AQE toggle across
+    * concurrent callers (e.g. Verify's query thread pool). */
+  private val aqeLock = new Object
+
   /** Materialization policy for the bounded pair-table OUTPUTS of
     * d2/d3/d4/d11 (minhash/simhash/jaccard/containment): each op
     * unpersists its internal feature cache before returning, so by
@@ -96,7 +100,13 @@ object Dedup {
   def incrementalExact(corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val digest = md5(lower(col(textCol)))
+    // null text gets a sentinel key: md5(null) is null, and an
+    // equi-join never matches null = null — two null-text batch docs
+    // classified as dups of each other while NEITHER matched a
+    // null-text corpus doc. The sentinel makes the corpus check agree
+    // with exact()'s groupBy (all null keys in one group); the d10
+    // oracle carries the same COALESCE.
+    val digest = coalesce(md5(lower(col(textCol))), lit("__null_text__"))
     val corpusKeys = corpus.select(digest.as("key")).distinct()
       .withColumn("__in", lit(1))
     batch.select(col(idCol).as("id"), digest.as("key"))
@@ -141,6 +151,11 @@ object Dedup {
     * comma-joined band minima. Emits (id, band, bkey). */
   def lshBands(sig: DataFrame, rowsPerBand: Int = 4): DataFrame = {
     val k = sig.columns.count(_.startsWith("m"))
+    // fail loudly instead of silently discarding the trailing minima:
+    // k=10, rowsPerBand=4 would band only m0..m7 and quietly run
+    // below the (k, rowsPerBand) LSH recall curve the caller sized
+    require(k % rowsPerBand == 0,
+      s"signature width $k is not a multiple of rowsPerBand=$rowsPerBand")
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -362,6 +377,13 @@ object Dedup {
     // AQE re-plans every exchange as its own query-stage job — the
     // right trade on real data, pure scheduling latency on the loop's
     // already-sized p-partition rounds. Disable it for the loop only.
+    // The toggle is SESSION-global, so concurrent calls serialize on
+    // aqeLock — two interleaved restore paths could otherwise capture
+    // each other's "false" and pin AQE off for the session. Unrelated
+    // queries planned during the loop still see AQE off (a plan-
+    // latency trade, not a correctness one; single-driver pipelines
+    // run this operator alone).
+    aqeLock.synchronized {
     val aqeBefore = try sess.conf.get("spark.sql.adaptive.enabled")
       catch { case _: Throwable => "true" }
     sess.conf.set("spark.sql.adaptive.enabled", "false")
@@ -423,11 +445,22 @@ object Dedup {
         i += 1
       }
     } finally sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    } // aqeLock
+    // Release the loop's cached tables before returning: callers hold
+    // only the returned PLAN, so the final round's MEMORY_AND_DISK
+    // persist (and the edge checkpoint) otherwise live for the whole
+    // session — one leaked corpus-scale cache per call. The eager SER
+    // checkpoint materializes the labels first, making the unpersists
+    // safe (the module's standard checkpoint-then-unpersist pattern).
+    val finalLabels = labels.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    labels.unpersist()
+    edges.unpersist()
     // isolated docs: their own cluster; the paired-vertex label table
     // is tiny relative to the corpus, so AQE broadcasts it and the
     // corpus side joins without a shuffle.
     docs.select(col(idCol).as("id"))
-      .join(labels, Seq("id"), "left")
+      .join(finalLabels, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("label"), col("id")).as("cluster"))
   }

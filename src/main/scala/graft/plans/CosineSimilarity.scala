@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   * allocation, no virtual calls, stays inside WholeStageCodegen.
   *
   * Semantics: double accumulation in index order (bit-identical to
-  * the ordered HOF formulation); null if either side is null or
-  * lengths differ; NaN propagates like plain double math.
+  * the ordered HOF formulation); null if either side is null, lengths
+  * differ, or either norm is zero (cosine undefined — matching the
+  * guarded HOF path and DuckDB's null-on-0/0 double division; the raw
+  * 0.0/0.0 would be NaN, which Spark sorts ABOVE every value, turning
+  * a padding vector into everyone's rank-1 neighbor).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,7 +50,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -70,7 +74,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    double $yi = $b.getDouble($i);
          |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
        """.stripMargin
     })

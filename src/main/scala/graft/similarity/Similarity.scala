@@ -23,12 +23,20 @@ import graft.functions.Text
 object Similarity {
 
   /** Cosine similarity between two array<double> columns: ordered
-    * left-to-right summation (deterministic per engine). */
+    * left-to-right summation (deterministic per engine). Zero-norm
+    * vectors yield NULL — cosine is undefined there, NULL sorts last
+    * in the rankers' desc ordering and fails every `>= threshold`
+    * filter, and it matches BOTH the native expression and DuckDB's
+    * double division (the oracle engine nulls 0/0; Spark's ANSI
+    * Divide would THROW instead, and the pre-guard raw division made
+    * the fallback path crash on padding vectors while the native path
+    * silently returned NaN, which sorts ABOVE everything). */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
     val na = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
     val nb = aggregate(b, lit(0.0), (acc, x) => acc + x * x)
-    dot / (sqrt(na) * sqrt(nb))
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(dot / (sqrt(na) * sqrt(nb)))
   }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
@@ -62,7 +70,7 @@ object Similarity {
   /** Cosine near-dup: all pairs (a < b) with cosine >= threshold —
     * the EXACT small-scale form (golden sets, spot audits). All-pairs
     * is quadratic by design; the scale paths are
-    * [[hyperplaneBuckets]]/[[annLshBucketed]] (approximate, blocked)
+    * [[hyperplaneBuckets]]/[[annLsh]] (approximate, blocked)
     * and [[semanticDedup]] (IVF-cell blocked). To make it impossible
     * to point this at a real corpus by accident, a plan-level
     * row-count assertion (1-row aggregate broadcast into the left
@@ -136,11 +144,18 @@ object Similarity {
     * (cid, cv) centroids ready to pass into an IVF search.
     * Empty cells drop out (standard Lloyd behavior). */
   def kmeansCentroids(corpus: DataFrame, stride: Int = 43, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCentroids: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecMean = udaf(VectorMean)
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // rank-based cap on the stride init, same guard as pqCodebook /
+    // ivf cells: an UNCAPPED n/stride init makes every Lloyd pass
+    // O(n^2/stride) (233k broadcast centroids on a 10M corpus) —
+    // binding only above stride*maxCentroids (~176k) vectors, so
+    // every tested scale is byte-identical
     var cents = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(maxCentroids)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
     val wAssign = Window.partitionBy("id").orderBy(col("c").desc, col("cid").asc)
     (1 to iters).foreach { _ =>
@@ -271,9 +286,13 @@ object Similarity {
     * corpus vector. */
   def semanticDedup(corpus: DataFrame, threshold: Double,
       centroidStride: Int = 43, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", maxCentroids: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // rank-based centroid cap (see kmeansCentroids): bounds the
+    // assignment crossJoin at maxCentroids*n; not binding below
+    // stride*maxCentroids vectors
     val cents = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .orderBy(col(idCol)).limit(maxCentroids)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     // rank-1 assignment via window + rank<=1: Spark's WindowGroupLimit
@@ -318,9 +337,12 @@ object Similarity {
     val v = asDouble(col(vecCol))
     val c = corpus.select(col(idCol).as("nid"), v.as("nv"),
       bucketCol(corpus, v, planes, 64).as("bucket"))
-    val q = corpus.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col(idCol).as("qid"), v.as("qv"),
-        bucketCol(corpus, v, planes, 64).as("bucket"))
+    // query vectors come from the QUERIES frame itself (same contract
+    // as annBruteForce: queries need not be corpus members) — the old
+    // corpus-left_semi shape silently dropped out-of-corpus queries
+    // and substituted corpus embeddings for same-id queries
+    val q = queries.select(col(idCol).as("qid"), v.as("qv"),
+      bucketCol(corpus, v, planes, 64).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosineCol(corpus, col("qv"), col("nv")).as("cos"))
@@ -647,8 +669,17 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy("id").orderBy(col("cos").desc, col("cid").asc)))
     val assign = scored.filter(col("rk") === 1).select(col("id"), col("cid"))
-    val qids = queries.select(col(idCol).as("qid"))
-    val probes = scored.join(broadcast(qids), col("id") === col("qid"))
+    // probe list from the QUERY vectors themselves (one extra tiny
+    // broadcast pass) — reusing the corpus `scored` rows silently
+    // dropped out-of-corpus queries, unlike annPqAdc/annIvfWith; for
+    // corpus-member queries the vectors are identical so the probe
+    // set (and every oracle-gated result) is unchanged
+    val probes = queries.select(col(idCol).as("qid"), v.as("qxv"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        cosineCol(corpus, col("qxv"), col("cv")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
       .filter(col("rk") <= nprobe).select(col("qid"), col("cid"))
     val cb = pqCodebook(corpus, m, subDim, cbStride, cbK, idCol, vecCol)
     val codes = pqEncode(corpus, cb, m, subDim, idCol, vecCol)
@@ -718,6 +749,10 @@ object Similarity {
     val dot = aggregate(zip_with(col("codes"), col("q_codes"),
       (a, b) => a * b), lit(0L), _ + _)
     val vecTop = codes.crossJoin(broadcast(q))
+      // exclude the query document from its own neighbor list — the
+      // self-dot is the maximum by construction and was eating rank 1
+      // of every fused result; every other ANN op here filters self
+      .filter(col("v_id") =!= queryVecId)
       .select(col("v_id"), dot.as("dot"))
       .orderBy(col("dot").desc, col("v_id")).limit(k)
       .withColumn("vec_rank", row_number().over(

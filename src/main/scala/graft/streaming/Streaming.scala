@@ -208,8 +208,15 @@ object Streaming {
   private def streamablePath(p: String): String = {
     if (new java.io.File(p).isDirectory) p
     else {
-      require(p.nonEmpty && !"*?[]{}\\/".contains(p.last),
-        s"cannot stream from path ending in '${p.takeRight(1)}': $p")
+      // reject glob metacharacters ANYWHERE in a file path, not just
+      // the last char: '/data/day[1].parquet' would otherwise glob
+      // '[1]' as a character class and silently match the wrong file
+      // (or nothing); '^' as the wrapped char would emit the
+      // malformed class '[^]'
+      val metas = p.filter("*?[]{}\\^".contains(_)).distinct
+      require(p.nonEmpty && metas.isEmpty && p.last != '/',
+        s"cannot stream from file path containing glob " +
+          s"metacharacter(s) '$metas' (or ending in '/'): $p")
       p.dropRight(1) + "[" + p.last + "]"
     }
   }

@@ -217,6 +217,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
       .select(call_function("cosine_sim", col("a"), col("b")))
     assert(bad.head().isNullAt(0))
+    // zero-norm vectors -> NULL through BOTH paths (round-11):
+    // unguarded, the HOF path THREW under Spark 4 ANSI (DIVIDE_BY_ZERO)
+    // while the native expression returned NaN — which Spark sorts
+    // ABOVE every value, making a padding vector everyone's rank-1
+    // neighbor. NULL matches DuckDB's null-on-0/0 double division
+    // (oracle parity), sorts last in desc rankings, and fails every
+    // threshold filter.
+    val zdf = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(zdf.select(call_function("cosine_sim", col("a"), col("b")))
+      .head().isNullAt(0))
+    assert(zdf.select(Similarity.cosine(col("a"), col("b")))
+      .head().isNullAt(0))
   }
 
   test("multimodal decode: real UTF-8 text decoder reports line box") {
@@ -612,16 +624,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         k = 4, topK = 4)
       .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("rrf"),
         x.getAs[Int]("lex_rank"), x.getAs[Int]("vec_rank")))
-    // vector ranks by quantized dot: 0 (self, 65025) > 2 > 3 > 1
-    // doc 0: lex 2, vec 1 -> 100000/62 + 100000/61 = 1612 + 1639 = 3251
-    assert(r.head == ((0L, 3251L, 2, 1)))
+    // vector ranks by quantized dot, SELF EXCLUDED (round-11: the
+    // query doc's self-dot is the maximum by construction and was
+    // eating rank 1 of every fused result): 2 (65025) > 1 > 3 (dot
+    // ties at 0, id order). doc 1: lex 1, vec 2 ->
+    // 100000/61 + 100000/62 = 1639 + 1612 = 3251
+    assert(r.head == ((1L, 3251L, 1, 2)))
+    // the query doc itself fuses on its LEXICAL rank only
+    val d0 = r.find(_._1 == 0L).get
+    assert(d0._3 == 2 && d0._4 == 0 && d0._2 == 100000L / 62)
     // every fused doc appears once, scores strictly ordered by (rrf, id)
     assert(r.map(_._1).distinct.length == r.length)
     val scores = r.map(_._2).toSeq
     assert(scores == scores.sorted.reverse)
     // doc 2 is lexically absent -> lex_rank 0, vec contribution only
     val d2 = r.find(_._1 == 2L).get
-    assert(d2._3 == 0 && d2._4 == 2 && d2._2 == 100000L / 62)
+    assert(d2._3 == 0 && d2._4 == 1 && d2._2 == 100000L / 61)
   }
 
   test("PQ/ADC: codes are deterministic, neighbors stay in the true cluster") {
