@@ -45,14 +45,29 @@ object Text {
   }
 
   /** 3-token shingle strings (HOF over the token array — cheap string
-    * concat; hash AFTER exploding so md5 stays in codegen). */
+    * concat; hash AFTER exploding so md5 stays in codegen).
+    * Documents under 3 tokens yield NO shingles (empty array) — the
+    * unguarded `sequence(1, n-2)` DESCENDS through 0 when n < 3
+    * (default step -1) and `slice(_, 0, _)` throws at runtime; the
+    * oracle side (`generate_series(1, n-2)`) is empty there, so the
+    * guard is also the parity-correct semantics. */
   def shingleStrings(text: Column): Column = {
     val toks = tokens(text)
-    transform(sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
+    when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** Whitespace tokenization after lowercasing. */
+  /** Whitespace tokenization after lowercasing.
+    *
+    * DEFINED ARTIFACT: Spark's `split` emits an empty first token for
+    * text with LEADING whitespace (" the" -> ["", "the"]) — the
+    * DuckDB oracles replicate the identical split semantics, so every
+    * token-count-derived permille is engine-exact WITH the artifact.
+    * Changing it here without changing every oracle would break the
+    * correctness gate; consumers that must not see empties filter
+    * explicitly (e.g. dsirScores' `length(w) > 0`). */
   def tokens(text: Column): Column =
     split(lower(text), "\\s+")
 
@@ -101,10 +116,15 @@ object Text {
 
   /** Symbol ratio in integer permille: non-alphanumeric, non-space
     * chars per 1000 chars of text (a Gopher-style quality signal —
-    * high symbol density marks boilerplate/markup, not prose). */
+    * high symbol density marks boilerplate/markup, not prose).
+    * Empty text yields NULL — unguarded, the length-0 denominator
+    * THREW under Spark 4 ANSI (double Divide), and NULL is what the
+    * oracle's `//` by zero returns in DuckDB (parity). */
   def symbolPermille(text: Column): Column =
-    intDiv(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")) * 1000L,
-      length(text))
+    when(length(text) === 0, lit(null).cast("long"))
+      .otherwise(
+        intDiv(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")) * 1000L,
+          length(text)))
 
   /** PII patterns — intentionally simple (RE2-compatible, no
     * lookaround) so the same pattern runs in any engine's regex
@@ -187,11 +207,10 @@ object Text {
     * 3-token shingles (w-shingling; the rolling-hash fingerprint of
     * the pipeline). Documents under 3 tokens hash the whole text. */
   def fingerprint(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    val shingles = transform(sequence(lit(1), n - 2),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
-    when(n >= 3, array_min(transform(shingles, s => hash60(s))))
+    // ONE shingle definition: [[shingleStrings]] (guarded there); the
+    // n >= 3 branch is bit-identical to the previous inline copy
+    val n = size(tokens(text))
+    when(n >= 3, array_min(transform(shingleStrings(text), s => hash60(s))))
       .otherwise(hash60(lower(text)))
   }
 
@@ -292,7 +311,10 @@ object Text {
       textCol: String, queryTerms: Seq[String],
       k: Int = 10): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = array(queryTerms.map(lit): _*)
+    // tokens() lowercases the corpus side, so an uppercase query term
+    // could never match anything — normalize (and dedupe: scoring
+    // sums per DISTINCT term) instead of failing silently
+    val terms = array(queryTerms.map(_.toLowerCase).distinct.map(lit): _*)
     val dl = df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .select(col("n_docs"), expr("sum_dl div n_docs").as("avgdl"))
@@ -468,17 +490,6 @@ object Text {
           .cast("long").as("pmi_x1000"))
   }
 
-  /** Sequence packing: assign documents to fixed-token-budget training
-    * packs. Deterministic next-fit by id order WITHIN each shard: a
-    * document's pack is its starting token offset div `budget`
-    * (documents may straddle a boundary — the standard
-    * pack-then-truncate trade-off, chosen because it is a pure
-    * prefix-sum: one window over (shard, id), no sequential state).
-    * Sharding is what scales it — each shard's packing is independent,
-    * so the window shuffle partitions by shard instead of forcing a
-    * single global ordering (a global pack order at 100 TB would
-    * serialize on one task). Returns one row per document:
-    * (shard, id, n_tok, pack_id). */
   /** Deterministic Poisson(1) bootstrap weight for (row, replicate):
     * the salted hash's uniform millionths inverted through the
     * Poisson CDF (thresholds floored to millionths — literal in both
@@ -581,6 +592,17 @@ object Text {
       .agg(min("pos").as("start_pos"), count(lit(1)).as("n_tok"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * packs. Deterministic next-fit by id order WITHIN each shard: a
+    * document's pack is its starting token offset div `budget`
+    * (documents may straddle a boundary — the standard
+    * pack-then-truncate trade-off, chosen because it is a pure
+    * prefix-sum: one window over (shard, id), no sequential state).
+    * Sharding is what scales it — each shard's packing is independent,
+    * so the window shuffle partitions by shard instead of forcing a
+    * single global ordering (a global pack order at 100 TB would
+    * serialize on one task). Returns one row per document:
+    * (shard, id, n_tok, pack_id). */
   def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, shardCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

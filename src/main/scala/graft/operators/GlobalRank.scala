@@ -24,6 +24,21 @@ import org.apache.spark.sql.functions._
   * Ranks are total-order exact when the sort key is unique (pass a
   * tiebreaker column, as any deterministic global rank requires).
   *
+  * PLAN INVARIANT: the `ranged` frame feeds BOTH the counts/offsets
+  * branch and the final join branch, and correctness requires the two
+  * branches to read ONE physical partition assignment (the offsets
+  * must describe the same assignment the join sees). Exchange reuse
+  * does NOT deliver that here — the branches carry self-join-style
+  * fresh exprIds and the executed plan kept two independent range
+  * exchanges, i.e. the corpus shuffled TWICE and each shuffle sampled
+  * its own range boundaries (correct only while the input order is
+  * deterministic). `ranged` is therefore persisted (serialized, spill
+  * to disk): both branches read the one InMemoryRelation, which pins
+  * the assignment structurally AND halves the shuffle volume. The
+  * cache lives until the session's next `clearCache()`/unpersist
+  * sweep (Bench's per-query hygiene drops it); a PlanShapeSpec test
+  * pins the InMemoryTableScan in the executed plan.
+  *
   * NTILE derives from (rank, n) arithmetically — SQL semantics: the
   * first n mod k buckets get ceil(n/k) rows, the rest floor(n/k). */
 object GlobalRank {
@@ -47,6 +62,8 @@ object GlobalRank {
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(p, order: _*)
       .withColumn("__pid", spark_partition_id())
+      // shared materialization point — see the PLAN INVARIANT above
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // one row per partition — bounded, its global window is safe
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
     val offsets = counts.withColumn("__off",
@@ -79,6 +96,8 @@ object GlobalRank {
     val ranged = df.repartitionByRange(p, order: _*)
       .withColumn("__v", value)
       .withColumn("__pid", spark_partition_id())
+      // shared materialization point — see the PLAN INVARIANT above
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sums = ranged.groupBy("__pid").agg(sum("__v").as("__s"))
     val offsets = sums.withColumn("__off",
         coalesce(sum("__s").over(
@@ -101,7 +120,10 @@ object GlobalRank {
     def idiv(a: Column, b: Column): Column =
       floor(a.cast("double") / b.cast("double")).cast("long")
     val rn = withRowNumber(df, order, "__rn", partitions)
-    val n = rn.agg(count(lit(1)).as("__n"))
+    // count the INPUT, not the ranked output: withRowNumber is 1:1,
+    // and aggregating rn would execute the whole range-exchange +
+    // offsets-join machinery a second time just to count rows
+    val n = df.agg(count(lit(1)).as("__n"))
     // size/extra in integer math; `greatest(size,1)` only guards the
     // branch that is unreachable when size = 0 (div-by-zero)
     val size = idiv(col("__n"), lit(buckets.toLong))

@@ -28,7 +28,15 @@ object Graph {
 
   /** PageRank over an undirected pair set (a, b), a ≠ b. Returns
     * (node, pr) with pr scaled ×10⁶ (initial rank 1000000, damping
-    * 0.85 as permille). Nodes are those appearing in pairs. */
+    * 0.85 as permille). Nodes are those appearing in pairs.
+    *
+    * Overflow bound (same audit class as [[graft.functions.Text.bm25]]
+    * 's reworked integer form): the widest intermediate is `850 * sc`
+    * where sc = Σ of in-neighbor contributions ≤ n·10⁶, so the
+    * iteration is exact below ~1.08e10 nodes all pointing at one hub
+    * (850·n·10⁶ < 2⁶³). Under ANSI an overflow THROWS rather than
+    * wrapping; graphs beyond that scale need the rank scale dropped
+    * to ×10³ (exactness trade documented here, not silently made). */
   def pageRank(pairs: DataFrame, iters: Int = 2): DataFrame = {
     val und = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))

@@ -614,6 +614,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchangesOf(p) <= 3, s"c13 grew extra shuffles:\n$p")
   }
 
+  test("GlobalRank branches share ONE materialized partition assignment") {
+    // the offsets branch and the join branch must read the SAME
+    // physical partition assignment — see the GlobalRank scaladoc's
+    // plan invariant. Exchange reuse does NOT fire across the two
+    // branches (self-join exprIds), measured: the executed plan kept
+    // two independent range exchanges. The persist() is the shared
+    // materialization point; this pins that both branches read it.
+    for (q <- Seq("o10_rank_sample", "o11_weighted_sample")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q lost GlobalRank's shared cache — the offsets and join " +
+          s"branches re-execute repartitionByRange independently and " +
+          s"may sample different range boundaries:\n$p")
+    }
+  }
+
   test("c5 strict mode filters the RAW referrer, not the computed label") {
     // Filtering on the classified label made Catalyst substitute the
     // whole regex cascade (parse_url + a dozen rlikes) into the Filter
