@@ -45,12 +45,24 @@ object QueryCompiler {
     * partition. The reference does this swap in its query layer too —
     * it is a semantic rewrite the optimizer can't infer. */
   private def substituteLifetime(ctx: Context, cat: Catalog): Option[DataFrame] =
-    if (ctx.from.isEmpty && ctx.to.isEmpty && ctx.range.isEmpty &&
+    // range = _ALL_ survives Context.resolved() with from/to cleared —
+    // it IS the all-time query, so it must not block the MV swap (it
+    // did: the one query the MV exists for scanned every partition)
+    if (ctx.from.isEmpty && ctx.to.isEmpty &&
+        ctx.range.forall(_ == "_ALL_") &&
         !ctx.fields.contains("date"))
       cat.lifetime.get(ctx.datatype)
     else None
 
   def compile(ctx: Context, cat: Catalog): DataFrame = {
+    // an UNRESOLVED symbolic range would otherwise be silently ignored
+    // (compile consumes only from/to) — a '6m' request answered with
+    // all-time sums. Every production caller resolves first
+    // (Report/ReportCache/QueryCli); fail loudly for the rest.
+    require(ctx.range.forall(r =>
+        r == "_ALL_" || ctx.from.isDefined || ctx.to.isDefined),
+      s"context range '${ctx.range.getOrElse("")}' is unresolved — " +
+        "call Context.resolved(today) before compile")
     var df = substituteLifetime(ctx, cat)
       .orElse(cat.facts.get(ctx.datatype))
       .getOrElse(throw new IllegalArgumentException(s"unknown datatype ${ctx.datatype}"))
@@ -89,8 +101,17 @@ object QueryCompiler {
             var d = dim.df.select(col(dim.idCol).as("id"),
               col(dim.valueCol).as("set_value"))
             ctx.setValue.foreach(v => d = d.filter(col("set_value") === v))
-            df = df.join(broadcast(d), Seq("id"))
-            if (ctx.setValue.isDefined) ctx.fields else Seq("set_value")
+            if (ctx.setValue.isDefined) {
+              // pinned set value: set_value is not in the output, so
+              // the join is pure MEMBERSHIP — left_semi, like F6. An
+              // inner join would re-expose duplicate-pair inflation
+              // and carry a dead column through the aggregate.
+              df = df.join(broadcast(d.select("id")), Seq("id"), "left_semi")
+              ctx.fields
+            } else {
+              df = df.join(broadcast(d), Seq("id"))
+              Seq("set_value")
+            }
         }
       case _ =>
         // eprint path: optional point filter on id; a non-numeric set

@@ -17,9 +17,10 @@ object Series {
     *
     * Scale: the calendar side is tiny (≤ 20 years = ~7.3k rows — the
     * reference caps ranges at 20y, `Utils.pm:227-230`); the series side
-    * is already aggregated. Build the calendar with `sequence()` +
-    * `explode` and broadcast-join the *series* onto it (calendar is the
-    * left/preserved side).
+    * is already aggregated (day-grain, so it is calendar-sized too).
+    * Build the calendar with `sequence()` + `explode`; the left join
+    * onto it is left to Spark's join selection — both sides are
+    * bounded by the 20y day count, so any strategy is cheap.
     */
   def densify(series: DataFrame, dateCol: String = "d",
       countCol: String = "cnt",
@@ -33,8 +34,15 @@ object Series {
         .getOrElse(min(col(dateCol))).as("lo"),
       to.map(d => lit(java.sql.Date.valueOf(d)))
         .getOrElse(max(col(dateCol))).as("hi"))
-    val calendar = bounds.select(
-      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as(dateCol))
+    // guard: sequence(lo, hi) THROWS when lo > hi (inverted explicit
+    // range, or a requested `from` beyond the data extent with no
+    // `to`) and when the series is EMPTY with defaulted bounds
+    // (min/max are NULL). Both yield an empty calendar instead.
+    val calendar = bounds
+      .filter(col("lo").isNotNull && col("hi").isNotNull &&
+        col("lo") <= col("hi"))
+      .select(
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as(dateCol))
     calendar.join(series, Seq(dateCol), "left")
       .select(col(dateCol), coalesce(col(countCol), lit(0L)).as(countCol))
   }
@@ -90,6 +98,9 @@ object Series {
     * determinism contract as [[runningAverage]]. */
   def movingAverage(series: DataFrame, periods: Int, dateCol: String = "d",
       countCol: String = "cnt"): DataFrame = {
+    // periods = 0 builds a frame whose start follows its end; negative
+    // periods silently looks FORWARD instead of trailing
+    require(periods >= 1, s"movingAverage periods must be >= 1: $periods")
     val w = Window.partitionBy(seriesKey(dateCol)).orderBy(col(dateCol))
       .rowsBetween(-(periods - 1), Window.currentRow)
     series
@@ -158,10 +169,16 @@ object Series {
     // away by the optimizer, a filter cannot): passes → NULL → isNull
     // keeps the row; violated → the job fails with the range message.
     // Cost is one codegen'd comparison per series row.
-    val bounds = bounds0.filter(
-      assert_true(datediff(col("hi"), col("lo")) <= maxSpanDays,
-        lit(s"interpolate: series span exceeds maxSpanDays=$maxSpanDays; " +
-          "pass partCols or raise the cap")).isNull)
+    // the empty single-series form yields one (NULL, NULL) bounds row:
+    // assert_true RAISES on a NULL condition, so guard it — an empty
+    // feed must return an empty frame (as the grouped form does), not
+    // fail with the misleading span message
+    val bounds = bounds0
+      .filter(col("lo").isNotNull && col("hi").isNotNull)
+      .filter(
+        assert_true(datediff(col("hi"), col("lo")) <= maxSpanDays,
+          lit(s"interpolate: series span exceeds maxSpanDays=$maxSpanDays; " +
+            "pass partCols or raise the cap")).isNull)
     val calendar = bounds.select((parts :+
       explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
         .as(dateCol)): _*)

@@ -84,15 +84,24 @@ object Sets {
       } else {
         ex.select(col("id"), display.as("v"), display.as("rendered"))
       }
-    val anon =
-      if (d.anonymize) keyed.withColumn("v", Classify.anonymize(col("v")))
-      else keyed
+    // blacklist BEFORE anonymize: filtering after compared the raw
+    // blacklist entries against md5 digests and matched nothing —
+    // blacklisting was silently disabled for anonymized sets.
+    // Blacklist entries match the pre-anonymization (lowercased) key.
     val listed =
-      if (d.blacklist.nonEmpty) anon.filter(!col("v").isin(d.blacklist.toSeq: _*))
-      else anon
-    listed.filter(col("v").isNotNull && col("v") =!= "")
-      .select(col("v").as("set_value"), col("id"), col("rendered"))
-      .distinct()
+      if (d.blacklist.nonEmpty) keyed.filter(!col("v").isin(d.blacklist.toSeq: _*))
+      else keyed
+    val anon =
+      if (d.anonymize) listed.withColumn("v", Classify.anonymize(col("v")))
+      else listed
+    // dedup over the KEY pair only: distinct() over (v, id, rendered)
+    // keeps one row per rendering variant of the same key ("Smith, J."
+    // vs "smith, j" on one author id), and the J1 fact join then
+    // double-counts that item. One deterministic rendering (max) per
+    // (set_value, id).
+    anon.filter(col("v").isNotNull && col("v") =!= "")
+      .groupBy(col("v").as("set_value"), col("id"))
+      .agg(max(col("rendered")).as("rendered"))
   }
 
   /** Materialize one set dim: (set_value, id). */
@@ -101,13 +110,15 @@ object Sets {
       if (d.multiple) meta.select(col(idCol).as("id"), explode(col(d.source)).as("v"))
       else meta.select(col(idCol).as("id"), col(d.source).as("v"))
     val normalized = if (d.isName) exploded.withColumn("v", NameCase(col("v"))) else exploded
-    val anon = if (d.anonymize) normalized.withColumn("v", Classify.anonymize(col("v")))
-      else normalized
-    val cleaned = anon.filter(col("v").isNotNull && col("v") =!= "")
+    // clean + blacklist BEFORE anonymize (see materializeCompound):
+    // blacklist entries match the pre-anonymization value
+    val cleaned = normalized.filter(col("v").isNotNull && col("v") =!= "")
     val listed =
       if (d.blacklist.nonEmpty) cleaned.filter(!col("v").isin(d.blacklist.toSeq: _*))
       else cleaned
-    listed.select(col("v").as("set_value"), col("id")).distinct()
+    val anon = if (d.anonymize) listed.withColumn("v", Classify.anonymize(col("v")))
+      else listed
+    anon.select(col("v").as("set_value"), col("id")).distinct()
   }
 
   /** Subject ancestor closure (ref `Sets.pm:402-424,461-485`): an
