@@ -3034,6 +3034,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), max("rendered").as("rendered"))
         .orderBy("set_value")
     }),
+
+    // ---- Anonymized set WITH a blacklist (ref Sets.pm:341-360
+    // generate_key + Sets.pm:94-97 set properties): the blacklist
+    // matches the PRE-anonymization lowercased key — filtering after
+    // anonymization would compare raw blacklist entries against md5
+    // digests, match nothing, and silently disable the blacklist.
+    // Keys a7/a13 must be gone and every surviving key a digest; an
+    // order regression shows up as two extra rows + hash mismatch ----
+    "set_anon_blacklist" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val k = (col("c_custkey") % 50).cast("string")
+      val meta = c.select(col("c_custkey").as("id"),
+        array(struct(
+          struct(concat(lit("cust"), k).as("family"),
+            lower(col("c_mktsegment")).as("given")).as("name"),
+          concat(lit("A"), k).as("id"))).as("creators"))
+      graft.sets.Sets.materializeCompound(meta,
+          graft.sets.Sets.CompoundSetDef("authors_anon", "creators",
+            anonymize = true, blacklist = Set("a7", "a13")))
+        .groupBy("set_value").agg(count(lit(1)).as("n_items"))
+        .orderBy("set_value")
+    }),
+
+    // ---- Rendering-variant dedup under a fact join (ref
+    // Handler.pm:490 value grouping; Sets.pm:378-392 key
+    // extraction): each item carries the SAME author key twice —
+    // once with a given name ("Cust3, Machinery") and once bare
+    // ("Cust3"), under ids "A3"/"a3" that lowercase to one key. The
+    // dim must keep ONE row per (set_value, id); a distinct over
+    // (v, id, rendered) keeps both rendering variants and the fact
+    // join then double-counts every order of that customer ----
+    "set_dedup_render" -> ((s, d) => {
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      val k = (col("c_custkey") % 50).cast("string")
+      val meta = c.select(col("c_custkey").as("id"),
+        array(
+          struct(
+            struct(concat(lit("cust"), k).as("family"),
+              lower(col("c_mktsegment")).as("given")).as("name"),
+            concat(lit("A"), k).as("id")),
+          struct(
+            struct(concat(lit("cust"), k).as("family"),
+              lit("").as("given")).as("name"),
+            concat(lit("a"), k).as("id"))).as("creators"))
+      val dim = graft.sets.Sets.materializeCompound(meta,
+        graft.sets.Sets.CompoundSetDef("authors", "creators"))
+      o.join(broadcast(dim), o("o_custkey") === dim("id"))
+        .groupBy("set_value")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"),
+          max("rendered").as("rendered"))
+        .orderBy("set_value")
+    }),
   )
 
   def oracleSql: Map[String, String] =
@@ -5982,5 +6036,30 @@ object SparkEntry {
         |SELECT set_value, CAST(COUNT(*) AS BIGINT) AS n_items,
         |       MAX(rendered) AS rendered
         |FROM authors GROUP BY 1 ORDER BY set_value""".stripMargin,
+
+    "set_anon_blacklist" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT lower('A' || CAST(c_custkey % 50 AS VARCHAR)) AS k,
+        |         c_custkey AS id
+        |  FROM customer)
+        |SELECT md5(k) AS set_value, CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM keys WHERE k NOT IN ('a7', 'a13')
+        |GROUP BY 1 ORDER BY set_value""".stripMargin,
+
+    "set_dedup_render" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT
+        |    lower('A' || CAST(c_custkey % 50 AS VARCHAR)) AS set_value,
+        |    c_custkey AS id,
+        |    'Cust' || CAST(c_custkey % 50 AS VARCHAR) || ', ' ||
+        |      CASE WHEN c_mktsegment = 'MACHINERY' THEN 'MacHinery'
+        |           ELSE upper(substr(lower(c_mktsegment), 1, 1))
+        |                || substr(lower(c_mktsegment), 2) END AS rendered
+        |  FROM customer)
+        |SELECT set_value, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       MAX(rendered) AS rendered
+        |FROM orders JOIN dim ON o_custkey = id
+        |GROUP BY 1 ORDER BY set_value""".stripMargin,
   )
 }
