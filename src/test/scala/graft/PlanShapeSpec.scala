@@ -614,20 +614,53 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchangesOf(p) <= 3, s"c13 grew extra shuffles:\n$p")
   }
 
-  test("GlobalRank branches share ONE materialized partition assignment") {
-    // the offsets branch and the join branch must read the SAME
-    // physical partition assignment — see the GlobalRank scaladoc's
-    // plan invariant. Exchange reuse does NOT fire across the two
-    // branches (self-join exprIds), measured: the executed plan kept
-    // two independent range exchanges. The persist() is the shared
-    // materialization point; this pins that both branches read it.
-    for (q <- Seq("o10_rank_sample", "o11_weighted_sample")) {
+  test("GlobalRank pinned strategy: pure-row buckets, no cache, no range exchange") {
+    // The default (pinned) strategy derives the bucket id from row
+    // VALUES (sampled boundary literals compiled into a comparison
+    // expression), so the offsets branch and the join branch agree
+    // structurally — nothing needs a shared physical partition
+    // assignment. The plan must carry NO InMemoryRelation (no
+    // corpus-sized cache; the round-11 persist is retired from this
+    // path) and NO rangepartitioning exchange (the corpus crosses the
+    // wire once, hash-partitioned by the pure-function __pid for the
+    // window); every row_number/sum window stays __pid-partitioned.
+    for (q <- Seq("o10_rank_sample", "o11_weighted_sample", "o16_range_bounds")) {
       val p = plan(q)
+      assert(!p.contains("InMemoryTableScan"),
+        s"$q grew a cache — pinned GlobalRank must not materialize:\n$p")
+      // at most ONE range exchange: the board query's own final
+      // presentation ORDER BY on the (tiny) result. The ranking
+      // itself must shuffle by the value-derived __pid hash, never by
+      // sampled range boundaries (two independent samplings was the
+      // round-11 mis-rank hazard).
+      assert(p.sliding("rangepartitioning".length).count(_ == "rangepartitioning") <= 1,
+        s"$q grew a range exchange inside the rank machinery:\n$p")
+      assert(p.contains("hashpartitioning(__pid"),
+        s"$q lost the __pid hash exchange:\n$p")
+      assert(p.contains("windowspecdefinition(__pid"),
+        s"$q lost the __pid-partitioned window (global one-task sort?):\n$p")
+    }
+  }
+
+  test("GlobalRank persist strategy keeps ONE materialized partition assignment") {
+    // The persist strategy (for expensive-to-recompute upstreams)
+    // keeps the round-11 invariant: the offsets branch and the join
+    // branch must read the SAME physical partition assignment.
+    // Exchange reuse does NOT fire across the two branches (self-join
+    // exprIds) — the persist() is the shared materialization point.
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val df = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val ranked = graft.operators.GlobalRank.withRowNumberPersist(
+      df, Seq(col("c_acctbal").desc, col("c_custkey")), "rn")
+    try {
+      val p = ranked.queryExecution.executedPlan.toString
       assert(p.contains("InMemoryTableScan"),
-        s"$q lost GlobalRank's shared cache — the offsets and join " +
+        s"persist strategy lost its shared cache — the offsets and join " +
           s"branches re-execute repartitionByRange independently and " +
           s"may sample different range boundaries:\n$p")
-    }
+    } finally s.sharedState.cacheManager.clearCache()
   }
 
   test("c5 strict mode filters the RAW referrer, not the computed label") {
