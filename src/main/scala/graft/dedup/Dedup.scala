@@ -27,10 +27,6 @@ import graft.functions.Text
   */
 object Dedup {
 
-  /** Serializes [[nearDupClusters]]' session-global AQE toggle across
-    * concurrent callers (e.g. Verify's query thread pool). */
-  private val aqeLock = new Object
-
   /** Materialization policy for the bounded pair-table OUTPUTS of
     * d2/d3/d4/d11 (minhash/simhash/jaccard/containment): each op
     * unpersists its internal feature cache before returning, so by
@@ -355,6 +351,32 @@ object Dedup {
         .get("spark.sql.shuffle.partitions").toInt
       catch { case _: Throwable => 200 }
     val p = math.max(1L, math.min(maxP.toLong, ecnt / 1000000L + 1)).toInt
+    val sess = docs.sparkSession
+    // AQE re-plans every exchange as its own query-stage job — the
+    // right trade on real data, pure scheduling latency on the loop's
+    // already-sized p-partition rounds. Disable it for the LOOP ONLY
+    // by running every round in a CHILD SESSION (`newSession()`:
+    // isolated SQL conf, shared SparkContext + block/cache manager).
+    // The parent session's conf is never touched, so concurrent
+    // unrelated queries keep AQE and there is no restore race — the
+    // former session-global toggle (serialized on a lock, with a
+    // documented plan-latency caveat for concurrent callers) is
+    // retired. Frames cross the session boundary through UNIQUELY
+    // NAMED global temp views (dropped in the finally): a view stores
+    // the LOGICAL plan, so the checkpointed LogicalRDD — with its
+    // HashPartitioning — re-analyzes identically in the child.
+    val child = sess.newSession()
+    // newSession starts from the builder conf, not runtime-set values:
+    // copy the parent's dynamic SQL conf so the loop plans under the
+    // same shuffle sizing / thresholds (static entries throw; skip)
+    for ((k, v) <- sess.conf.getAll)
+      try child.conf.set(k, v) catch { case _: Throwable => () }
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val rawView = s"graft_cc_raw_$tag"
+    val outView = s"graft_cc_labels_$tag"
+    raw.createOrReplaceGlobalTempView(rawView)
+    val gtDb = sess.conf.get("spark.sql.globalTempDatabase", "global_temp")
     // Pre-partition edges by source ONCE and localCheckpoint (eager):
     // the checkpointed LogicalRDD keeps HashPartitioning(x, p) — when
     // labels outgrow broadcast and the message join goes sort-merge,
@@ -367,26 +389,13 @@ object Dedup {
     // per doc): store SERIALIZED with disk spill — the deserialized
     // default is 5-10x larger and is what turns a tight heap into an
     // OOM at 30x data (see Graph.pageRank's edge table, same class)
-    val edges = raw.repartition(p, col("x")).localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val edges = child.table(s"$gtDb.$rawView")
+      .repartition(p, col("x")).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     raw.unpersist()
-    val sess = docs.sparkSession
-    // AQE re-plans every exchange as its own query-stage job — the
-    // right trade on real data, pure scheduling latency on the loop's
-    // already-sized p-partition rounds. Disable it for the loop only.
-    // The toggle is SESSION-global, so concurrent calls serialize on
-    // aqeLock — two interleaved restore paths could otherwise capture
-    // each other's "false" and pin AQE off for the session. Unrelated
-    // queries planned during the loop still see AQE off (a plan-
-    // latency trade, not a correctness one; single-driver pipelines
-    // run this operator alone).
-    aqeLock.synchronized {
-    val aqeBefore = try sess.conf.get("spark.sql.adaptive.enabled")
-      catch { case _: Throwable => "true" }
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       var prevSum: Option[java.math.BigDecimal] = None
       var converged = false
@@ -444,25 +453,35 @@ object Dedup {
         }
         i += 1
       }
-    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-    } // aqeLock
-    // Release the loop's cached tables before returning: callers hold
-    // only the returned PLAN, so the final round's MEMORY_AND_DISK
-    // persist (and the edge checkpoint) otherwise live for the whole
-    // session — one leaked corpus-scale cache per call. The eager SER
-    // checkpoint materializes the labels first, making the unpersists
-    // safe (the module's standard checkpoint-then-unpersist pattern).
-    val finalLabels = labels.localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    labels.unpersist()
-    edges.unpersist()
-    // isolated docs: their own cluster; the paired-vertex label table
-    // is tiny relative to the corpus, so AQE broadcasts it and the
-    // corpus side joins without a shuffle.
-    docs.select(col(idCol).as("id"))
-      .join(finalLabels, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("label"), col("id")).as("cluster"))
+      // Release the loop's cached tables before returning: callers
+      // hold only the returned PLAN, so the final round's
+      // MEMORY_AND_DISK persist (and the edge checkpoint) otherwise
+      // live for the whole session — one leaked corpus-scale cache per
+      // call. The eager SER checkpoint materializes the labels first,
+      // making the unpersists safe (the module's standard
+      // checkpoint-then-unpersist pattern). The checkpointed labels
+      // cross back to the PARENT session through the second global
+      // temp view, so the returned plan (and the corpus join below)
+      // is planned under the caller's conf — AQE on.
+      labels.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .createOrReplaceGlobalTempView(outView)
+      labels.unpersist()
+      edges.unpersist()
+      val finalLabels = sess.table(s"$gtDb.$outView")
+      // isolated docs: their own cluster; the paired-vertex label table
+      // is tiny relative to the corpus, so AQE broadcasts it and the
+      // corpus side joins without a shuffle.
+      docs.select(col(idCol).as("id"))
+        .join(finalLabels, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("label"), col("id")).as("cluster"))
+    } finally {
+      // analysis is eager, so the returned frame holds the RESOLVED
+      // checkpoint plan — the views are only needed until here
+      sess.catalog.dropGlobalTempView(rawView)
+      sess.catalog.dropGlobalTempView(outView)
+    }
   }
 
   /** n-gram (3-token shingle) Jaccard near-dup via an inverted-index

@@ -438,6 +438,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("nearDupClusters leaves the caller's session untouched (child-session AQE)") {
+    val s = spark; import s.implicits._
+    // the loop disables AQE in a CHILD session only: the parent conf
+    // must read the same before/after/during, and concurrent callers
+    // must not perturb each other (no shared toggle, no restore race)
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    val pairs = Seq((3L, 5L), (3L, 9L), (10L, 11L)).toDF("a", "b")
+    val docs = Seq(3L, 5L, 9L, 10L, 11L, 20L).toDF("doc_id")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((1 to 3).map(_ => Future {
+      Dedup.nearDupClusters(pairs, docs)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    })), Duration.Inf)
+    results.foreach { r =>
+      assert(r == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    }
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true",
+      "parent session AQE flipped by nearDupClusters")
+    // the cross-session handoff views are dropped on exit
+    assert(!s.catalog.listTables("global_temp").collect()
+      .exists(_.name.startsWith("graft_cc_")),
+      "leaked graft_cc_* global temp views")
+  }
+
   test("nearDupClusters converges on a chain longer than maxIters (path halving)") {
     val s = spark; import s.implicits._
     // 61-vertex path graph: plain 1-hop min-label needs 60 rounds to
