@@ -130,6 +130,58 @@ class EtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == "First")
   }
 
+  test("C5 sweep: strict-vs-default label delta is exactly the empty-referrer class") {
+    // Config sweep over every referrer shape the cascade
+    // distinguishes (the c5 board corpus plus null, bare-empty, and a
+    // host-less garbage string). Pins the migration contract for
+    // dashboards switching to strict parity (ref `Referrer.pm:46-47`):
+    // ONLY null/empty referrers change label (Direct -> dropped);
+    // every other label — including the degenerate no-host parse —
+    // is byte-identical between modes. The measured label-delta
+    // table lives in COVERAGE.md ("Round-12: c5 strict-mode label
+    // deltas").
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      "https://www.google.com/search?q=spark",   // Google
+      "https://myrepo.org/123",                  // Internal (Abstract page)
+      "https://search.yahoo.com/search?p=plans", // Yahoo
+      "",                                        // empty -> the delta class
+      null,                                      // null  -> the delta class
+      "https://www.bing.com/search?q=x",         // MSN/Bing
+      "https://myrepo.org/profile/jsmith",       // Internal (MePrints Profile Page)
+      "https://intranet.campus.example/page",    // local_domains match
+      "https://unknown.example.net/page",        // raw-hostname fallback
+      "42",                                      // numeric = internal abstract
+      "   ")                                     // garbage: no host either mode
+    // 7 copies of each shape so a count regression can't hide in ties
+    val raw = (1 to 7).flatMap(_ => corpus).toDF("url")
+    val domains = Seq("Campus Intranet" -> "(^|\\.)campus\\.example$")
+    val both = raw.select(col("url"),
+      Classify.referrer(col("url"), "myrepo.org", domains).as("dflt"),
+      Classify.referrer(col("url"), "myrepo.org", domains,
+        dropEmptyReferrer = true).as("strict"))
+
+    // row-wise: a label shifts IFF the raw referrer is null/empty,
+    // and the shift is always Direct -> NULL
+    val shifted = both.where(!(col("dflt") <=> col("strict")))
+    assert(shifted.where(!(col("url").isNull || col("url") === "")).count() == 0,
+      "strict mode changed a non-empty referrer's label")
+    assert(shifted.where(col("dflt") =!= "Direct" || col("strict").isNotNull)
+      .count() == 0, "the shift class is not Direct -> NULL")
+    assert(shifted.count() == 14) // 2 shapes x 7 copies
+
+    // label-histogram diff: strict drops the Direct bucket into a
+    // NULL bucket of the same size; every other bucket is unchanged
+    def hist(c: String) = both.groupBy(col(c).as("label"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val d = hist("dflt"); val st = hist("strict")
+    assert(d(Some("Direct")) == 14 && !st.contains(Some("Direct")))
+    assert(st(None) == 14 + d.getOrElse(None, 0L)) // garbage rows are null in BOTH modes
+    assert((d - Some("Direct") - None) == (st - None),
+      "a non-Direct label count moved between modes")
+  }
+
   test("C6: search-term extraction with stopword and length filters") {
     val s = spark; import s.implicits._
     val df = Seq("https://www.google.com/search?q=the+dark+%22matter%22+a+of")

@@ -568,13 +568,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t22_bpe_train", "g1_pagerank", "d6_dedup_clusters", // driver loops
     "g2_triangles", "g2b_triangles_adj") // checkpointed edge build
 
-  /** The blessed NLJ-bearing queries — the round-8 sweep's 20, each a
-    * 1-row scalar broadcast (grand totals, thresholds, trained
-    * centroids/codebooks, query vectors, execution-time row-cap
-    * guards) where BroadcastNestedLoopJoin IS the intended plan. */
+  /** The blessed NLJ-bearing queries — the round-8 sweep's 20 minus
+    * `o8_ntile` (its persist-strategy `crossJoin(broadcast(total))`
+    * disappeared when the pinned strategy became the default: the
+    * total now rides the offsets frame through an equi-join). Each
+    * remaining entry is a 1-row scalar broadcast (grand totals,
+    * thresholds, trained centroids/codebooks, query vectors,
+    * execution-time row-cap guards) where BroadcastNestedLoopJoin IS
+    * the intended plan. */
   private val intendedNlj: Set[String] = Set(
     "d9_semantic_dedup", "h22_idle_rich", "j7_salted_join", "kf_metrics",
-    "o16_range_bounds", "o8_ntile", "s16_snapshot_diff", "t19_bm25",
+    "o16_range_bounds", "s16_snapshot_diff", "t19_bm25",
     "t20_bigram_lm", "t21_dsir", "t24_collocations", "t28_temperature_mix",
     "v13_knn_classify", "v15_recall_eval", "v1_ann_bruteforce",
     "v2_cosine_neardup", "v5_ann_ivf", "v7_rrf_fusion", "v9_ivf_pq",
