@@ -5,10 +5,10 @@
 # compare query-by-query, so each pair must come from the same code and
 # the same session, with nothing else running on the machine:
 #
-#   BENCH_FULL.json      full board (200 q)  at sf0.1   ~10 min
-#   BENCH_SF1_FULL.json  full board          at sf1     ~25 min
-#   BENCH_SF01_REF.json  heavy-38 subset     at sf0.1    ~5 min
-#   BENCH_SF1.json       heavy-38 subset     at sf1     ~12 min
+#   BENCH_FULL.json      full board  at sf0.1   ~10 min
+#   BENCH_SF1_FULL.json  full board  at sf1     ~25 min
+#   BENCH_SF01_REF.json  heavy-38 subset at sf0.1   ~5 min
+#   BENCH_SF1.json       heavy-38 subset at sf1    ~12 min
 #
 # Bench reads each OUT file as its contention baseline BEFORE
 # overwriting it (SPARK_GRAFT_BENCH_BASELINE overrides), so run this
@@ -20,8 +20,12 @@
 #
 # Contention self-labeling: a query tripping any retry trigger gets one
 # end-of-suite re-measure plus "noisy": true; gates use min(warm, retry).
-# A leg with noisy > ~5 ran contended — discard it (git checkout) and
-# re-run the whole chain in a quieter window rather than mixing legs.
+# A leg whose noisy count exceeds its budget ran contended — the chain
+# now DISCARDS it (restore the pre-leg file) and retries ONCE after a
+# cool-down, instead of silently handing a hot leg to the gates (rounds
+# 10/12 both shipped or nearly shipped contaminated legs this way). A
+# leg still over budget after the retry is kept and flagged loudly for
+# manual graft.TimeQ adjudication — never commit it as-is.
 #
 # Usage: nohup bash scripts/repin.sh > /tmp/repin_chain.log 2>&1 &
 set -e
@@ -36,15 +40,44 @@ fi
 
 HEAVY=$(python3 -c "import json; print(','.join(sorted(json.load(open('BENCH_SF01_REF.json'))['queries'])))")
 
-SPARK_GRAFT_BENCH_OUT=BENCH_FULL.json \
-  sbt -batch "runMain graft.Bench" > /tmp/repin_full01.log 2>&1
-SPARK_GRAFT_SF_DIR=target/sfgen/sf1 SPARK_GRAFT_BENCH_OUT=BENCH_SF1_FULL.json \
-  sbt -batch "runMain graft.Bench" > /tmp/repin_full1.log 2>&1
-SPARK_GRAFT_BENCH_ONLY=$HEAVY SPARK_GRAFT_BENCH_OUT=BENCH_SF01_REF.json \
-  sbt -batch "runMain graft.Bench" > /tmp/repin_ref01.log 2>&1
-SPARK_GRAFT_SF_DIR=target/sfgen/sf1 SPARK_GRAFT_BENCH_ONLY=$HEAVY \
-  SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json \
-  sbt -batch "runMain graft.Bench" > /tmp/repin_ref1.log 2>&1
+noisy_count() {
+  python3 -c "
+import json; q = json.load(open('$1'))['queries']
+print(sum(1 for v in q.values() if isinstance(v, dict) and v.get('noisy')))"
+}
+
+CHAIN_OK=1
+
+# run_leg <out-file> <noisy-budget> <log> <env assignments...>
+run_leg() {
+  local out=$1 budget=$2 log=$3; shift 3
+  cp "$out" "/tmp/repin_baseline_$(basename "$out")"
+  for attempt in 1 2; do
+    env "$@" sbt -batch "runMain graft.Bench" > "$log" 2>&1
+    local noisy; noisy=$(noisy_count "$out")
+    echo "[repin] $out attempt $attempt: noisy=$noisy (budget $budget)"
+    if [ "$noisy" -le "$budget" ]; then return 0; fi
+    if [ "$attempt" = 1 ]; then
+      echo "[repin] $out ran contended — restoring baseline, cooling down 120s, retrying"
+      cp "/tmp/repin_baseline_$(basename "$out")" "$out"
+      sleep 120
+    else
+      echo "[repin] WARNING: $out STILL over noisy budget after retry —"
+      echo "[repin]   kept for inspection; adjudicate with graft.TimeQ, do NOT commit as-is"
+      CHAIN_OK=0
+    fi
+  done
+}
+
+run_leg BENCH_FULL.json 5 /tmp/repin_full01.log \
+  SPARK_GRAFT_BENCH_OUT=BENCH_FULL.json
+run_leg BENCH_SF1_FULL.json 5 /tmp/repin_full1.log \
+  SPARK_GRAFT_SF_DIR=target/sfgen/sf1 SPARK_GRAFT_BENCH_OUT=BENCH_SF1_FULL.json
+run_leg BENCH_SF01_REF.json 2 /tmp/repin_ref01.log \
+  SPARK_GRAFT_BENCH_ONLY="$HEAVY" SPARK_GRAFT_BENCH_OUT=BENCH_SF01_REF.json
+run_leg BENCH_SF1.json 2 /tmp/repin_ref1.log \
+  SPARK_GRAFT_SF_DIR=target/sfgen/sf1 SPARK_GRAFT_BENCH_ONLY="$HEAVY" \
+  SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json
 
 for f in BENCH_FULL.json BENCH_SF1_FULL.json BENCH_SF01_REF.json BENCH_SF1.json; do
   python3 -c "
@@ -53,4 +86,8 @@ noisy = [k for k, v in q.items() if isinstance(v, dict) and v.get('noisy')]
 fails = [k for k, v in q.items() if isinstance(v, dict) and v.get('warm', 0) < 0]
 print(f'$f: {len(q)} queries, total {d[\"value\"]}s, noisy {noisy or 0}, fails {fails or 0}')"
 done
-echo "REPIN_DONE — now run: sbt test   (artifact gates must be green before committing)"
+if [ "$CHAIN_OK" = 1 ]; then
+  echo "REPIN_DONE — now run: sbt test   (artifact gates must be green before committing)"
+else
+  echo "REPIN_DONE_WITH_WARNINGS — at least one leg stayed noisy; adjudicate before committing"
+fi

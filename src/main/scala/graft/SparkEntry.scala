@@ -182,6 +182,45 @@ object SparkEntry {
           liveFilter = Some(live)))
     }),
 
+    // ---- F12/ks2: malformed-context error contract (ref
+    // Utils.pm:242-331 range resolution; QueryCompiler.compile's
+    // fail-loud require). An UNRESOLVED symbolic range ('6m' with no
+    // from/to) must be REJECTED at compile — compile consumes only
+    // from/to, so accepting it would silently answer a 6-month
+    // request with all-time sums. The contract is pinned as data the
+    // oracle can assert (the a14 pattern): each probe row carries a
+    // deterministic outcome flag, and DuckDB's side is the expected
+    // constant table — a regression (require dropped, message
+    // changed class, unknown-datatype path softened) flips a flag and
+    // fails the hash compare. ----
+    "ks2_error_contract" -> ((s, d) => {
+      import s.implicits._
+      val cat = Catalog(facts = Map("events" -> fact(s, d)))
+      def probe(ctx: Context): String =
+        try { QueryCompiler.compile(ctx, cat); "compiled" }
+        catch {
+          case e: IllegalArgumentException
+            if String.valueOf(e.getMessage).contains("unresolved") =>
+              "rejected_unresolved"
+          case e: IllegalArgumentException
+            if String.valueOf(e.getMessage).contains("unknown datatype") =>
+              "rejected_unknown_datatype"
+          case _: Throwable => "wrong_error"
+        }
+      val sym = Context(datatype = "events", range = Some("6m"))
+      Seq(
+        ("range_6m_unresolved", probe(sym)),
+        // resolved() clears the symbolic range into concrete bounds —
+        // the same context compiles once the production path ran
+        ("range_6m_resolved",
+          probe(sym.resolved(java.time.LocalDate.parse("2024-03-01")))),
+        // _ALL_ is the one symbolic range compile accepts unresolved:
+        // it IS the all-time query (guards the A5 MV swap's gate)
+        ("range_all", probe(Context(datatype = "events", range = Some("_ALL_")))),
+        ("unknown_datatype", probe(Context(datatype = "no_such_table"))))
+        .toDF("probe", "outcome").orderBy("probe")
+    }),
+
     // ---- J3/F6: archive-only semi-join ----
     "j3_semi_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -3036,12 +3075,20 @@ object SparkEntry {
     }),
 
     // ---- Anonymized set WITH a blacklist (ref Sets.pm:341-360
-    // generate_key + Sets.pm:94-97 set properties): the blacklist
-    // matches the PRE-anonymization lowercased key — filtering after
-    // anonymization would compare raw blacklist entries against md5
-    // digests, match nothing, and silently disable the blacklist.
-    // Keys a7/a13 must be gone and every surviving key a digest; an
-    // order regression shows up as two extra rows + hash mismatch ----
+    // generate_key; blacklist applied in get_set_values at
+    // Sets.pm:303-307). INTENTIONAL DEVIATION, not parity: the
+    // reference tests the blacklist against the RAW value before
+    // normalise_set_values lowercases it — and for compound sets the
+    // raw value is a hashref, so the reference blacklist can never
+    // match a compound member at all. Graft instead matches against
+    // the lowercased extracted KEY, which (a) makes blacklisting
+    // usable for compound sets and (b) is case-insensitive where the
+    // reference is case-sensitive. Ordering parity is kept where it
+    // matters: the check runs PRE-anonymization — filtering after
+    // would compare blacklist entries against md5 digests, match
+    // nothing, and silently disable the blacklist. Keys a7/a13 must
+    // be gone and every surviving key a digest; an order regression
+    // shows up as two extra rows + hash mismatch ----
     "set_anon_blacklist" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val k = (col("c_custkey") % 50).cast("string")
@@ -3147,6 +3194,17 @@ object SparkEntry {
          |FROM f GROUP BY 1
          |ORDER BY count DESC, grouping_value ASC
          |LIMIT 2 OFFSET 1""".stripMargin,
+
+    // the expected error-contract table: constants on the oracle
+    // side, observed probe outcomes on the Spark side
+    "ks2_error_contract" ->
+      """SELECT * FROM (VALUES
+        |  ('range_6m_resolved', 'compiled'),
+        |  ('range_6m_unresolved', 'rejected_unresolved'),
+        |  ('range_all', 'compiled'),
+        |  ('unknown_datatype', 'rejected_unknown_datatype'))
+        |  AS t(probe, outcome)
+        |ORDER BY probe""".stripMargin,
 
     "w1_densify" ->
       """WITH s AS (

@@ -329,6 +329,42 @@ object Dedup {
     * the global label sum strictly decreases until fixpoint — one
     * tiny agg over the round's already-checkpointed blocks decides
     * termination. Bounded by `maxIters`. */
+  /** Lazily-created PER-PARENT-SESSION child session for the
+    * clustering loop (AQE off). Building a fresh `newSession()` per
+    * call was measured at ~0.25-0.3 s fixed cost at sf0.1 (a fresh
+    * SessionState instantiates the whole analyzer/optimizer stack on
+    * first use, plus the dynamic-conf copy) — a real tax on repeated
+    * incremental-dedup calls, so the child is created ONCE per parent
+    * and reused; calls are isolated from each other by the uniquely
+    * named global temp views, not by the session. WeakHashMap: the
+    * child holds the SparkContext/sharedState, NOT the parent session
+    * object, so a discarded parent stays collectible. Caveat (by
+    * design): the parent's dynamic conf is snapshotted at FIRST use —
+    * later parent-side conf changes don't re-propagate; the loop's
+    * parallelism is explicit (`repartition(p, ...)` with p computed
+    * from the parent's live conf), so the only child-conf dependence
+    * that matters is the AQE toggle this session exists to pin. */
+  private val loopSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.SparkSession]())
+  private def loopSession(sess: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    loopSessions.synchronized {
+      var c = loopSessions.get(sess)
+      if (c == null) {
+        c = sess.newSession()
+        // newSession starts from the builder conf, not runtime-set
+        // values: copy the parent's dynamic SQL conf so the loop plans
+        // under the same shuffle sizing / thresholds (static throw; skip)
+        for ((k, v) <- sess.conf.getAll)
+          try c.conf.set(k, v) catch { case _: Throwable => () }
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+        loopSessions.put(sess, c)
+      }
+      c
+    }
+
   def nearDupClusters(pairs: DataFrame, docs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -365,18 +401,17 @@ object Dedup {
     // NAMED global temp views (dropped in the finally): a view stores
     // the LOGICAL plan, so the checkpointed LogicalRDD — with its
     // HashPartitioning — re-analyzes identically in the child.
-    val child = sess.newSession()
-    // newSession starts from the builder conf, not runtime-set values:
-    // copy the parent's dynamic SQL conf so the loop plans under the
-    // same shuffle sizing / thresholds (static entries throw; skip)
-    for ((k, v) <- sess.conf.getAll)
-      try child.conf.set(k, v) catch { case _: Throwable => () }
-    child.conf.set("spark.sql.adaptive.enabled", "false")
+    val child = loopSession(sess)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val rawView = s"graft_cc_raw_$tag"
     val outView = s"graft_cc_labels_$tag"
-    raw.createOrReplaceGlobalTempView(rawView)
     val gtDb = sess.conf.get("spark.sql.globalTempDatabase", "global_temp")
+    // try begins BEFORE view registration and the eager edge/label
+    // checkpoints: those jobs run real corpus-scale work, and a
+    // failure there must not leak the global temp view (app-lifetime
+    // scope) or the raw persist — the finally below covers them all.
+    try {
+    raw.createOrReplaceGlobalTempView(rawView)
     // Pre-partition edges by source ONCE and localCheckpoint (eager):
     // the checkpointed LogicalRDD keeps HashPartitioning(x, p) — when
     // labels outgrow broadcast and the message join goes sort-merge,
@@ -396,7 +431,6 @@ object Dedup {
       .withColumn("label", col("id"))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     raw.unpersist()
-    try {
       var prevSum: Option[java.math.BigDecimal] = None
       var converged = false
       var i = 0
@@ -429,7 +463,7 @@ object Dedup {
         // action both populates next's cache and returns the sum;
         // decimal(38,0) is exact at any vertex count (no Long overflow).
         val sumNow = Option(next
-          .agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+          .agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         // compareTo, not equals: BigDecimal.equals is scale-sensitive
         converged = (prevSum, sumNow) match {
           case (Some(a), Some(b)) => a.compareTo(b) == 0
@@ -478,9 +512,12 @@ object Dedup {
           coalesce(col("label"), col("id")).as("cluster"))
     } finally {
       // analysis is eager, so the returned frame holds the RESOLVED
-      // checkpoint plan — the views are only needed until here
+      // checkpoint plan — the views are only needed until here.
+      // dropGlobalTempView is a silent no-op for a never-created view
+      // (early failure paths); unpersist is idempotent on raw.
       sess.catalog.dropGlobalTempView(rawView)
       sess.catalog.dropGlobalTempView(outView)
+      raw.unpersist()
     }
   }
 

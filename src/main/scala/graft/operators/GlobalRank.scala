@@ -136,7 +136,24 @@ object GlobalRank {
         acc.last.indices.forall(i => java.util.Objects.equals(acc.last(i), r(i))) => acc
       case (acc, r) => acc :+ r
     }.toArray
-    if (cuts.isEmpty) return lit(0)
+    if (cuts.isEmpty) {
+      // Degenerate: empty/tiny sample, p == 1, or every sampled key
+      // tuple equal (constant / near-constant sort key). One bucket ⇒
+      // the final window sorts the WHOLE input in one task — exactly
+      // the hazard this operator exists to avoid. Correct (ranks are
+      // still exact), so don't fail; but on a non-trivial input this
+      // must not pass silently: the fix is a caller-side tiebreaker
+      // column (restores spread) — falling back to persist would not
+      // help, since repartitionByRange samples the same constant key
+      // into the same single range.
+      if (m > 1 && p > 1)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"GlobalRank: all $m sampled sort-key tuples are equal — " +
+            "every row lands in ONE bucket and the final window runs " +
+            "as a single-partition sort. Add a tiebreaker column " +
+            "(e.g. a unique id) to the sort key to restore parallelism.")
+      return lit(0)
+    }
     val searcher = new graft.plans.CutSearcher(cuts, types,
       specs.map(_.desc).toArray, specs.map(_.nullsFirst).toArray)
     org.apache.spark.sql.GraftSortBridge.columnOf(
@@ -281,9 +298,28 @@ object GlobalRank {
 
   // ---------------------------------------------------------------
   // public API — strategy-dispatched
+  //
+  // CALLER CONTRACT (pinned default): calling any of these launches
+  // an EAGER Spark job at plan-construction time (the boundary
+  // sample's executeCollect, bounded at ≤8,192 key tuples) and the
+  // returned plan RE-EXECUTES the upstream for the two narrow
+  // auxiliary passes. Two consequences:
+  //   1. An upstream with an unstable row MULTISET across executions
+  //      (df.sample() without a seed, LIMIT without ORDER BY) yields
+  //      wrong ranks — the passes disagree on membership. Persist the
+  //      upstream first, or use the *Persist variants, which read one
+  //      materialized assignment and are immune.
+  //   2. An EXPENSIVE upstream (heavy aggregate/join) is recomputed
+  //      2× column-pruned + 1× full — persist it, or set
+  //      GRAFT_RANK_STRATEGY=persist, when that dominates.
+  // (Also in README "Exact global rank" — keep the two in sync.)
   // ---------------------------------------------------------------
 
-  /** Append `out` = exact global row_number under `order`. */
+  /** Append `out` = exact global row_number under `order`.
+    * See the caller contract above: eager boundary-sample job at call
+    * time; upstream re-executed for the auxiliary passes — persist a
+    * nondeterministic or expensive upstream, or use
+    * [[withRowNumberPersist]]. */
   def withRowNumber(df: DataFrame, order: Seq[Column],
       out: String = "rn", partitions: Int = 0): DataFrame =
     if (chosenStrategy == "persist") withRowNumberPersist(df, order, out, partitions)
@@ -293,14 +329,17 @@ object GlobalRank {
     * under `order` (`ROWS UNBOUNDED PRECEDING` semantics — exact when
     * the sort key is unique; pass a tiebreaker). The
     * weighted-systematic-sampling and sequence-packing operators
-    * build on this. */
+    * build on this. Caller contract above applies (eager sample job;
+    * upstream re-executed — see [[withPrefixSumPersist]]). */
   def withPrefixSum(df: DataFrame, value: Column, order: Seq[Column],
       out: String = "cum", partitions: Int = 0): DataFrame =
     if (chosenStrategy == "persist") withPrefixSumPersist(df, value, order, out, partitions)
     else withPrefixSumPinned(df, value, order, out, partitions)
 
   /** Append `out` = exact NTILE(buckets) under `order` (SQL
-    * semantics, same rows-per-bucket split as the window function). */
+    * semantics, same rows-per-bucket split as the window function).
+    * Caller contract above applies (eager sample job; upstream
+    * re-executed — see [[withNtilePersist]]). */
   def withNtile(df: DataFrame, buckets: Int, order: Seq[Column],
       out: String = "ntile", partitions: Int = 0): DataFrame =
     if (chosenStrategy == "persist") withNtilePersist(df, buckets, order, out, partitions)
