@@ -2482,6 +2482,32 @@ object SparkEntry {
           sum(when(col("c_bal").isNull, 1L).otherwise(0L)).as("n_missing"))
     }),
 
+    // ---- S18: partition-stats manifest + zone-map pruning — the
+    // Iceberg/Delta file-statistics pattern: one tiny per-partition
+    // row (count, ndv, min/max of the clustered column) built in a
+    // single scan, then a point/range predicate is answered FROM THE
+    // MANIFEST — the `prunable` flag shows which day partitions a
+    // scan of `event_id ∈ [lo, lo + span/10]` would skip without
+    // opening them. The probe bounds derive from the data (global
+    // min/max, integer DIV), so the row is deterministic
+    // cross-engine; the bounds frame is one row and broadcasts ----
+    "s18_partition_stats" -> ((s, d) => {
+      val e = ev(s, d)
+      val manifest = e.groupBy(to_date(col("ts")).as("day")).agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("user_id")).as("n_users"),
+        min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      val bounds = e.agg(min("event_id").as("lo"),
+        expr("min(event_id) + (max(event_id) - min(event_id)) div 10")
+          .as("probe_hi"))
+      manifest.crossJoin(broadcast(bounds))
+        .withColumn("prunable",
+          (col("min_eid") > col("probe_hi") || col("max_eid") < col("lo"))
+            .cast("long"))
+        .select("day", "n_rows", "n_users", "min_eid", "max_eid", "prunable")
+        .orderBy("day")
+    }),
+
     // ---- S11: single-pass table profiling (ANALYZE shape) — all
     // columns' stats in ONE scan; exact ndv here (oracle-gated),
     // approx_count_distinct is the 100 TB path ----
@@ -2921,6 +2947,52 @@ object SparkEntry {
         .agg(max("n_docs").as("n_docs"), max("target").as("target"),
           count(lit(1)).as("n_kept"), sum("n_tok").as("tok_kept"))
         .orderBy("source")
+    }),
+
+    // ---- T29: dedup-aware corpus accounting — the dataset-card
+    // numbers every training corpus publishes: per language, raw vs
+    // deduplicated doc and token mass and the duplicate-token share.
+    // Shape: ONE shuffle on (lang, digest) — the md5 digest is the
+    // dedup key (d1's convention), so full text never crosses the
+    // wire and the token count rides the digest row; the per-lang
+    // regroup is over the already-tiny unique-key frame. Integer
+    // percentage (DIV) keeps the row engine-exact ----
+    "t29_dedup_accounting" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("lang"),
+        md5(lower(col("text"))).as("key"),
+        Text.tokenCount(col("text")).cast("long").as("n"))
+      val per = t.groupBy("lang", "key")
+        .agg(count(lit(1)).as("copies"), min("n").as("n"))
+      per.groupBy("lang").agg(
+          sum("copies").as("docs"),
+          count(lit(1)).as("uniq_docs"),
+          sum(col("n") * col("copies")).as("tokens"),
+          sum("n").as("uniq_tokens"))
+        // n >= 1 for every doc (split('') = ['']), so tokens >= docs >= 1
+        .withColumn("dup_token_pct",
+          expr("((tokens - uniq_tokens) * 100) div tokens"))
+        .orderBy("lang")
+    }),
+
+    // ---- T30: train/val split leakage — near-duplicate pairs that
+    // STRADDLE the t8 split boundary (a val doc whose near-dup sits
+    // in train is evaluation leakage; the check every pipeline must
+    // run after splitting). Composes d2's banded-LSH pair set with
+    // t8's deterministic salted-hash split: the pair list is orders
+    // of magnitude smaller than the corpus, so it joins the narrow
+    // (id, split) projection on two ordinary hash joins — the corpus
+    // text never moves and nothing corpus-sized is broadcast ----
+    "t30_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDup(docs, num = 1, den = 2)
+      val sp = docs.select(col("doc_id"),
+        Text.splitAssign(col("doc_id"), "split-v1", 90, Some(s)).as("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+        .join(sp.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("a", "b", "split_a", "split_b")
+        .orderBy("a", "b")
     }),
 
     // ---- V7: hybrid retrieval with reciprocal-rank fusion — the
@@ -3782,6 +3854,38 @@ object SparkEntry {
          |       COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tok_kept
          |FROM r WHERE rk <= target GROUP BY 1 ORDER BY source""".stripMargin,
 
+    // d1's md5(lower(text)) dedup key; MIN(n) is deterministic (one
+    // key => one token count); integer percentage via //
+    "t29_dedup_accounting" ->
+      """WITH per AS (
+        |  SELECT lang, md5(lower(text)) AS key, COUNT(*) AS copies,
+        |         MIN(len(string_split(lower(text), ' '))) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang,
+        |  CAST(SUM(copies) AS BIGINT) AS docs,
+        |  CAST(COUNT(*) AS BIGINT) AS uniq_docs,
+        |  CAST(SUM(n * copies) AS BIGINT) AS tokens,
+        |  CAST(SUM(n) AS BIGINT) AS uniq_tokens,
+        |  CAST(((SUM(n * copies) - SUM(n)) * 100) // SUM(n * copies)
+        |    AS BIGINT) AS dup_token_pct
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // d2's pair CTEs + t8's salted-hash split; a pair leaks when its
+    // endpoints land in different splits
+    "t30_split_leakage" ->
+      s"""WITH $minhashPairsCtes,
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${hex60("CAST(doc_id AS VARCHAR) || '|split-v1'")} % 100 < 90
+         |      THEN 'train' ELSE 'val' END AS split
+         |  FROM documents)
+         |SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b
+         |FROM pairs p
+         |JOIN sp sa ON sa.doc_id = p.a
+         |JOIN sp sb ON sb.doc_id = p.b
+         |WHERE sa.split <> sb.split
+         |ORDER BY a, b""".stripMargin,
+
     "v7_rrf_fusion" ->
       """WITH mm AS (
         |  SELECT vec_id, embedding,
@@ -4323,6 +4427,25 @@ object SparkEntry {
         |  FROM events)
         |SELECT format, n_rows, id_sum, n_types, n_days
         |FROM f CROSS JOIN a ORDER BY format""".stripMargin,
+
+    // manifest per day + data-derived probe bounds; `prunable` says
+    // the day's zone map excludes event_id in [lo, lo + span/10]
+    "s18_partition_stats" ->
+      """WITH m AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_rows,
+        |         COUNT(DISTINCT user_id) AS n_users,
+        |         MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT MIN(event_id) AS lo,
+        |         MIN(event_id) + (MAX(event_id) - MIN(event_id)) // 10
+        |           AS probe_hi
+        |  FROM events)
+        |SELECT day, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_users AS BIGINT) AS n_users, min_eid, max_eid,
+        |  CAST(CASE WHEN min_eid > probe_hi OR max_eid < lo
+        |    THEN 1 ELSE 0 END AS BIGINT) AS prunable
+        |FROM m CROSS JOIN b ORDER BY day""".stripMargin,
 
     "s17_schema_evolution" ->
       """SELECT COUNT(*) AS n_rows,

@@ -442,7 +442,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark; import s.implicits._
     // the loop disables AQE in a CHILD session only: the parent conf
     // must read the same before/after/during, and concurrent callers
-    // must not perturb each other (no shared toggle, no restore race)
+    // must not perturb each other (no shared toggle, no restore race).
+    // Since round 13 the child is a per-parent SINGLETON
+    // (Dedup.loopSession): the three concurrent calls below all run
+    // in ONE shared child session, isolated from each other only by
+    // their uniquely named graft_cc_* global temp views — so this
+    // test also pins the singleton's thread safety and reuse
+    // (correct results per call, zero leaked views after all three).
     s.conf.set("spark.sql.adaptive.enabled", "true")
     val pairs = Seq((3L, 5L), (3L, 9L), (10L, 11L)).toDF("a", "b")
     val docs = Seq(3L, 5L, 9L, 10L, 11L, 20L).toDF("doc_id")
