@@ -578,7 +578,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     * the intended plan. */
   private val intendedNlj: Set[String] = Set(
     "d9_semantic_dedup", "h22_idle_rich", "j7_salted_join", "kf_metrics",
-    "o16_range_bounds", "s16_snapshot_diff", "t19_bm25",
+    "o16_range_bounds", "s16_snapshot_diff", "s18_partition_stats",
+    "t19_bm25",
     "t20_bigram_lm", "t21_dsir", "t24_collocations", "t28_temperature_mix",
     "v13_knn_classify", "v15_recall_eval", "v1_ann_bruteforce",
     "v2_cosine_neardup", "v5_ann_ivf", "v7_rrf_fusion", "v9_ivf_pq",

@@ -174,6 +174,10 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "t22_bpe_train" -> (6.0, "BPE driver rounds over 10x vocab support"),
     "t16_contamination" -> (6.0, "sliding-gram index grows with clone grams"),
     "t25_winnowing" -> (6.0, "fingerprint index linear, small base"),
+    // t30 re-runs d2's banded-LSH pipeline, so it inherits d2's
+    // clone-family candidate growth class (d2's own cap is 12x);
+    // measured 3.2x at the round-13 introduction
+    "t30_split_leakage" -> (12.0, "inherits d2's LSH clone-family candidate growth"),
     "g1_pagerank" -> (8.0, "10x edges x fixed iterations"),
     // g2/g2b moved to absoluteSf1Caps below (round-11): their sf0.1
     // bases swing 2.8-7.6s with suite position while the sf1 absolutes
