@@ -1034,6 +1034,33 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    // ---- D14: soft dedup — instead of DROPPING near-duplicates
+    // (d13's survivorship pick), weight every doc by 1/cluster_size
+    // so each near-dup family contributes ONE doc-equivalent of mass;
+    // the per-language effective corpus size after soft dedup. The
+    // modern alternative when dup families carry distinct metadata
+    // worth keeping. Weights are integer permille (floor(1000/size),
+    // floor(n*1000/size)) so the row is engine-exact. Plan shape:
+    // d6's clustering loop, then the doc table joins its (id,
+    // cluster) labels on one shuffle and the tiny cluster-size frame
+    // broadcasts ----
+    "d14_soft_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.minhashNearDup(docs, num = 1, den = 2), docs)
+      val sized = clusters.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      docs.select(col("doc_id"), col("lang"),
+          Text.tokenCount(col("text")).cast("long").as("n"))
+        .join(clusters, Seq("doc_id"))
+        .join(sized, Seq("cluster"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum("n").as("tokens"),
+          sum(expr("1000 div csize")).as("weight_x1000"),
+          sum(expr("(n * 1000) div csize")).as("tok_weight_x1000"))
+        .orderBy("lang")
+    }),
+
     // ---- G1: PageRank centrality over the co-purchase part graph
     // (parts sharing an order) — integer-exact damping arithmetic,
     // 2 Lloyd-style iterations, the whole loop oracle-checked ----
@@ -1640,6 +1667,42 @@ object SparkEntry {
         .select(col("user_id"), col("v_day").as("view_day"),
           col("p_day").as("purch_day"))
         .orderBy("user_id", "view_day", "purch_day")
+    }),
+
+    // ---- O19: bucketed co-located join — THE shuffle-killer layout
+    // at 100 TB: both tables pre-bucketed (8 buckets, saveAsTable)
+    // on the join key, so the sort-merge join consumes the scans'
+    // HashPartitioning directly and NEITHER side shuffles — the plan
+    // carries zero exchanges on the custkey path (pinned by
+    // PlanShapeSpec "o19 bucketed join"). The bucketed tables are
+    // written ONCE per (JVM, sfDir) into a swept temp dir; warm runs
+    // measure the read-side join, the layout's actual payoff (write
+    // cost is o13/s13's domain). hint("merge") pins SMJ so a small
+    // sf doesn't flip to broadcast and silently skip the co-location
+    // the query exists to prove ----
+    "o19_bucketed_join" -> ((s, d) => {
+      val tmp = fixtureDir("o19", d)(_ => ())
+      val sfx = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
+          .getMostSignificantBits)
+      def bucketed(name: String, df: => DataFrame): DataFrame = {
+        val tbl = s"graft_o19_${name}_$sfx"
+        if (!s.catalog.tableExists(tbl))
+          df.write.mode("overwrite").option("path", s"$tmp/$name")
+            .bucketBy(8, df.columns.head).sortBy(df.columns.head)
+            .saveAsTable(tbl)
+        s.table(tbl)
+      }
+      val o = bucketed("orders", Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice")))
+      val c = bucketed("customer", Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
     }),
 
     // ---- O17: Poisson bootstrap — per-replicate deterministic
@@ -3984,6 +4047,34 @@ object SparkEntry {
          |       CAST(n_members AS BIGINT) AS n_members
          |FROM sv WHERE rk = 1 ORDER BY cluster""".stripMargin,
 
+    // d6's closure, then 1/cluster_size permille weights — integer
+    // floor both sides ((n*1000)//csize)
+    "d14_soft_dedup" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT a AS x, b AS y FROM pairs
+         |  UNION SELECT b AS x, a AS y FROM pairs),
+         |rr(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT rr.x, e.y FROM rr JOIN edges e ON rr.y = e.x),
+         |m AS (SELECT x, MIN(y) AS mn FROM rr GROUP BY x),
+         |cl AS (
+         |  SELECT doc_id, CASE WHEN m.mn IS NULL OR m.mn > doc_id
+         |    THEN doc_id ELSE m.mn END AS cluster
+         |  FROM documents LEFT JOIN m ON m.x = doc_id),
+         |sz AS (SELECT cluster, COUNT(*) AS csize FROM cl GROUP BY 1),
+         |docw AS (
+         |  SELECT d.lang, len(string_split(lower(d.text), ' ')) AS n, sz.csize
+         |  FROM documents d
+         |  JOIN cl ON cl.doc_id = d.doc_id
+         |  JOIN sz USING (cluster))
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+         |  CAST(SUM(n) AS BIGINT) AS tokens,
+         |  CAST(SUM(1000 // csize) AS BIGINT) AS weight_x1000,
+         |  CAST(SUM((n * 1000) // csize) AS BIGINT) AS tok_weight_x1000
+         |FROM docw GROUP BY lang ORDER BY lang""".stripMargin,
+
     "g2_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT i.l_partkey AS a, j.l_partkey AS b
@@ -5247,6 +5338,16 @@ object SparkEntry {
         |FROM v JOIN p USING (user_id)
         |WHERE v_lo < p_hi AND p_lo < v_hi
         |ORDER BY user_id, view_day, purch_day""".stripMargin,
+
+    // layout never changes results: the oracle is the plain join over
+    // the original parquet — only the Spark PLAN (zero exchanges on
+    // the custkey path) distinguishes the bucketed run
+    "o19_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "o17_poisson_bootstrap" ->
       s"""WITH r AS (SELECT unnest(generate_series(0, 9)) AS rep),

@@ -565,7 +565,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "st1_stream_daily", "st2_stream_dedup", "st3_stream_window",
     "st4_stream_repeat", "st5_stream_join", "st6_stream_neardup", // streaming runs execute at construction
     "s13_multiformat", "s17_schema_evolution", // fixture writers
+    "o19_bucketed_join", // table write on first construction; dedicated plan pin below
     "t22_bpe_train", "g1_pagerank", "d6_dedup_clusters", // driver loops
+    "d14_soft_dedup", // runs d6's clustering loop at construction
     "g2_triangles", "g2b_triangles_adj") // checkpointed edge build
 
   /** The blessed NLJ-bearing queries — the round-8 sweep's 20 minus
@@ -607,6 +609,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withNlj.toSet == intendedNlj,
       s"NLJ census drifted — new: ${(withNlj -- intendedNlj).toSeq.sorted.mkString(",")}; " +
         s"gone: ${(intendedNlj -- withNlj).toSeq.sorted.mkString(",")}")
+  }
+
+  test("o19 bucketed join: SMJ consumes the bucketed scans, zero join-side exchanges") {
+    // The point of the query: both tables are pre-bucketed (8) on the
+    // join key, so EnsureRequirements accepts the scans' bucket
+    // HashPartitioning and the sort-merge join shuffles NEITHER side.
+    // Allowed exchanges: the post-join aggregate (hash on
+    // c_mktsegment) and the presentation sort (range) — never a
+    // hashpartitioning on either custkey.
+    val p = plan("o19_bucketed_join")
+    assert(p.contains("SortMergeJoin"),
+      s"o19 lost its sort-merge join (broadcast flip would skip the " +
+        s"co-location the query exists to prove):\n$p")
+    assert(!p.contains("hashpartitioning(o_custkey") &&
+        !p.contains("hashpartitioning(c_custkey"),
+      s"o19 shuffled a join side — bucketed co-location broken:\n$p")
+    assert(exchangesOf(p) <= 2,
+      s"o19 grew extra exchanges beyond the aggregate + final sort:\n$p")
   }
 
   test("c13 JSON props parse stays a scan-side projection") {

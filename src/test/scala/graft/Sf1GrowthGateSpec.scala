@@ -178,6 +178,12 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     // clone-family candidate growth class (d2's own cap is 12x);
     // measured 3.2x at the round-13 introduction
     "t30_split_leakage" -> (12.0, "inherits d2's LSH clone-family candidate growth"),
+    // d14 runs d6's clustering loop, so it inherits d6's envelope
+    "d14_soft_dedup" -> (12.0, "inherits d6's label-propagation growth"),
+    // fixed 8-bucket layout caps the sf1 join at 8-task parallelism
+    // (the demo keeps the bucket count small; a real table buckets
+    // wider) and the sf0.1 base is mostly fixed cost
+    "o19_bucketed_join" -> (12.0, "8-task bucket parallelism on a sub-second base"),
     "g1_pagerank" -> (8.0, "10x edges x fixed iterations"),
     // g2/g2b moved to absoluteSf1Caps below (round-11): their sf0.1
     // bases swing 2.8-7.6s with suite position while the sf1 absolutes
