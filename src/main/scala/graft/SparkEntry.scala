@@ -1688,9 +1688,8 @@ object SparkEntry {
       def bucketed(name: String, df: => DataFrame): DataFrame = {
         val tbl = s"graft_o19_${name}_$sfx"
         if (!s.catalog.tableExists(tbl))
-          df.write.mode("overwrite").option("path", s"$tmp/$name")
-            .bucketBy(8, df.columns.head).sortBy(df.columns.head)
-            .saveAsTable(tbl)
+          graft.store.Bucketing.writeBucketed(df, tbl, df.columns.head,
+            buckets = 8, path = Some(s"$tmp/$name"))
         s.table(tbl)
       }
       val o = bucketed("orders", Tables.orders(s, d)

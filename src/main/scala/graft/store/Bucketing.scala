@@ -19,16 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
-  /** Write `df` bucketed by `key` as a managed table (parquet).
+  /** Write `df` bucketed by `key` as a catalog table (parquet).
     * Subsequent equi-joins between tables bucketed the same way on
-    * the same key produce no Exchange. */
+    * the same key produce no Exchange. `path` makes the table
+    * EXTERNAL at that location (so callers control the storage dir —
+    * the default managed location is the session warehouse); bucketed
+    * writes must go through `saveAsTable` either way, because bucket
+    * metadata lives in the catalog, not the files. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int = 32): Unit =
-    df.write.mode("overwrite")
+      buckets: Int = 32, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Salted inner equi-join of a skewed `big` side with a `small`
     * side on `key`: big rows get a deterministic salt from a sibling
