@@ -221,6 +221,53 @@ object SparkEntry {
         .toDF("probe", "outcome").orderBy("probe")
     }),
 
+    // ---- KP1: LLM-curation keystone — the composition row for the
+    // training-data side, as ks1 is for the reference stack. One
+    // declarative plan chains the pipeline a corpus actually runs:
+    // language-ID (t3's marker argmax) -> Gopher-style quality gate
+    // (t6's four rules) -> exact dedup keep-first (d1's min-id
+    // canonical, among quality survivors) -> per-(source, lang)
+    // token accounting (t29's shape). Scale posture: text never
+    // crosses the wire — every derived column (lang, token count,
+    // quality flags, content key) is computed in the scan-side
+    // projection and the window shuffles only the narrow row; the
+    // content-hash window key is uniform by construction (md5), so
+    // the dedup shuffle cannot skew; identical texts carry identical
+    // quality flags, so keep is constant within a key and the
+    // canonical pick is a plain first-survivor row_number ----
+    "kp1_llm_curation" -> ((s, d) => {
+      val t = col("text")
+      val keep = when(Text.gopherKeep(t), 1).otherwise(0)
+      val scored = Tables.documents(s, d).select(
+        col("source"), col("doc_id"),
+        Text.languageId(t).as("lang_pred"),
+        Text.tokenCount(t).cast("long").as("n_tok"),
+        keep.as("keep"),
+        md5(lower(t)).as("key"))
+      val w = Window.partitionBy("key").orderBy("doc_id")
+      scored
+        .withColumn("canon",
+          (col("keep") === 1 && row_number().over(w) === 1).cast("int"))
+        .groupBy("source", "lang_pred")
+        .agg(count(lit(1)).as("docs_in"),
+          sum("keep").cast("long").as("docs_quality"),
+          sum("canon").cast("long").as("docs_kept"),
+          sum(col("n_tok") * col("canon")).as("tok_kept"))
+        .withColumn("keep_pm", expr("(1000 * docs_kept) div docs_in"))
+        .orderBy("source", "lang_pred")
+    }),
+
+    // ---- KP2 (executed): kp1 as a CONTINUOUS pipeline — row-local
+    // lang-ID/quality/key projections on the stream, exact dedup via
+    // a stateless stream-static join against the batch canonical-
+    // owner index, accounting through the engine's Complete-mode
+    // streaming aggregate. Replaying the corpus as the backlog must
+    // reproduce the batch report EXACTLY -> shares kp1's oracle ----
+    "kp2_stream_curation" -> ((s, d) =>
+      graft.streaming.Streaming.availableNowCuration(
+          s, s"$d/documents.parquet")
+        .orderBy("source", "lang_pred")),
+
     // ---- J3/F6: archive-only semi-join ----
     "j3_semi_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -1702,6 +1749,35 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double").as("revenue"))
         .orderBy("c_mktsegment")
+    }),
+
+    // ---- O20: bucketed-table aggregation — the OTHER shuffle the
+    // bucket layout pays for at write time. A groupBy on the bucket
+    // key consumes the scan's HashPartitioning directly: the
+    // aggregate compiles with NO Exchange (partial and final collapse
+    // into one stage), so the recurring per-customer rollup reads
+    // co-located rows and shuffles nothing but the presentation sort.
+    // At 100 TB this is the difference between a full-fact shuffle
+    // per report and zero — same trade the reference's clustered
+    // (custkey) index makes. Plan pinned in PlanShapeSpec ----
+    "o20_bucketed_agg" -> ((s, d) => {
+      val tmp = fixtureDir("o20", d)(_ => ())
+      val sfx = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val tbl = s"graft_o20_orders_$sfx"
+      if (!s.catalog.tableExists(tbl))
+        graft.store.Bucketing.writeBucketed(
+          Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority")),
+          tbl, "o_custkey", buckets = 8, path = Some(s"$tmp/orders"))
+      s.table(tbl)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"),
+          max("o_orderpriority").as("top_priority"))
+        .orderBy("o_custkey")
     }),
 
     // ---- O17: Poisson bootstrap — per-replicate deterministic
@@ -3340,6 +3416,17 @@ object SparkEntry {
         |  AS t(probe, outcome)
         |ORDER BY probe""".stripMargin,
 
+    // kp1: the lang CASE is t3's oracle verbatim, the four quality
+    // rules are t6's, the canonical pick is d1's min-id row_number;
+    // keep folds through CASE (not a bare boolean cast) so an empty
+    // text's NULL symbol ratio lands in ELSE 0 on both engines
+    "kp1_llm_curation" -> curationOracleSql,
+
+    // kp2: the streaming replay must reproduce kp1's batch report
+    // exactly (same gate, same canonical pick, same accounting) —
+    // same oracle, st6's pattern
+    "kp2_stream_curation" -> curationOracleSql,
+
     "w1_densify" ->
       """WITH s AS (
         |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events
@@ -3696,6 +3783,50 @@ object SparkEntry {
 
   private def markerFilter(markers: Seq[String]): String =
     s"len(list_filter(toks, x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
+
+  /** The curation keystone's oracle, shared by kp1 (batch) and kp2
+    * (streaming replay): t3's lang CASE, t6's four quality rules,
+    * d1's min-id canonical pick, t29's accounting shape. */
+  private lazy val curationOracleSql: String = {
+    val cases = Text.langMarkers.map { case (lang, m) =>
+      (lang, markerFilter(m))
+    }
+    s"""WITH t AS (
+       |  SELECT source, doc_id, text,
+       |         string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |q AS (SELECT source, doc_id,
+       |  CASE
+       |    WHEN greatest(${cases.map(_._2).mkString(",")}) = 0 THEN 'und'
+       |    WHEN ${cases(0)._2} >= ${cases(1)._2} AND ${cases(0)._2} >= ${cases(2)._2}
+       |         AND ${cases(0)._2} >= ${cases(3)._2} THEN '${cases(0)._1}'
+       |    WHEN ${cases(1)._2} >= ${cases(2)._2} AND ${cases(1)._2} >= ${cases(3)._2}
+       |         THEN '${cases(1)._1}'
+       |    WHEN ${cases(2)._2} >= ${cases(3)._2} THEN '${cases(2)._1}'
+       |    ELSE '${cases(3)._1}' END AS lang_pred,
+       |  CAST(len(toks) AS BIGINT) AS n_tok,
+       |  CASE WHEN len(toks) BETWEEN 20 AND 90
+       |    AND ((100 * list_sum(list_transform(toks, x -> length(x)))) // len(toks))
+       |      BETWEEN 400 AND 1000
+       |    AND len(list_filter(toks, x -> x IN ($stopList))) >= 2
+       |    AND ((1000 * length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')))
+       |      // length(text)) <= 100
+       |    THEN 1 ELSE 0 END AS keep,
+       |  md5(lower(text)) AS key
+       | FROM t),
+       |f AS (SELECT *,
+       |  CASE WHEN keep = 1 AND ROW_NUMBER()
+       |    OVER (PARTITION BY key ORDER BY doc_id) = 1
+       |    THEN 1 ELSE 0 END AS canon
+       | FROM q)
+       |SELECT source, lang_pred,
+       |  COUNT(*) AS docs_in,
+       |  CAST(SUM(keep) AS BIGINT) AS docs_quality,
+       |  CAST(SUM(canon) AS BIGINT) AS docs_kept,
+       |  CAST(SUM(n_tok * canon) AS BIGINT) AS tok_kept,
+       |  CAST((1000 * SUM(canon)) // COUNT(*) AS BIGINT) AS keep_pm
+       |FROM f GROUP BY 1, 2 ORDER BY source, lang_pred""".stripMargin
+  }
 
   /** MinHash+LSH near-dup pair pipeline as a reusable CTE chain
     * (ends in `pairs(a, b)`) — mirror of [[Dedup.minhashNearDup]],
@@ -5347,6 +5478,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // o20: like o19, the bucket layout never changes results — the
+    // oracle aggregates the original parquet; only the PLAN (zero
+    // exchanges before the presentation sort) distinguishes the
+    // bucketed run
+    "o20_bucketed_agg" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  MAX(o_orderpriority) AS top_priority
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
 
     "o17_poisson_bootstrap" ->
       s"""WITH r AS (SELECT unnest(generate_series(0, 9)) AS rep),

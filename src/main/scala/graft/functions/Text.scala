@@ -126,6 +126,18 @@ object Text {
         intDiv(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")) * 1000L,
           length(text)))
 
+  /** The four Gopher-style quality rules as ONE keep predicate —
+    * t6's per-rule columns conjoined, shared by the batch (kp1) and
+    * streaming (kp2) curation keystones so both pipelines gate on
+    * the SAME definition. NULL-safe only through the caller's
+    * `when(..., 1).otherwise(0)` fold: an empty text's NULL symbol
+    * ratio must land in the ELSE branch, matching the oracle's CASE. */
+  def gopherKeep(text: Column): Column =
+    tokenCount(text).between(20, 90) &&
+      meanTokenLenX100(text).between(400, 1000) &&
+      stopwordCount(text) >= 2 &&
+      symbolPermille(text) <= 100
+
   /** PII patterns — intentionally simple (RE2-compatible, no
     * lookaround) so the same pattern runs in any engine's regex
     * dialect; production swaps in the full pattern pack. */

@@ -441,6 +441,48 @@ object Streaming {
     out
   }
 
+  /** KP2: the LLM-curation keystone as a CONTINUOUS pipeline —
+    * language-ID, the Gopher quality gate and the content key are
+    * row-local projections on the stream (no stream-side shuffle
+    * before the join); exact dedup consults a STATIC canonical-owner
+    * index (batch min-id per content key among quality survivors)
+    * through a stateless stream-static equi-join instead of keeping
+    * cross-batch dedup state; the per-(source, lang) accounting is
+    * the engine's Complete-mode streaming aggregate. Replaying the
+    * corpus as the backlog must reproduce kp1's batch report
+    * EXACTLY → kp2 shares kp1's oracle. Scale posture: the owner
+    * index is (key, owner_id) only — two narrow columns however wide
+    * the corpus — and in production lives bucketed on `key`
+    * (Bucketing.writeBucketed) so each micro-batch joins co-located. */
+  def availableNowCuration(s: SparkSession, docsPath: String): DataFrame = {
+    import graft.functions.Text
+    val batchDocs = s.read.parquet(docsPath)
+    def scored(df: DataFrame): DataFrame = df.select(
+      col("source"), col("doc_id"),
+      Text.languageId(col("text")).as("lang_pred"),
+      Text.tokenCount(col("text")).cast("long").as("n_tok"),
+      when(Text.gopherKeep(col("text")), 1).otherwise(0).as("keep"),
+      md5(lower(col("text"))).as("key"))
+    val owners = scored(batchDocs).filter(col("keep") === 1)
+      .groupBy("key").agg(min("doc_id").as("owner_id"))
+    val stream = s.readStream.schema(batchDocs.schema)
+      .parquet(streamablePath(docsPath))
+    // left join: a rejected doc whose key has no surviving owner must
+    // still count into docs_in; canon folds NULL owners to 0 through
+    // the keep === 1 short-circuit (false && NULL = false)
+    val flagged = scored(stream)
+      .join(owners, Seq("key"), "left")
+      .withColumn("canon",
+        (col("keep") === 1 && col("doc_id") === col("owner_id")).cast("int"))
+    val agg = flagged.groupBy("source", "lang_pred")
+      .agg(count(lit(1)).as("docs_in"),
+        sum("keep").cast("long").as("docs_quality"),
+        sum("canon").cast("long").as("docs_kept"),
+        sum(col("n_tok") * col("canon")).as("tok_kept"))
+    runToMemory(agg, "kp2_curation")
+      .withColumn("keep_pm", expr("(1000 * docs_kept) div docs_in"))
+  }
+
   /** Run a (bounded) append-mode stream to a throwaway PARQUET sink
     * with `Trigger.AvailableNow` and read the result back — the
     * scale-safe alternative to [[runToMemory]] for outputs that grow

@@ -563,9 +563,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     * board — so the census stays a pure (and fast) planning pass. */
   private val executesAtConstruction: Set[String] = Set(
     "st1_stream_daily", "st2_stream_dedup", "st3_stream_window",
-    "st4_stream_repeat", "st5_stream_join", "st6_stream_neardup", // streaming runs execute at construction
+    "st4_stream_repeat", "st5_stream_join", "st6_stream_neardup",
+    "kp2_stream_curation", // streaming runs execute at construction
     "s13_multiformat", "s17_schema_evolution", // fixture writers
-    "o19_bucketed_join", // table write on first construction; dedicated plan pin below
+    "o19_bucketed_join", "o20_bucketed_agg", // table write on first construction; dedicated plan pins below
     "t22_bpe_train", "g1_pagerank", "d6_dedup_clusters", // driver loops
     "d14_soft_dedup", // runs d6's clustering loop at construction
     "g2_triangles", "g2b_triangles_adj") // checkpointed edge build
@@ -627,6 +628,38 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"o19 shuffled a join side — bucketed co-location broken:\n$p")
     assert(exchangesOf(p) <= 2,
       s"o19 grew extra exchanges beyond the aggregate + final sort:\n$p")
+  }
+
+  test("o20 bucketed agg: the groupBy consumes the bucket layout, zero agg-side exchanges") {
+    // The point of the query: the table is pre-bucketed (8) on the
+    // grouping key, so the scan's HashPartitioning satisfies the
+    // aggregate's required distribution and the groupBy compiles with
+    // NO Exchange — the only shuffle left is the presentation sort.
+    val p = plan("o20_bucketed_agg")
+    assert(!p.contains("hashpartitioning(o_custkey"),
+      s"o20 shuffled before the aggregate — bucketed layout not consumed:\n$p")
+    assert(exchangesOf(p) <= 1,
+      s"o20 grew exchanges beyond the presentation sort:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"o20 lost its aggregate:\n$p")
+  }
+
+  test("kp1 curation keystone: one scan, narrow dedup window, no text in the shuffle") {
+    val p = plan("kp1_llm_curation")
+    assert(scansOf(p) == 1, s"kp1 re-scans the corpus:\n$p")
+    assert(p.contains("Window"), s"kp1 lost its dedup window:\n$p")
+    assert(!p.contains("Join"), s"join crept into kp1:\n$p")
+    // window shuffle (content key) + aggregate + presentation sort
+    assert(exchangesOf(p) <= 3, s"kp1 grew extra shuffles:\n$p")
+    // text must be pruned before the first exchange: the projection
+    // computes lang/keep/key scan-side and drops the payload, so the
+    // shuffled row is narrow. The plan prints exchange inputs —
+    // text#N may appear only below the scan-side project, never in a
+    // hashpartitioning input list.
+    val shuffleLines = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffleLines.nonEmpty && shuffleLines.forall(!_.contains("text#")),
+      s"kp1 shuffles the text payload:\n$p")
   }
 
   test("c13 JSON props parse stays a scan-side projection") {

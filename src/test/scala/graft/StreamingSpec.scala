@@ -256,4 +256,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-03-01 06:00:00.0", "b", 1L)),
       s"unexpected finalized-window set: $rows")
   }
+
+  test("KP2: streaming curation replay reproduces the batch kp1 report exactly") {
+    // differential gate: the continuous pipeline (row-local gate +
+    // stream-static owner join + Complete-mode aggregate) must emit
+    // byte-identical accounting to the batch keystone on the same
+    // corpus — the property kp2 shares kp1's oracle to pin at sf0.01
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("kp1_llm_curation")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val stream = SparkEntry.queries("kp2_stream_curation")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty, "kp1 returned no rows at sf0.001")
+    assert(stream == batch,
+      s"streaming curation diverged from batch:\nbatch=$batch\nstream=$stream")
+  }
 }
