@@ -235,27 +235,8 @@ object SparkEntry {
     // the dedup shuffle cannot skew; identical texts carry identical
     // quality flags, so keep is constant within a key and the
     // canonical pick is a plain first-survivor row_number ----
-    "kp1_llm_curation" -> ((s, d) => {
-      val t = col("text")
-      val keep = when(Text.gopherKeep(t), 1).otherwise(0)
-      val scored = Tables.documents(s, d).select(
-        col("source"), col("doc_id"),
-        Text.languageId(t).as("lang_pred"),
-        Text.tokenCount(t).cast("long").as("n_tok"),
-        keep.as("keep"),
-        md5(lower(t)).as("key"))
-      val w = Window.partitionBy("key").orderBy("doc_id")
-      scored
-        .withColumn("canon",
-          (col("keep") === 1 && row_number().over(w) === 1).cast("int"))
-        .groupBy("source", "lang_pred")
-        .agg(count(lit(1)).as("docs_in"),
-          sum("keep").cast("long").as("docs_quality"),
-          sum("canon").cast("long").as("docs_kept"),
-          sum(col("n_tok") * col("canon")).as("tok_kept"))
-        .withColumn("keep_pm", expr("(1000 * docs_kept) div docs_in"))
-        .orderBy("source", "lang_pred")
-    }),
+    "kp1_llm_curation" -> ((s, d) =>
+      graft.api.Curation.report(Tables.documents(s, d))),
 
     // ---- KP2 (executed): kp1 as a CONTINUOUS pipeline — row-local
     // lang-ID/quality/key projections on the stream, exact dedup via

@@ -455,14 +455,8 @@ object Streaming {
     * the corpus — and in production lives bucketed on `key`
     * (Bucketing.writeBucketed) so each micro-batch joins co-located. */
   def availableNowCuration(s: SparkSession, docsPath: String): DataFrame = {
-    import graft.functions.Text
+    import graft.api.Curation.scored
     val batchDocs = s.read.parquet(docsPath)
-    def scored(df: DataFrame): DataFrame = df.select(
-      col("source"), col("doc_id"),
-      Text.languageId(col("text")).as("lang_pred"),
-      Text.tokenCount(col("text")).cast("long").as("n_tok"),
-      when(Text.gopherKeep(col("text")), 1).otherwise(0).as("keep"),
-      md5(lower(col("text"))).as("key"))
     val owners = scored(batchDocs).filter(col("keep") === 1)
       .groupBy("key").agg(min("doc_id").as("owner_id"))
     val stream = s.readStream.schema(batchDocs.schema)

