@@ -810,6 +810,30 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- V16: filtered vector search — the pre-filter/post-filter
+    // contrast every metadata-constrained ANN system faces. PRE
+    // filters the corpus BEFORE the search (the label predicate
+    // pushes into the parquet scan, so a selective filter shrinks
+    // the candidate set at the source — the scale path); POST runs
+    // the unfiltered search and discards non-matching neighbors
+    // AFTER top-k, silently returning < k results. The row pins both
+    // counts per query so the semantic gap is itself oracle-gated ----
+    "v16_filtered_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val pre = Similarity.annBruteForce(e.filter(col("label") === 1), q, k = 5)
+        .groupBy("query_id").agg(count(lit(1)).as("n_pre"))
+      val post = Similarity.annBruteForce(e, q, k = 5)
+        .join(e.select(col("vec_id").as("neighbor"), col("label")),
+          Seq("neighbor"))
+        .filter(col("label") === 1)
+        .groupBy("query_id").agg(count(lit(1)).as("n_post"))
+      pre.join(post, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_pre"),
+          coalesce(col("n_post"), lit(0L)).as("n_post"))
+        .orderBy("query_id")
+    }),
+
     // ---- M: multimodal binary-column plumbing. The default decoder
     // is the REAL UTF-8 text codec (lines × widest line in code
     // points) — a genuine modality decode the oracle can recompute;
@@ -4411,6 +4435,32 @@ object SparkEntry {
          |      FROM s)
          |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
          |FROM r WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // v16: both branches replay v1's ranking CTE — PRE constrains the
+    // candidate set before ranking, POST ranks everything then drops
+    // non-matching neighbors from the top-k
+    "v16_filtered_ann" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |pre_s AS (
+        |  SELECT qid, vec_id AS nid, list_cosine_similarity(qv, embedding) AS c
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> qid AND label = 1),
+        |pre_r AS (SELECT qid,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+        |      FROM pre_s),
+        |pre AS (SELECT qid, COUNT(*) AS n_pre FROM pre_r WHERE rk <= 5 GROUP BY qid),
+        |post_s AS (
+        |  SELECT qid, vec_id AS nid, label, list_cosine_similarity(qv, embedding) AS c
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+        |post_r AS (SELECT qid, label,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+        |      FROM post_s),
+        |post AS (SELECT qid, COUNT(*) FILTER (WHERE label = 1) AS n_post
+        |         FROM post_r WHERE rk <= 5 GROUP BY qid)
+        |SELECT pre.qid AS query_id,
+        |  CAST(pre.n_pre AS BIGINT) AS n_pre,
+        |  CAST(COALESCE(post.n_post, 0) AS BIGINT) AS n_post
+        |FROM pre LEFT JOIN post ON pre.qid = post.qid
+        |ORDER BY query_id""".stripMargin,
 
     "v15_recall_eval" ->
       s"""WITH bq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -584,7 +584,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "o16_range_bounds", "s16_snapshot_diff", "s18_partition_stats",
     "t19_bm25",
     "t20_bigram_lm", "t21_dsir", "t24_collocations", "t28_temperature_mix",
-    "v13_knn_classify", "v15_recall_eval", "v1_ann_bruteforce",
+    "v13_knn_classify", "v15_recall_eval", "v16_filtered_ann",
+    "v1_ann_bruteforce",
     "v2_cosine_neardup", "v5_ann_ivf", "v7_rrf_fusion", "v9_ivf_pq",
     "w5_sparkline")
 
@@ -660,6 +661,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(l => l.contains("Exchange hashpartitioning")).toSeq
     assert(shuffleLines.nonEmpty && shuffleLines.forall(!_.contains("text#")),
       s"kp1 shuffles the text payload:\n$p")
+  }
+
+  test("v16 filtered ANN: the label predicate pushes into the corpus scan") {
+    // the point of PRE-filtering: a selective metadata predicate must
+    // shrink the candidate set AT THE SOURCE — the label filter
+    // reaches the parquet reader as a pushed filter, not a post-scan
+    // Filter over the full corpus
+    val p = plan("v16_filtered_ann")
+    assert(p.contains("EqualTo(label,1)"),
+      s"v16 lost the label pushdown on the pre-filtered corpus scan:\n$p")
   }
 
   test("c13 JSON props parse stays a scan-side projection") {
@@ -741,5 +752,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filterLines.nonEmpty, s"strict filter vanished from c5:\n$p")
     assert(!filterLines.exists(_.contains("parse_url")),
       s"classification cascade leaked into the Filter (double-eval):\n$p")
+  }
+
+  test("dynamic partition pruning fires on a day-partitioned fact join") {
+    // The 100 TB fact layout is day-partitioned (FactStore); a join
+    // against a FILTERED dim must prune fact partitions at RUNTIME
+    // from the dim's build side — without DPP, every day's files are
+    // scanned however selective the dim filter is. Pin that Spark
+    // plants the pruning subquery in the scan's partition filters.
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("dppspec").toString
+    (0 until 40).map(i => (i.toLong, f"2024-01-${1 + i % 4}%02d", i * 1.0))
+      .toDF("id", "day", "v")
+      .repartition(col("day"))
+      .write.partitionBy("day").parquet(s"$d/fact")
+    Seq(("2024-01-01", "keep"), ("2024-01-02", "drop"),
+        ("2024-01-03", "drop"), ("2024-01-04", "drop"))
+      .toDF("day", "tag").write.parquet(s"$d/dim")
+    val fact = s.read.parquet(s"$d/fact")
+    val dim = s.read.parquet(s"$d/dim").filter(col("tag") === "keep")
+    val p = fact.join(dim, Seq("day"))
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"dynamic partition pruning did not plant its subquery filter:\n$p")
   }
 }
