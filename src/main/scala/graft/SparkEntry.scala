@@ -61,6 +61,23 @@ object SparkEntry {
       dir
     })
 
+  /** Bucketed-table fixture shared by o19/o20: write `df` bucketed
+    * (8) on `key` ONCE per (JVM, sfDir) into a swept temp dir under
+    * a deterministic sfDir-suffixed table name, then read it back
+    * through the catalog so the scan reports the bucket layout. */
+  private def bucketedTable(s: SparkSession, sfDir: String, tag: String,
+      name: String, key: String, df: => DataFrame): DataFrame = {
+    val tmp = fixtureDir(tag, sfDir)(_ => ())
+    val sfx = java.lang.Long.toHexString(
+      java.util.UUID.nameUUIDFromBytes(sfDir.getBytes("UTF-8"))
+        .getMostSignificantBits)
+    val tbl = s"graft_${tag}_${name}_$sfx"
+    if (!s.catalog.tableExists(tbl))
+      graft.store.Bucketing.writeBucketed(df, tbl, key,
+        buckets = 8, path = Some(s"$tmp/$name"))
+    s.table(tbl)
+  }
+
   /** The shared daily fact (A1) as a DuckDB CTE — mirror of
     * [[Processors.dailyFact]]. */
   private val factCte =
@@ -1733,21 +1750,10 @@ object SparkEntry {
     // sf doesn't flip to broadcast and silently skip the co-location
     // the query exists to prove ----
     "o19_bucketed_join" -> ((s, d) => {
-      val tmp = fixtureDir("o19", d)(_ => ())
-      val sfx = java.lang.Long.toHexString(
-        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
-          .getMostSignificantBits)
-      def bucketed(name: String, df: => DataFrame): DataFrame = {
-        val tbl = s"graft_o19_${name}_$sfx"
-        if (!s.catalog.tableExists(tbl))
-          graft.store.Bucketing.writeBucketed(df, tbl, df.columns.head,
-            buckets = 8, path = Some(s"$tmp/$name"))
-        s.table(tbl)
-      }
-      val o = bucketed("orders", Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_totalprice")))
-      val c = bucketed("customer", Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment")))
+      val o = bucketedTable(s, d, "o19", "orders", "o_custkey",
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")))
+      val c = bucketedTable(s, d, "o19", "customer", "c_custkey",
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
       o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
@@ -1765,25 +1771,16 @@ object SparkEntry {
     // At 100 TB this is the difference between a full-fact shuffle
     // per report and zero — same trade the reference's clustered
     // (custkey) index makes. Plan pinned in PlanShapeSpec ----
-    "o20_bucketed_agg" -> ((s, d) => {
-      val tmp = fixtureDir("o20", d)(_ => ())
-      val sfx = java.lang.Long.toHexString(
-        java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
-          .getMostSignificantBits)
-      val tbl = s"graft_o20_orders_$sfx"
-      if (!s.catalog.tableExists(tbl))
-        graft.store.Bucketing.writeBucketed(
-          Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"),
-            col("o_orderpriority")),
-          tbl, "o_custkey", buckets = 8, path = Some(s"$tmp/orders"))
-      s.table(tbl)
+    "o20_bucketed_agg" -> ((s, d) =>
+      bucketedTable(s, d, "o20", "orders", "o_custkey",
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")))
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double").as("revenue"),
           max("o_orderpriority").as("top_priority"))
-        .orderBy("o_custkey")
-    }),
+        .orderBy("o_custkey")),
 
     // ---- O17: Poisson bootstrap — per-replicate deterministic
     // Poisson(1) row weights (inverse-CDF over salted-hash uniforms)

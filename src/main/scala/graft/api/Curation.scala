@@ -43,15 +43,22 @@ object Curation {
     * first-survivor row_number (min doc_id). */
   def report(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("key").orderBy("doc_id")
-    scored(docs)
-      .withColumn("canon",
-        (col("keep") === 1 && row_number().over(w) === 1).cast("int"))
-      .groupBy("source", "lang_pred")
+    accounting(scored(docs)
+        .withColumn("canon",
+          (col("keep") === 1 && row_number().over(w) === 1).cast("int")))
+      .orderBy("source", "lang_pred")
+  }
+
+  /** The per-(source, lang) accounting over a flagged frame (scored
+    * columns + `canon`). ONE definition shared by [[report]] and the
+    * streaming replay (`Streaming.availableNowCuration`) — the
+    * aggregate list and the keep_pm rounding cannot drift between
+    * the batch and continuous paths. */
+  def accounting(flagged: DataFrame): DataFrame =
+    flagged.groupBy("source", "lang_pred")
       .agg(count(lit(1)).as("docs_in"),
         sum("keep").cast("long").as("docs_quality"),
         sum("canon").cast("long").as("docs_kept"),
         sum(col("n_tok") * col("canon")).as("tok_kept"))
       .withColumn("keep_pm", expr("(1000 * docs_kept) div docs_in"))
-      .orderBy("source", "lang_pred")
-  }
 }

@@ -137,23 +137,31 @@ object GlobalRank {
       case (acc, r) => acc :+ r
     }.toArray
     if (cuts.isEmpty) {
-      // Degenerate: empty/tiny sample, p == 1, or every sampled key
-      // tuple equal (constant / near-constant sort key). One bucket ⇒
-      // the final window sorts the WHOLE input in one task — exactly
-      // the hazard this operator exists to avoid. Correct (ranks are
-      // still exact), so don't fail; but on a non-trivial input this
-      // must not pass silently: the fix is a caller-side tiebreaker
-      // column (restores spread) — falling back to persist would not
-      // help, since repartitionByRange samples the same constant key
-      // into the same single range.
-      if (m > 1 && p > 1)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"GlobalRank: all $m sampled sort-key tuples are equal — " +
-            "every row lands in ONE bucket and the final window runs " +
-            "as a single-partition sort. Add a tiebreaker column " +
-            "(e.g. a unique id) to the sort key to restore parallelism.")
+      // Only reachable for trivial inputs: m <= 1 (empty/one-row
+      // sample) or p == 1 — the interior-index set (i*m/p for
+      // 0 < i < p) is provably non-empty whenever m >= 2 and p >= 2,
+      // so a constant sort key does NOT land here (its boundaries
+      // dedup to ONE cut below). One bucket is correct and
+      // unalarming at this size.
       return lit(0)
     }
+    // The silent-hazard case on a NON-trivial input: every sampled
+    // boundary carried the same key tuple, so the dedup collapsed
+    // them to a single cut — a constant / near-constant sort key puts
+    // (almost) every row on one side of it and the final window runs
+    // as one giant task, exactly the serialization this operator
+    // exists to avoid. Correct (ranks are still exact), so don't
+    // fail; warn instead: the fix is a caller-side tiebreaker column
+    // (restores spread) — falling back to persist would not help,
+    // since repartitionByRange samples the same constant key into
+    // the same single range.
+    if (cuts.length == 1 && m > p)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"GlobalRank: all $m sampled sort-key boundaries collapsed to " +
+          "one distinct tuple — the key is (near-)constant, so the " +
+          "final window will run as a single-partition sort. Add a " +
+          "tiebreaker column (e.g. a unique id) to the sort key to " +
+          "restore parallelism.")
     val searcher = new graft.plans.CutSearcher(cuts, types,
       specs.map(_.desc).toArray, specs.map(_.nullsFirst).toArray)
     org.apache.spark.sql.GraftSortBridge.columnOf(

@@ -461,20 +461,23 @@ object Streaming {
       .groupBy("key").agg(min("doc_id").as("owner_id"))
     val stream = s.readStream.schema(batchDocs.schema)
       .parquet(streamablePath(docsPath))
-    // left join: a rejected doc whose key has no surviving owner must
-    // still count into docs_in; canon folds NULL owners to 0 through
-    // the keep === 1 short-circuit (false && NULL = false)
+    // left join keeps every stream doc in docs_in. Canon election:
+    // a surviving doc whose key HAS an owner is canonical only if it
+    // IS the owner; a surviving doc with a NOVEL key (no owner in the
+    // static index — content the batch snapshot never saw) elects
+    // ITSELF, so new material is counted kept rather than silently
+    // dropped. Within-backlog duplicates of the same novel key each
+    // self-elect — exact-once for novel keys needs cross-batch state
+    // (dropDuplicates on key), a trade documented rather than paid:
+    // the index refresh cycle re-canonicalizes them. Rejected docs
+    // (keep = 0) land in the otherwise-0 branch regardless of owner.
     val flagged = scored(stream)
       .join(owners, Seq("key"), "left")
       .withColumn("canon",
-        (col("keep") === 1 && col("doc_id") === col("owner_id")).cast("int"))
-    val agg = flagged.groupBy("source", "lang_pred")
-      .agg(count(lit(1)).as("docs_in"),
-        sum("keep").cast("long").as("docs_quality"),
-        sum("canon").cast("long").as("docs_kept"),
-        sum(col("n_tok") * col("canon")).as("tok_kept"))
-    runToMemory(agg, "kp2_curation")
-      .withColumn("keep_pm", expr("(1000 * docs_kept) div docs_in"))
+        when(col("keep") === 1 &&
+            (col("owner_id").isNull || col("doc_id") === col("owner_id")),
+          1).otherwise(0))
+    runToMemory(graft.api.Curation.accounting(flagged), "kp2_curation")
   }
 
   /** Run a (bounded) append-mode stream to a throwaway PARQUET sink

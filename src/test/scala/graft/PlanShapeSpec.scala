@@ -654,13 +654,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchangesOf(p) <= 3, s"kp1 grew extra shuffles:\n$p")
     // text must be pruned before the first exchange: the projection
     // computes lang/keep/key scan-side and drops the payload, so the
-    // shuffled row is narrow. The plan prints exchange inputs —
-    // text#N may appear only below the scan-side project, never in a
-    // hashpartitioning input list.
-    val shuffleLines = p.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
-    assert(shuffleLines.nonEmpty && shuffleLines.forall(!_.contains("text#")),
-      s"kp1 shuffles the text payload:\n$p")
+    // shuffled ROW is narrow. The plan's toString prints only the
+    // partitioning expression, never the carried schema — so walk
+    // the physical exchanges and assert no OUTPUT attribute is the
+    // text column (reverting scored() to keep text would fail here).
+    // AQE wraps the plan in AdaptiveSparkPlanExec, whose TreeNode
+    // children are empty — collect() must walk the INNER plan
+    val exec = SparkEntry.queries("kp1_llm_curation")(spark, dir)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"kp1 lost its shuffles entirely:\n$p")
+    val leaked = exchanges.filter(_.output.exists(_.name == "text"))
+    assert(leaked.isEmpty,
+      s"kp1 shuffles the text payload: ${leaked.map(_.output.map(_.name))}\n$p")
   }
 
   test("v16 filtered ANN: the label predicate pushes into the corpus scan") {
