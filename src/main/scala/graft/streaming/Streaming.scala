@@ -454,10 +454,17 @@ object Streaming {
     * index is (key, owner_id) only — two narrow columns however wide
     * the corpus — and in production lives bucketed on `key`
     * (Bucketing.writeBucketed) so each micro-batch joins co-located. */
-  def availableNowCuration(s: SparkSession, docsPath: String): DataFrame = {
+  def availableNowCuration(s: SparkSession, docsPath: String,
+      indexPath: Option[String] = None): DataFrame = {
     import graft.api.Curation.scored
     val batchDocs = s.read.parquet(docsPath)
-    val owners = scored(batchDocs).filter(col("keep") === 1)
+    // the canonical-owner index defaults to the stream's own corpus
+    // (the replay-parity form kp2 gates); production passes the
+    // last SNAPSHOT as indexPath and keeps streaming past it — docs
+    // with keys the snapshot never saw take the novel-key election
+    // path below
+    val owners = scored(indexPath.fold(batchDocs)(s.read.parquet(_)))
+      .filter(col("keep") === 1)
       .groupBy("key").agg(min("doc_id").as("owner_id"))
     val stream = s.readStream.schema(batchDocs.schema)
       .parquet(streamablePath(docsPath))

@@ -271,4 +271,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch,
       s"streaming curation diverged from batch:\nbatch=$batch\nstream=$stream")
   }
+
+  test("KP2: a quality-surviving doc with a novel content key elects itself kept") {
+    // the production shape: the owner index is a SNAPSHOT, the stream
+    // continues past it. A surviving doc whose key the snapshot never
+    // saw must be counted kept (self-elected canonical), not silently
+    // dropped through a NULL owner comparison — the regression a
+    // review caught in the first cut of this operator.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kp2novel").toString
+    // 25 tokens incl. >=2 stopwords, mean len in range, no symbols:
+    // passes all four gates
+    def text(tag: String) =
+      s"the corpus carries a $tag document and the tokens flow onward " +
+        "with plain words that keep the quality gate satisfied along " +
+        "this line of prose"
+    val snapshot = Seq((1L, text("seen"), "en", "srcA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val streamed = Seq(
+      (1L, text("seen"), "en", "srcA", 0L),   // owner exists: kept
+      (2L, text("seen"), "en", "srcA", 0L),   // dup of owned key: dropped
+      (3L, text("novel"), "en", "srcA", 0L))  // novel key: self-elected
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    snapshot.write.parquet(s"$dir/index/documents.parquet")
+    streamed.write.parquet(s"$dir/stream/documents.parquet")
+    val out = Streaming.availableNowCuration(
+        s, s"$dir/stream/documents.parquet",
+        indexPath = Some(s"$dir/index/documents.parquet"))
+      .select("docs_in", "docs_quality", "docs_kept").collect()
+    assert(out.length == 1, s"expected one (source, lang) row: ${out.toSeq}")
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 2L)),
+      s"novel-key election broken: in/quality/kept = $r")
+  }
 }
