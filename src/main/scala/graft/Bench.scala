@@ -71,25 +71,34 @@ object Bench {
   def effectiveWarm(warm: Double, retry: Option[Double]): Double =
     retry.filter(_ >= 0).map(math.min(_, warm)).getOrElse(warm)
 
-  /** The host-contention suspect predicate — the four retry triggers
+  /** The host-contention suspect predicate — the five retry triggers
     * documented at the retry pass below, extracted so the replay spec
     * (BenchTriggerSpec) can pin known contention blips against it:
-    * (a) warm >3x committed warm; (b) warm >1.25x the same run's cold
-    * (physically nonsensical); (c) cold >2x committed cold AND warm
-    * >1.5x committed warm — the joint all-runs-inflated signature
-    * (the round-10 d4 blip) that evades (a) and (b); (d) warm >2x
-    * committed warm AND warm >2s — multi-second mid-board drift (the
-    * round-11 s11 blip: 7.5s vs 3.4s committed, 2.2x, under (a)'s 3x
-    * and with cold inflated in step so (b)/(c) stayed quiet; a retry
-    * costs one re-measure and agreement keeps the number, so the
-    * tighter ratio is safe where the absolute time is material). */
+    * (a) warm >3x committed warm; (b) warm above the same run's cold
+    * (physically nonsensical) — >1.25x generally, tightened to >1.1x
+    * once warm >2s (the round-13 d14 blip: warm 4.32 vs cold 3.73,
+    * 1.16x, slipped the flat 1.25x; on a multi-second query a 10%
+    * warm-above-cold excess is already beyond scheduler jitter);
+    * (c) cold >2x committed cold AND warm >1.5x committed warm — the
+    * joint all-runs-inflated signature (the round-10 d4 blip) that
+    * evades (a) and (b); (d) warm >2x committed warm AND warm >2s —
+    * multi-second mid-board drift (the round-11 s11 blip: 7.5s vs
+    * 3.4s committed, 2.2x, under (a)'s 3x and with cold inflated in
+    * step so (b)/(c) stayed quiet); (e) warm >1.4x committed warm AND
+    * warm >3s — sub-2x drift on the board's heaviest queries (the
+    * round-13 d6 blip: 5.17s vs 3.49s pin, 1.48x, under every other
+    * trigger yet 1.7s of pure contention). A retry costs one
+    * re-measure and agreement keeps the number, so the tighter
+    * ratios are safe exactly where the absolute time is material. */
   def contentionSuspect(cold: Double, warm: Double,
       baseCold: Option[Double], baseWarm: Option[Double]): Boolean =
     warm >= 0 && (baseWarm.exists(b => b > 0 && warm > 3 * b) ||
       (cold > 0 && warm > 1.25 * cold && warm > 1.0) ||
+      (cold > 0 && warm > 1.1 * cold && warm > 2.0) ||
       (baseCold.exists(b => b > 0 && cold > 2 * b && cold > 1.0) &&
         baseWarm.exists(b => b > 0 && warm > 1.5 * b)) ||
-      baseWarm.exists(b => b > 0 && warm > 2 * b && warm > 2.0))
+      baseWarm.exists(b => b > 0 && warm > 2 * b && warm > 2.0) ||
+      baseWarm.exists(b => b > 0 && warm > 1.4 * b && warm > 3.0))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

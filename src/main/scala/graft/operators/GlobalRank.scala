@@ -145,17 +145,27 @@ object GlobalRank {
       // unalarming at this size.
       return lit(0)
     }
-    // The silent-hazard case on a NON-trivial input: every sampled
-    // boundary carried the same key tuple, so the dedup collapsed
-    // them to a single cut — a constant / near-constant sort key puts
-    // (almost) every row on one side of it and the final window runs
-    // as one giant task, exactly the serialization this operator
-    // exists to avoid. Correct (ranks are still exact), so don't
-    // fail; warn instead: the fix is a caller-side tiebreaker column
-    // (restores spread) — falling back to persist would not help,
-    // since repartitionByRange samples the same constant key into
-    // the same single range.
-    if (cuts.length == 1 && m > p)
+    // The silent-hazard case on a NON-trivial input: the sampled
+    // boundaries collapsed because the sort key is constant or
+    // near-constant — (almost) every row lands on one side of the
+    // lone cut and the final window runs as one giant task, exactly
+    // the serialization this operator exists to avoid. Correct
+    // (ranks are still exact), so don't fail; warn instead: the fix
+    // is a caller-side tiebreaker column (restores spread) — falling
+    // back to persist would not help, since repartitionByRange
+    // samples the same constant key into the same single range.
+    // Constancy is detected DIRECTLY (whole sample's first == last
+    // tuple, or >1 interior boundary index collapsing to 1 cut) —
+    // the former `cuts.length == 1 && m > p` test fired spuriously
+    // whenever p == 2, where ONE cut is the EXPECTED count (p-1 = 1
+    // interior boundary) for any well-spread key with m > 2.
+    def rowVals(r: org.apache.spark.sql.catalyst.InternalRow) =
+      Array.tabulate[Any](types.length)(i => r.get(i, types(i)))
+    val sampleConstant = m > 1 && {
+      val hd = rowVals(sorted.head); val tl = rowVals(sorted.last)
+      hd.indices.forall(i => java.util.Objects.equals(hd(i), tl(i)))
+    }
+    if (sampleConstant || (raw.length > 1 && cuts.length == 1))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"GlobalRank: all $m sampled sort-key boundaries collapsed to " +
           "one distinct tuple — the key is (near-)constant, so the " +

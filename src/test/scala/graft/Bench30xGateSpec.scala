@@ -33,7 +33,7 @@ class Bench30xGateSpec extends AnyFunSuite {
     * plus (round 13) the two curation keystones: the composition
     * rows carry the engine's headline scale claim, so they carry the
     * same 30x completion + growth evidence. */
-  private val heavy10: Set[String] = Set(
+  private val heavySet: Set[String] = Set(
     "g1_pagerank", "g2_triangles", "g2b_triangles_adj", "d13_survivorship",
     "d12_record_linkage", "st3_stream_window", "s11_profile",
     "d2_minhash_lsh", "d3_simhash", "d6_dedup_clusters", "m6_image_phash",
@@ -71,9 +71,9 @@ class Bench30xGateSpec extends AnyFunSuite {
 
   test("30x artifact covers exactly the heavy-10 and every run completed") {
     val t30 = times("BENCH_30X.json")
-    assert(t30.keySet == heavy10,
-      s"30x artifact drifted — missing: ${(heavy10 -- t30.keySet).toSeq.sorted.mkString(",")}; " +
-        s"extra: ${(t30.keySet -- heavy10).toSeq.sorted.mkString(",")}")
+    assert(t30.keySet == heavySet,
+      s"30x artifact drifted — missing: ${(heavySet -- t30.keySet).toSeq.sorted.mkString(",")}; " +
+        s"extra: ${(t30.keySet -- heavySet).toSeq.sorted.mkString(",")}")
     val failed = t30.filter { case (_, (c, w)) => c < 0 || w < 0 }
     assert(failed.isEmpty,
       s"30x run did not complete: ${failed.keys.toSeq.sorted.mkString(",")}")

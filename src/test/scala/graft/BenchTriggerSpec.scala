@@ -80,6 +80,37 @@ class BenchTriggerSpec extends AnyFunSuite {
       baseCold = Some(87.382), baseWarm = Some(54.632)))
   }
 
+  test("trigger (b) tightened: warm-above-cold on a multi-second query " +
+      "flags the round-13 d14 blip") {
+    // d14_soft_dedup, round-13 driver run: cold 3.735, warm 4.315 —
+    // warm ABOVE cold by 1.16x, under the flat 1.25x ratio, yet on a
+    // 4s query a 0.6s warm-above-cold excess is contention, not
+    // jitter (the quiet pin read 4.5s cold-consistent). The >2s
+    // absolute floor keeps the tighter 1.1x off small queries.
+    assert(Bench.contentionSuspect(cold = 3.735, warm = 4.315,
+      baseCold = Some(3.933), baseWarm = Some(4.506)))
+    // the same 1.16x warm/cold shape on a sub-2s query must NOT fire
+    assert(!Bench.contentionSuspect(cold = 1.5, warm = 1.74,
+      baseCold = Some(1.5), baseWarm = Some(1.7)))
+  }
+
+  test("trigger (e): sub-2x drift on a heavy query flags the round-13 d6 blip") {
+    // d6_dedup_clusters, round-13 driver run: warm 5.173 vs the
+    // committed quiet pin 3.49 — 1.48x, under (a)'s 3x, (d)'s 2x,
+    // and with cold inflated in step (8.95 vs 6.1) so (b)/(c) were
+    // quiet. 1.7 seconds of pure contention on the board's #4 query
+    // shipped unflagged; >1.4x on a >3s query is now a suspect.
+    assert(Bench.contentionSuspect(cold = 8.947, warm = 5.173,
+      baseCold = Some(6.1), baseWarm = Some(3.49)))
+    // the round-11 g2 sf1 drift (1.35x on 54.6s committed) stays
+    // under (e)'s 1.4x — the absolute sf1 bound remains its layer
+    assert(!Bench.contentionSuspect(cold = 76.024, warm = 73.962,
+      baseCold = Some(87.382), baseWarm = Some(54.632)))
+    // ...and 1.48x on a sub-3s query stays on (d)'s 2x rule
+    assert(!Bench.contentionSuspect(cold = 2.9, warm = 2.5,
+      baseCold = Some(2.8), baseWarm = Some(1.7)))
+  }
+
   test("trigger (d): material 2x drift flags the round-11 s11 blip") {
     // s11_profile, second round-11 sf1 leg: committed 4.183/3.363,
     // measured 7.714/7.542 — 2.24x warm (under (a)'s 3x), cold

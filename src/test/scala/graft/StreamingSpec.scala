@@ -261,7 +261,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // differential gate: the continuous pipeline (row-local gate +
     // stream-static owner join + Complete-mode aggregate) must emit
     // byte-identical accounting to the batch keystone on the same
-    // corpus — the property kp2 shares kp1's oracle to pin at sf0.01
+    // corpus — the property the shared kp1/kp2 oracle pins again at
+    // the driver's verify scale; this differential runs at sf0.001
     val dir = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("kp1_llm_curation")(spark, dir)
       .collect().map(_.toSeq).toSeq
