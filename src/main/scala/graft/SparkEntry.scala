@@ -78,6 +78,34 @@ object SparkEntry {
     s.table(tbl)
   }
 
+  /** kp2 novel-key fixture: id offset for the cloned copy of every
+    * document (far above any real doc_id at every tested scale, so
+    * ids stay unique) and the snapshot's doc_id cutoff — keys whose
+    * every copy sits at or above the cutoff are NOVEL (absent from
+    * the owner index), and the clone gives each exactly two
+    * surviving copies: the case separating self-elect (kp2_novel)
+    * from exact-once (kp2b) election semantics. */
+  private val NovelCloneOffset = 1000000L
+  private val NovelSnapshotCutoff = 250L
+
+  /** Build the novel-key fixture ONCE per (JVM, sfDir): the backlog
+    * is written as TWO single-file parquet drops (originals first,
+    * clones second) so `maxFilesPerTrigger = 1` splits each novel
+    * key's copies across micro-batches and the exact-once ledger's
+    * cross-batch path is genuinely exercised; the index snapshot is
+    * the sub-cutoff originals. Returns (backlogPath, indexPath). */
+  private def novelFixture(s: SparkSession, sfDir: String): (String, String) = {
+    val dir = fixtureDir("kp2novel", sfDir) { dir =>
+      val docs = Tables.documents(s, sfDir)
+      docs.coalesce(1).write.mode("append").parquet(s"$dir/backlog")
+      docs.withColumn("doc_id", col("doc_id") + NovelCloneOffset)
+        .coalesce(1).write.mode("append").parquet(s"$dir/backlog")
+      docs.filter(col("doc_id") < NovelSnapshotCutoff)
+        .write.parquet(s"$dir/index")
+    }
+    (s"$dir/backlog", s"$dir/index")
+  }
+
   /** The shared daily fact (A1) as a DuckDB CTE — mirror of
     * [[Processors.dailyFact]]. */
   private val factCte =
@@ -265,6 +293,33 @@ object SparkEntry {
       graft.streaming.Streaming.availableNowCuration(
           s, s"$d/documents.parquet")
         .orderBy("source", "lang_pred")),
+
+    // ---- KP2-novel (executed): the SNAPSHOT-mode election semantics
+    // pinned on a fixture with duplicated novel keys — every doc plus
+    // an id-offset clone streams against an owner index built from
+    // the sub-cutoff originals only. Novel keys (all copies above the
+    // cutoff) carry exactly two surviving copies; the default path
+    // SELF-ELECTS both (documented trade: the index refresh cycle
+    // re-canonicalizes), and this row pins that count cross-engine so
+    // users know which semantics they get between refreshes ----
+    "kp2_novel_dedup" -> ((s, d) => {
+      val (backlog, index) = novelFixture(s, d)
+      graft.streaming.Streaming.availableNowCuration(s, backlog, Some(index))
+        .orderBy("source", "lang_pred")
+    }),
+
+    // ---- KP2b (executed): exact-once novel-key election — the
+    // stateful alternative: a per-batch-idempotent (key, owner_id)
+    // parquet ledger elects ONE canonical copy per novel key across
+    // micro-batches (maxFilesPerTrigger=1 forces the clone into a
+    // LATER batch than its original, so the cross-batch ledger path
+    // is the one under test, not within-batch dedup) ----
+    "kp2b_novel_exact_once" -> ((s, d) => {
+      val (backlog, index) = novelFixture(s, d)
+      graft.streaming.Streaming.availableNowCurationExactOnce(
+          s, backlog, Some(index), maxFilesPerTrigger = Some(1))
+        .orderBy("source", "lang_pred")
+    }),
 
     // ---- J3/F6: archive-only semi-join ----
     "j3_semi_join" -> ((s, d) => {
@@ -3424,6 +3479,13 @@ object SparkEntry {
     // text's NULL symbol ratio lands in ELSE 0 on both engines
     "kp1_llm_curation" -> curationOracleSql,
 
+    // kp2-novel: self-elect semantics on the duplicated-novel-key
+    // fixture; kp2b: exact-once election on the same fixture — the
+    // two rows differ ONLY in the novel-key canon rule, so their
+    // docs_kept delta IS the documented overcount
+    "kp2_novel_dedup" -> novelSelfElectOracleSql,
+    "kp2b_novel_exact_once" -> novelExactOnceOracleSql,
+
     // kp2: the streaming replay must reproduce kp1's batch report
     // exactly (same gate, same canonical pick, same accounting) —
     // same oracle, st6's pattern
@@ -3786,17 +3848,19 @@ object SparkEntry {
   private def markerFilter(markers: Seq[String]): String =
     s"len(list_filter(toks, x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
 
-  /** The curation keystone's oracle, shared by kp1 (batch) and kp2
-    * (streaming replay): t3's lang CASE, t6's four quality rules,
-    * d1's min-id canonical pick, t29's accounting shape. */
-  private lazy val curationOracleSql: String = {
+  /** The curation scoring CTEs (t, q) over an arbitrary FROM source:
+    * t3's lang CASE, t6's four quality rules, d1's content key — the
+    * DuckDB mirror of [[graft.api.Curation.scored]], parameterized so
+    * the kp1/kp2 replay oracle (FROM documents) and the kp2 novel-key
+    * fixtures (FROM a cloned backlog) share one scoring definition. */
+  private def curationScoreCtes(fromSql: String): String = {
     val cases = Text.langMarkers.map { case (lang, m) =>
       (lang, markerFilter(m))
     }
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT source, doc_id, text,
        |         string_split(lower(text), ' ') AS toks
-       |  FROM documents),
+       |  FROM $fromSql),
        |q AS (SELECT source, doc_id,
        |  CASE
        |    WHEN greatest(${cases.map(_._2).mkString(",")}) = 0 THEN 'und'
@@ -3815,20 +3879,83 @@ object SparkEntry {
        |      // length(text)) <= 100
        |    THEN 1 ELSE 0 END AS keep,
        |  md5(lower(text)) AS key
-       | FROM t),
+       | FROM t)""".stripMargin
+  }
+
+  /** The per-(source, lang) accounting tail over a flagged CTE `f`
+    * carrying (source, lang_pred, n_tok, keep, canon) — the DuckDB
+    * mirror of [[graft.api.Curation.accounting]], shared by every
+    * curation oracle so the aggregate list cannot drift between rows. */
+  private val curationAccountingSql: String =
+    """SELECT source, lang_pred,
+      |  COUNT(*) AS docs_in,
+      |  CAST(SUM(keep) AS BIGINT) AS docs_quality,
+      |  CAST(SUM(canon) AS BIGINT) AS docs_kept,
+      |  CAST(SUM(n_tok * canon) AS BIGINT) AS tok_kept,
+      |  CAST((1000 * SUM(canon)) // COUNT(*) AS BIGINT) AS keep_pm
+      |FROM f GROUP BY 1, 2 ORDER BY source, lang_pred""".stripMargin
+
+  /** The curation keystone's oracle, shared by kp1 (batch) and kp2
+    * (streaming replay): t3's lang CASE, t6's four quality rules,
+    * d1's min-id canonical pick AMONG quality survivors (PARTITION BY
+    * key, keep — matching the batch window and the streaming owner
+    * filter), t29's accounting shape. */
+  private lazy val curationOracleSql: String =
+    s"""WITH ${curationScoreCtes("documents")},
        |f AS (SELECT *,
        |  CASE WHEN keep = 1 AND ROW_NUMBER()
-       |    OVER (PARTITION BY key ORDER BY doc_id) = 1
+       |    OVER (PARTITION BY key, keep ORDER BY doc_id) = 1
        |    THEN 1 ELSE 0 END AS canon
        | FROM q)
-       |SELECT source, lang_pred,
-       |  COUNT(*) AS docs_in,
-       |  CAST(SUM(keep) AS BIGINT) AS docs_quality,
-       |  CAST(SUM(canon) AS BIGINT) AS docs_kept,
-       |  CAST(SUM(n_tok * canon) AS BIGINT) AS tok_kept,
-       |  CAST((1000 * SUM(canon)) // COUNT(*) AS BIGINT) AS keep_pm
-       |FROM f GROUP BY 1, 2 ORDER BY source, lang_pred""".stripMargin
-  }
+       |$curationAccountingSql""".stripMargin
+
+  /** The kp2 novel-key fixture backlog as DuckDB SQL: every document
+    * plus an id-offset clone — so every content key carries exactly
+    * two copies, and keys absent from the snapshot (doc_id >=
+    * [[NovelSnapshotCutoff]]) are DUPLICATED NOVEL content, the case
+    * that separates self-elect from exact-once election semantics. */
+  private val novelBacklogSql: String =
+    s"""(SELECT source, doc_id, text FROM documents
+       | UNION ALL
+       | SELECT source, doc_id + $NovelCloneOffset AS doc_id, text
+       | FROM documents) AS b""".stripMargin
+
+  /** Snapshot-owner CTE for the novel fixtures: min-id quality
+    * survivor per key among snapshot rows only. */
+  private val novelOwnersCte: String =
+    s"""own AS (SELECT key, MIN(doc_id) AS owner_id FROM q
+       | WHERE keep = 1 AND doc_id < $NovelSnapshotCutoff GROUP BY key)""".stripMargin
+
+  /** kp2_novel_dedup: the SELF-ELECT semantics of the default
+    * snapshot-mode stream pinned cross-engine — every surviving copy
+    * of a novel key (no snapshot owner) counts kept, so the fixture's
+    * duplicated novel keys each contribute TWO canon rows. This row
+    * pins which semantics users of [[Streaming.availableNowCuration]]
+    * get between index refreshes; kp2b pins the bounded alternative. */
+  private lazy val novelSelfElectOracleSql: String =
+    s"""WITH ${curationScoreCtes(novelBacklogSql)},
+       |$novelOwnersCte,
+       |f AS (SELECT q.*,
+       |  CASE WHEN keep = 1 AND (own.owner_id IS NULL
+       |    OR q.doc_id = own.owner_id) THEN 1 ELSE 0 END AS canon
+       | FROM q LEFT JOIN own USING (key))
+       |$curationAccountingSql""".stripMargin
+
+  /** kp2b_novel_exact_once: batch-equivalent election — novel keys
+    * elect exactly ONE canonical copy (the accounting is invariant to
+    * WHICH copy, since clones share source/lang/n_tok; the CTE uses
+    * the deterministic min-id form). */
+  private lazy val novelExactOnceOracleSql: String =
+    s"""WITH ${curationScoreCtes(novelBacklogSql)},
+       |$novelOwnersCte,
+       |f0 AS (SELECT q.*, own.owner_id,
+       |  ROW_NUMBER() OVER (PARTITION BY key, keep ORDER BY q.doc_id) AS rn
+       | FROM q LEFT JOIN own USING (key)),
+       |f AS (SELECT *,
+       |  CASE WHEN keep = 1 AND ((owner_id IS NULL AND rn = 1)
+       |    OR doc_id = owner_id) THEN 1 ELSE 0 END AS canon
+       | FROM f0)
+       |$curationAccountingSql""".stripMargin
 
   /** MinHash+LSH near-dup pair pipeline as a reusable CTE chain
     * (ends in `pairs(a, b)`) — mirror of [[Dedup.minhashNearDup]],

@@ -38,11 +38,18 @@ object Curation {
 
   /** Batch curation report: one row per (source, lang_pred) with
     * docs_in / docs_quality / docs_kept / tok_kept / keep_pm.
-    * Identical texts carry identical quality flags, so `keep` is
-    * constant within a content key and the canonical pick is a plain
-    * first-survivor row_number (min doc_id). */
+    * The canonical owner is elected AMONG the quality survivors of a
+    * content key (window partitioned by (key, keep), so rejected
+    * rows never shadow a surviving duplicate) — the same election
+    * the streaming side runs (`Streaming.availableNowCuration`
+    * filters `keep === 1` before its min-id owner aggregate). Today
+    * the quality gate is content-pure, so `keep` is constant within
+    * a key and this collapses to the plain first-survivor pick; the
+    * (key, keep) partition makes the batch/stream agreement hold
+    * even for a future quality signal that reads non-content columns
+    * (source reputation, fetch date). */
   def report(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("key").orderBy("doc_id")
+    val w = Window.partitionBy("key", "keep").orderBy("doc_id")
     accounting(scored(docs)
         .withColumn("canon",
           (col("keep") === 1 && row_number().over(w) === 1).cast("int")))

@@ -484,7 +484,122 @@ object Streaming {
         when(col("keep") === 1 &&
             (col("owner_id").isNull || col("doc_id") === col("owner_id")),
           1).otherwise(0))
-    runToMemory(graft.api.Curation.accounting(flagged), "kp2_curation")
+    val out = runToMemory(graft.api.Curation.accounting(flagged), "kp2_curation")
+    // Snapshot-mode observability (the self-elect overcount is silent
+    // at runtime otherwise): ONE bounded batch aggregate over the
+    // already-scanned backlog counts how many kept docs were
+    // within-backlog duplicates of the same novel key — the exact
+    // inflation of docs_kept vs batch semantics. Logged, not failed:
+    // the trade is documented (the index refresh re-canonicalizes);
+    // [[availableNowCurationExactOnce]] is the bounded-variant path.
+    indexPath.foreach { _ =>
+      val novelDups = scored(s.read.parquet(docsPath))
+        .filter(col("keep") === 1)
+        .join(owners.select("key"), Seq("key"), "left_anti")
+        .groupBy("key").agg(count(lit(1)).as("copies"))
+        .agg(coalesce(sum(col("copies") - 1), lit(0L))).head().getLong(0)
+      if (novelDups > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"availableNowCuration: $novelDups within-backlog duplicate(s) " +
+            "of novel content keys self-elected canonical — docs_kept / " +
+            "tok_kept overcount them vs batch semantics until the next " +
+            "index refresh (use availableNowCurationExactOnce to bound this)")
+    }
+    out
+  }
+
+  /** KP2b: [[availableNowCuration]] with EXACT-ONCE novel-key
+    * election — the stateful variant of the documented self-elect
+    * trade. Cross-batch state is a tiny (key, owner_id) parquet
+    * ledger of already-elected novel keys, maintained per micro-batch
+    * through `foreachBatch` (the engine's recommended seam for custom
+    * stateful sinks): each batch
+    *  1. reads the ledger, unions it with the static snapshot owners;
+    *  2. elects min-doc_id winners for this batch's still-unseen
+    *     novel keys (one bounded aggregate over the batch);
+    *  3. appends the winners to the ledger — idempotently: the write
+    *     OVERWRITES a per-batch subdirectory, so a replayed batch
+    *     (checkpoint recovery) rewrites its own winners instead of
+    *     double-appending;
+    *  4. lands the flagged rows in a per-batch parquet sink the final
+    *     accounting reads back (same batch-id overwrite idempotence).
+    * A novel key therefore elects exactly one canonical doc across
+    * the whole backlog, however the files split into micro-batches —
+    * matching batch semantics whenever the key's minimum doc_id
+    * arrives in its first batch (single-backlog replays always do;
+    * later batches can only LOSE the min-id race, never double-elect).
+    * Scale posture: the ledger holds two narrow columns for novel
+    * keys only; the per-batch election shuffles 32-hex keys, never
+    * text; accounting stays the shared [[graft.api.Curation]]
+    * aggregate so the three curation paths cannot drift.
+    * `maxFilesPerTrigger` forces a multi-batch backlog in tests so
+    * the cross-batch ledger is genuinely exercised. */
+  def availableNowCurationExactOnce(s: SparkSession, docsPath: String,
+      indexPath: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.api.Curation.scored
+    val batchDocs = s.read.parquet(docsPath)
+    val dir = java.nio.file.Files.createTempDirectory("kp2b").toFile
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    val ledgerDir = new java.io.File(dir, "ledger"); ledgerDir.mkdirs()
+    val sinkDir = new java.io.File(dir, "flagged"); sinkDir.mkdirs()
+    val ledgerSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("owner_id",
+        org.apache.spark.sql.types.LongType)))
+    val reader = s.readStream.schema(batchDocs.schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val stream = reader.parquet(streamablePath(docsPath))
+    val q = scored(stream).writeStream
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").getAbsolutePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // rebuild static frames on the BATCH's session (foreachBatch
+        // hands a micro-batch-bound session; mixing sessions in one
+        // plan is undefined)
+        val bs = batch.sparkSession
+        val snapOwners = scored(
+            indexPath.fold(bs.read.parquet(docsPath))(bs.read.parquet(_)))
+          .filter(col("keep") === 1)
+          .groupBy("key").agg(min("doc_id").as("owner_id"))
+        // recursiveFileLookup: the per-batch subdirs are an idempotence
+        // device, not partition columns — don't let discovery add one
+        val ledger = bs.read.schema(ledgerSchema)
+          .option("recursiveFileLookup", "true")
+          .parquet(ledgerDir.getAbsolutePath)
+        val known = snapOwners.unionByName(ledger)
+        val novel = batch.filter(col("keep") === 1)
+          .join(known.select("key"), Seq("key"), "left_anti")
+          .groupBy("key").agg(min("doc_id").as("owner_id"))
+        novel.write.mode("overwrite")
+          .parquet(new java.io.File(ledgerDir, s"batch=$batchId").getAbsolutePath)
+        batch.join(known.unionByName(novel), Seq("key"), "left")
+          .withColumn("canon",
+            when(col("keep") === 1 && col("doc_id") === col("owner_id"), 1)
+              .otherwise(0))
+          .drop("owner_id")
+          .write.mode("overwrite")
+          .parquet(new java.io.File(sinkDir, s"batch=$batchId").getAbsolutePath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val flaggedSchema = org.apache.spark.sql.types.StructType(
+      scored(batchDocs).schema.fields :+
+        org.apache.spark.sql.types.StructField("canon",
+          org.apache.spark.sql.types.IntegerType))
+    graft.api.Curation.accounting(
+      s.read.schema(flaggedSchema).option("recursiveFileLookup", "true")
+        .parquet(sinkDir.getAbsolutePath))
   }
 
   /** Run a (bounded) append-mode stream to a throwaway PARQUET sink

@@ -305,4 +305,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 2L)),
       s"novel-key election broken: in/quality/kept = $r")
   }
+
+  test("KP2b: exact-once novel election holds ACROSS micro-batches") {
+    // The copies of each novel key are split across two FILES and
+    // maxFilesPerTrigger = 1 forces one file per micro-batch — so a
+    // double election can only be prevented by the cross-batch
+    // ledger, not by within-batch dedup. Expected: the owned key
+    // keeps its snapshot owner (1 canon, the duplicate dropped), the
+    // novel key elects exactly ONE copy across the two batches.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kp2bledger").toString
+    def text(tag: String) =
+      s"the corpus carries a $tag document and the tokens flow onward " +
+        "with plain words that keep the quality gate satisfied along " +
+        "this line of prose"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    Seq((1L, text("seen"), "en", "srcA", 0L))
+      .toDF(cols: _*).write.parquet(s"$dir/index/documents.parquet")
+    val backlog = s"$dir/stream/documents.parquet"
+    Seq((1L, text("seen"), "en", "srcA", 0L),
+        (3L, text("novel"), "en", "srcA", 0L))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(backlog)
+    Seq((2L, text("seen"), "en", "srcA", 0L),   // dup of owned key
+        (4L, text("novel"), "en", "srcA", 0L))  // dup of NOVEL key
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(backlog)
+    val out = Streaming.availableNowCurationExactOnce(
+        s, backlog, indexPath = Some(s"$dir/index/documents.parquet"),
+        maxFilesPerTrigger = Some(1))
+      .select("docs_in", "docs_quality", "docs_kept").collect()
+    assert(out.length == 1, s"expected one (source, lang) row: ${out.toSeq}")
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 2L)),
+      s"exact-once cross-batch election broken: in/quality/kept = $r " +
+        "(kept = 3 means the novel key double-elected — ledger not consulted)")
+  }
 }
