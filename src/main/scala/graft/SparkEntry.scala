@@ -321,6 +321,30 @@ object SparkEntry {
         .orderBy("source", "lang_pred")
     }),
 
+    // ---- KP3 (keystone): the FULL corpus-assembly pipeline composed
+    // as ONE declarative plan — PII scrub -> lang-ID + quality gate ->
+    // exact dedup -> benchmark decontamination -> temperature mix —
+    // the stages the board pins individually (t7, kp1, t16, t28)
+    // proven to compose without per-stage materialization. Fixture:
+    // the cloned backlog (every content key duplicated, so the dedup
+    // stage does real work) with t7's deterministic PII injection (so
+    // the scrub stage does real work — and the clone's id-specific
+    // suffix scrubs to a COMMON tag suffix, keeping clones exact
+    // duplicates post-scrub); benchmark = src1, candidates = rest ----
+    "kp3_curation_pipeline" -> ((s, d) => {
+      val docs0 = Tables.documents(s, d).select("source", "doc_id", "text")
+      val backlog = docs0.unionByName(
+        docs0.withColumn("doc_id", col("doc_id") + NovelCloneOffset))
+      val injected = backlog.withColumn("text",
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          pmod(col("doc_id"), lit(10000)).cast("string")))
+      graft.api.Curation.curate(
+          injected.filter(col("source") =!= "src1"),
+          injected.filter(col("source") === "src1"))
+        .orderBy("source")
+    }),
+
     // ---- J3/F6: archive-only semi-join ----
     "j3_semi_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -3486,6 +3510,10 @@ object SparkEntry {
     "kp2_novel_dedup" -> novelSelfElectOracleSql,
     "kp2b_novel_exact_once" -> novelExactOnceOracleSql,
 
+    // kp3: the composed pipeline — scrub/score/dedup/decontaminate/
+    // mix stage fragments are the t7/kp1/t16/t28 oracles' own shapes
+    "kp3_curation_pipeline" -> kp3OracleSql,
+
     // kp2: the streaming replay must reproduce kp1's batch report
     // exactly (same gate, same canonical pick, same accounting) —
     // same oracle, st6's pattern
@@ -3956,6 +3984,73 @@ object SparkEntry {
        |    OR doc_id = owner_id) THEN 1 ELSE 0 END AS canon
        | FROM f0)
        |$curationAccountingSql""".stripMargin
+
+  /** kp3: the composed corpus-assembly pipeline — t7's injection +
+    * scrub, kp1's scoring (via [[curationScoreCtes]] over the
+    * scrubbed candidates), t16's 8-gram decontamination, t28's
+    * temperature mix — over the cloned backlog. Stage fragments are
+    * the individually-pinned oracles' own SQL shapes, composed. */
+  private lazy val kp3OracleSql: String = {
+    val email = Text.emailPattern
+    val phone = Text.phonePattern
+    s"""WITH b0 AS (
+       |  SELECT source, doc_id,
+       |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+       |    '@example.com or call 555-' ||
+       |    CAST(doc_id % 10000 AS VARCHAR) AS rawtxt
+       |  FROM (SELECT source, doc_id, text FROM documents
+       |        UNION ALL
+       |        SELECT source, doc_id + $NovelCloneOffset AS doc_id, text
+       |        FROM documents)),
+       |b AS (SELECT source, doc_id,
+       |        regexp_replace(regexp_replace(rawtxt,
+       |          '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS text
+       |      FROM b0),
+       |${curationScoreCtes(
+            "(SELECT source, doc_id, text FROM b WHERE source <> 'src1') AS cnd")},
+       |f0 AS (SELECT *, ROW_NUMBER()
+       |         OVER (PARTITION BY key, keep ORDER BY doc_id) AS rn FROM q),
+       |fl AS (SELECT *, CASE WHEN keep = 1 AND rn = 1
+       |         THEN 1 ELSE 0 END AS canon FROM f0),
+       |g AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+       |        generate_series(1, len(toks) - 7),
+       |        i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))))) AS gkey
+       |      FROM (SELECT doc_id, source,
+       |              string_split(lower(text), ' ') AS toks FROM b) gb
+       |      WHERE len(toks) >= 8),
+       |dirty AS (SELECT DISTINCT e.doc_id FROM g e
+       |          JOIN (SELECT DISTINCT gkey FROM g WHERE source = 'src1') tr
+       |            ON e.gkey = tr.gkey
+       |          WHERE e.source <> 'src1'),
+       |gated AS (SELECT fl.*, CASE WHEN canon = 1 AND dirty.doc_id IS NULL
+       |            THEN 1 ELSE 0 END AS clean
+       |          FROM fl LEFT JOIN dirty ON fl.doc_id = dirty.doc_id),
+       |cd AS (SELECT source, doc_id, n_tok,
+       |         ${hex60("source || '|' || CAST(doc_id AS VARCHAR)")} AS h
+       |       FROM gated WHERE clean = 1),
+       |c AS (SELECT source, COUNT(*) AS n_clean,
+       |        CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w FROM cd GROUP BY 1),
+       |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM c),
+       |qt AS (SELECT source, (200 * w) // tot_w AS target FROM c, tw),
+       |r AS (SELECT cd.source, cd.n_tok, qt.target,
+       |        ROW_NUMBER() OVER (PARTITION BY cd.source
+       |          ORDER BY h, doc_id) AS rk
+       |      FROM cd JOIN qt USING (source)),
+       |smp AS (SELECT source, COUNT(*) AS n_sampled,
+       |          CAST(SUM(n_tok) AS BIGINT) AS tok_sampled
+       |        FROM r WHERE rk <= target GROUP BY 1),
+       |acc AS (SELECT source, COUNT(*) AS docs_in,
+       |          CAST(SUM(keep) AS BIGINT) AS docs_quality,
+       |          CAST(SUM(canon) AS BIGINT) AS docs_kept,
+       |          CAST(SUM(clean) AS BIGINT) AS docs_clean
+       |        FROM gated GROUP BY 1)
+       |SELECT acc.source, docs_in, docs_quality, docs_kept, docs_clean,
+       |  CAST(COALESCE(qt.target, 0) AS BIGINT) AS target,
+       |  CAST(COALESCE(smp.n_sampled, 0) AS BIGINT) AS n_sampled,
+       |  CAST(COALESCE(smp.tok_sampled, 0) AS BIGINT) AS tok_sampled
+       |FROM acc LEFT JOIN qt USING (source) LEFT JOIN smp USING (source)
+       |ORDER BY acc.source""".stripMargin
+  }
 
   /** MinHash+LSH near-dup pair pipeline as a reusable CTE chain
     * (ends in `pairs(a, b)`) — mirror of [[Dedup.minhashNearDup]],

@@ -564,7 +564,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val executesAtConstruction: Set[String] = Set(
     "st1_stream_daily", "st2_stream_dedup", "st3_stream_window",
     "st4_stream_repeat", "st5_stream_join", "st6_stream_neardup",
-    "kp2_stream_curation", // streaming runs execute at construction
+    "kp2_stream_curation", "kp2_novel_dedup",
+    "kp2b_novel_exact_once", // streaming runs execute at construction
+    "kp3_curation_pipeline", // narrow gated checkpoint at construction
     "s13_multiformat", "s17_schema_evolution", // fixture writers
     "o19_bucketed_join", "o20_bucketed_agg", // table write on first construction; dedicated plan pins below
     "t22_bpe_train", "g1_pagerank", "d6_dedup_clusters", // driver loops
@@ -673,6 +675,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val leaked = exchanges.filter(_.output.exists(_.name == "text"))
     assert(leaked.isEmpty,
       s"kp1 shuffles the text payload: ${leaked.map(_.output.map(_.name))}\n$p")
+  }
+
+  test("kp3 composed pipeline: one corpus pass, consumers read the narrow checkpoint") {
+    // The composition claim: scrub -> score -> dedup -> decontaminate
+    // collapse into ONE corpus pass materialized as the narrow gated
+    // checkpoint; the mix's three consumers (accounting, quota,
+    // sampled prefix) read that checkpoint — the FINAL plan must show
+    // ZERO parquet scans (no consumer re-reads the corpus) and only
+    // the mix's bounded shuffles.
+    val p = plan("kp3_curation_pipeline")
+    assert(scansOf(p) == 0,
+      s"kp3 consumer re-reads the corpus past the gated checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in kp3:\n$p")
+    // quota attaches by broadcast; the 1-row total-weight nested-loop
+    // (t28's blessed shape) runs once in the quota BUILD pass and the
+    // final plan reads the materialized quota — zero nested-loops here
+    assert(p.contains("BroadcastHashJoin"),
+      s"kp3 quota join lost its broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"kp3 re-runs the quota build's 1-row nested-loop per consumer:\n$p")
+    // mix shuffles: accounting agg, clean-count agg, per-source
+    // window, sampled agg, the quota/sampled joins' exchanges and
+    // the presentation sort — bounded, never corpus-shaped
+    assert(exchangesOf(p) <= 12, s"kp3 grew extra shuffles:\n$p")
   }
 
   test("v16 filtered ANN: the label predicate pushes into the corpus scan") {
