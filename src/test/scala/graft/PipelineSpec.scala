@@ -483,6 +483,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.size == 61 && r.values.forall(_ == 0L))
   }
 
+  test("clustersTable: identical to the direct chain, built once per key") {
+    val s = spark
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    val direct = Dedup.nearDupClusters(
+        Dedup.minhashNearDup(docs, num = 1, den = 2), docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sortBy(_._1)
+    val viaTable = Dedup.clustersTable(docs, num = 1, den = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sortBy(_._1)
+    assert(viaTable == direct,
+      "clustersTable drifted from the direct minhash->clusters chain")
+    // second call must serve the SAME write-once files (no rebuild):
+    // the scanned file set of both reads is identical
+    def files(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.inputFiles.toSeq.sorted
+    val first = files(Dedup.clustersTable(docs, num = 1, den = 2))
+    val second = files(Dedup.clustersTable(docs, num = 1, den = 2))
+    assert(first.nonEmpty && first == second,
+      "clustersTable rebuilt instead of serving the cached parquet")
+    // a different parameterization builds its OWN table
+    val other = files(Dedup.clustersTable(docs, num = 4, den = 5))
+    assert(other != first,
+      "clustersTable served a differently-parameterized build")
+  }
+
   test("LSH and IVF ANN recall vs brute force on clustered vectors") {
     val s = spark; import s.implicits._
     // 3 well-separated clusters of 20 vectors in R^8: center + small

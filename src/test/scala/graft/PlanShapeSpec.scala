@@ -570,7 +570,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "s13_multiformat", "s17_schema_evolution", // fixture writers
     "o19_bucketed_join", "o20_bucketed_agg", // table write on first construction; dedicated plan pins below
     "t22_bpe_train", "g1_pagerank", "d6_dedup_clusters", // driver loops
-    "d14_soft_dedup", // runs d6's clustering loop at construction
+    "d13_survivorship", // clusters-table build at construction
+    "d14_soft_dedup", // clusters-table build at construction
     "g2_triangles", "g2b_triangles_adj") // checkpointed edge build
 
   /** The blessed NLJ-bearing queries — the round-8 sweep's 20 minus
