@@ -1287,6 +1287,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- V16b: filtered ANN through the IVF path — the
+    // production-shaped composition of v16's pre-filter with v5's
+    // cell-blocked search: ONE index (full-corpus centroids) serves
+    // every filter, the label predicate pushes into the posting-list
+    // scan (plan-pinned), and the probe scores matching vectors
+    // only — never the post-top-k discard ----
+    "v16b_filtered_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annIvfFiltered(e, e.filter(col("vec_id") < 10),
+          col("label") === 1, k = 5, nprobe = 2, centroidStride = 43)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- V8: product-quantization ANN with asymmetric distance —
     // the corpus compresses to m integer codes per vector (THE
     // billion-scale index layout); queries broadcast per-subspace
@@ -5077,6 +5090,34 @@ object SparkEntry {
         |    AS INTEGER) AS span_id,
         |  start_pos, end_pos, end_pos - start_pos + 1 AS n_tok
         |FROM spans ORDER BY doc_id, span_id""".stripMargin,
+
+    // v16b: v5's IVF CTE chain with the posting side label-filtered
+    // AFTER the per-vector cell ranking (rank-1-nearest-centroid is
+    // per-vector, so the filter commutes with assignment — the Spark
+    // side filters BEFORE, pushing the predicate into the scan) and
+    // centroids from the FULL corpus (one index serves every filter)
+    "v16b_filtered_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 43 = 0),
+        |s AS (SELECT e.vec_id AS id, e.label, c.cid,
+        |        list_cosine_similarity(e.embedding, c.cv) AS cos
+        |      FROM embeddings e CROSS JOIN c),
+        |r AS (SELECT id, label, cid,
+        |        ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rk
+        |      FROM s),
+        |assign AS (SELECT id AS nid, cid FROM r WHERE rk = 1 AND label = 1),
+        |probes AS (SELECT id AS qid, cid FROM r WHERE rk <= 2 AND id < 10),
+        |cand AS (
+        |  SELECT p.qid, a.nid,
+        |         list_cosine_similarity(eq.embedding, en.embedding) AS cos
+        |  FROM probes p JOIN assign a USING (cid)
+        |  JOIN embeddings eq ON eq.vec_id = p.qid
+        |  JOIN embeddings en ON en.vec_id = a.nid
+        |  WHERE a.nid <> p.qid),
+        |rr AS (SELECT qid, nid,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        |       FROM cand)
+        |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
+        |FROM rr WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
     "v5_ann_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 43 = 0),

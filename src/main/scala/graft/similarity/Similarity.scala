@@ -208,6 +208,28 @@ object Similarity {
       k, nprobe, idCol, vecCol)
   }
 
+  /** [[annIvf]] with a metadata predicate pushed INTO the cell-blocked
+    * search — the production shape of filtered vector search: ONE
+    * index (the centroid set, built from the FULL corpus) serves
+    * every filter, while the posting lists are built from the
+    * filtered corpus, so the predicate reaches the parquet scan as a
+    * pushed filter and the probe scores matching vectors only —
+    * filter-before/within-cells, never filter-after-top-k (which
+    * silently returns < k; v16 pins that contrast on the brute-force
+    * path). Equivalent to filtering before assignment, because cell
+    * assignment is per-vector: rank-1-nearest-centroid commutes with
+    * any row predicate. Recall caveats are [[annIvf]]'s, plus the
+    * usual filtered-ANN one: a highly selective predicate empties
+    * probed cells (raise nprobe — the knob is per-query, the index
+    * unchanged). */
+  def annIvfFiltered(corpus: DataFrame, queries: DataFrame,
+      pred: Column, k: Int = 5, nprobe: Int = 2,
+      centroidStride: Int = 43, maxCells: Int = Int.MaxValue,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    annIvfWith(corpus.filter(pred), queries,
+      ivfCentroids(corpus, centroidStride, maxCells, idCol, vecCol),
+      k, nprobe, idCol, vecCol)
+
   /** The IVF centroid sample [[annIvf]] indexes with, exposed so the
     * size-independence invariant (exactly `maxCells` centroids no
     * matter how large — or how sparse/offset-keyed — the corpus is)

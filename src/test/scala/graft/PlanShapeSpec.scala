@@ -588,7 +588,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t19_bm25",
     "t20_bigram_lm", "t21_dsir", "t24_collocations", "t28_temperature_mix",
     "v13_knn_classify", "v15_recall_eval", "v16_filtered_ann",
-    "v1_ann_bruteforce",
+    "v16b_filtered_ivf", "v1_ann_bruteforce",
     "v2_cosine_neardup", "v5_ann_ivf", "v7_rrf_fusion", "v9_ivf_pq",
     "w5_sparkline")
 
@@ -710,6 +710,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("v16_filtered_ann")
     assert(p.contains("EqualTo(label,1)"),
       s"v16 lost the label pushdown on the pre-filtered corpus scan:\n$p")
+  }
+
+  test("v16b filtered IVF: the label predicate pushes into the posting-list scan") {
+    // the production shape of filtered ANN: the index (centroids) is
+    // built from the FULL corpus, the posting lists from the filtered
+    // one — so the label predicate must reach the parquet reader as a
+    // pushed filter on the posting-list scan, not a post-scan Filter
+    // (let alone a post-top-k discard)
+    val p = plan("v16b_filtered_ivf")
+    assert(p.contains("EqualTo(label,1)"),
+      s"v16b lost the label pushdown on the posting-list scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"v16b lost its broadcast cell/probe joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in v16b:\n$p")
   }
 
   test("c13 JSON props parse stays a scan-side projection") {
