@@ -331,4 +331,43 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = Export.graphPayload(days, "day").queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"))
   }
+
+  test("Curation.curate: each stage decides on the handmade fixture") {
+    val s = spark; import s.implicits._
+    // 25-token quality-passing prose (>=2 stopwords, mean len in
+    // range, no symbols) — the StreamingSpec gate-passing shape
+    def good(tag: String) =
+      s"the corpus carries a $tag document and the tokens flow onward " +
+        "with plain words that keep the quality gate satisfied along " +
+        "this line of prose"
+    // contaminated candidate: shares the leaked 8-token run with the
+    // benchmark doc (inserted verbatim in both)
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val contaminated =
+      s"the corpus carries a leaky document and $leak keeps flowing " +
+        "onward with plain words that keep the quality gate satisfied"
+    val benchmark = Seq(
+      (9L, s"benchmark answer begins $leak and then continues to the end " +
+        "of the item with more plain words", "sEval"))
+      .toDF("doc_id", "text", "source")
+    val cand = Seq(
+      (1L, good("alpha"), "sA"),   // quality pass, canonical
+      (2L, good("alpha"), "sA"),   // exact duplicate: dedup drop
+      (3L, contaminated, "sB"),    // quality pass, canon, CONTAMINATED
+      (4L, "tiny text", "sC"))     // quality fail
+      .toDF("doc_id", "text", "source")
+    val r = graft.api.Curation.curate(cand, benchmark)
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6))).toSeq
+    // sA: 2 in, 2 quality, 1 kept (dup dropped), 1 clean; it is the
+    // only clean source, so w=1, tot=1, target=200, samples its 1 doc.
+    // sB: kept but dirty -> clean 0, no quota row -> target 0.
+    // sC: quality 0 all the way down.
+    assert(r == Seq(
+      ("sA", 2L, 2L, 1L, 1L, 200L, 1L),
+      ("sB", 1L, 1L, 1L, 0L, 0L, 0L),
+      ("sC", 1L, 0L, 0L, 0L, 0L, 0L)),
+      s"curate stage decisions drifted: $r")
+  }
 }
