@@ -518,9 +518,14 @@ object Streaming {
     *  2. elects min-doc_id winners for this batch's still-unseen
     *     novel keys (one bounded aggregate over the batch);
     *  3. appends the winners to the ledger — idempotently: the write
-    *     OVERWRITES a per-batch subdirectory, so a replayed batch
-    *     (checkpoint recovery) rewrites its own winners instead of
-    *     double-appending;
+    *     OVERWRITES a per-batch subdirectory, and ledger rows carry
+    *     their batch id so step 1 reads STRICTLY EARLIER batches
+    *     only. Both halves matter for replay (checkpoint recovery):
+    *     without the batch-id filter, a replayed batch would see its
+    *     own previous winners in the ledger, elect nothing, and the
+    *     overwrite would ERASE them; with it, the replay re-derives
+    *     the identical winner set (min-id over the same batch
+    *     content) and rewrites it in place;
     *  4. lands the flagged rows in a per-batch parquet sink the final
     *     accounting reads back (same batch-id overwrite idempotence).
     * A novel key therefore elects exactly one canonical doc across
@@ -554,6 +559,8 @@ object Streaming {
       org.apache.spark.sql.types.StructField("key",
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("owner_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id",
         org.apache.spark.sql.types.LongType)))
     val reader = s.readStream.schema(batchDocs.schema)
     maxFilesPerTrigger.foreach(n =>
@@ -571,15 +578,20 @@ object Streaming {
           .filter(col("keep") === 1)
           .groupBy("key").agg(min("doc_id").as("owner_id"))
         // recursiveFileLookup: the per-batch subdirs are an idempotence
-        // device, not partition columns — don't let discovery add one
+        // device, not partition columns — don't let discovery add one.
+        // STRICTLY-EARLIER filter: a replayed batch must not read its
+        // own previous winners (it would elect nothing and the
+        // overwrite below would erase them)
         val ledger = bs.read.schema(ledgerSchema)
           .option("recursiveFileLookup", "true")
           .parquet(ledgerDir.getAbsolutePath)
+          .filter(col("batch_id") < batchId)
+          .drop("batch_id")
         val known = snapOwners.unionByName(ledger)
         val novel = batch.filter(col("keep") === 1)
           .join(known.select("key"), Seq("key"), "left_anti")
           .groupBy("key").agg(min("doc_id").as("owner_id"))
-        novel.write.mode("overwrite")
+        novel.withColumn("batch_id", lit(batchId)).write.mode("overwrite")
           .parquet(new java.io.File(ledgerDir, s"batch=$batchId").getAbsolutePath)
         batch.join(known.unionByName(novel), Seq("key"), "left")
           .withColumn("canon",
