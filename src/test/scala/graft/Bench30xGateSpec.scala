@@ -30,14 +30,14 @@ class Bench30xGateSpec extends AnyFunSuite {
     * round-9 adjacency-intersection triangle form — the alternative
     * algorithm whose scale claim (packed arrays beat wedge rows)
     * deserves the same 30x evidence as the wedge form it shadows —
-    * plus (round 13) the two curation keystones: the composition
-    * rows carry the engine's headline scale claim, so they carry the
-    * same 30x completion + growth evidence. */
+    * plus the curation keystones (kp1/kp2 round 13, kp3 round 14):
+    * the composition rows carry the engine's headline scale claim,
+    * so they carry the same 30x completion + growth evidence. */
   private val heavySet: Set[String] = Set(
     "g1_pagerank", "g2_triangles", "g2b_triangles_adj", "d13_survivorship",
     "d12_record_linkage", "st3_stream_window", "s11_profile",
     "d2_minhash_lsh", "d3_simhash", "d6_dedup_clusters", "m6_image_phash",
-    "kp1_llm_curation", "kp2_stream_curation")
+    "kp1_llm_curation", "kp2_stream_curation", "kp3_curation_pipeline")
 
   /** Growth-envelope overrides: query -> (maxGrowth vs sf0.1, why). */
   private val caps: Map[String, (Double, String)] = Map(

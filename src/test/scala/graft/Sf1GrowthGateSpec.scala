@@ -214,6 +214,22 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "m3_frame_align" -> (14.0, "decode + as-of alignment"),
     "m5_audio_energy" -> (14.0, "WAV decode linear in rows"),
     "m8_audio_resample" -> (14.0, "resample linear in rows"),
+    // kp2-novel fixtures replay a 2x-cloned backlog through the
+    // streaming engine: stream fixed cost + a 10x data term on 2x
+    // docs; kp2b additionally forces TWO micro-batches (cross-batch
+    // ledger under test) each paying a ledger read + two per-batch
+    // parquet writes. Measured at the round-14 introduction:
+    // kp2_novel 3.0x, kp2b 4.5x.
+    "kp2_novel_dedup" -> (6.0,
+      "streaming replay of the 2x-cloned novel-key backlog"),
+    "kp2b_novel_exact_once" -> (8.0,
+      "two forced micro-batches x ledger parquet round-trips on the " +
+        "2x-cloned backlog"),
+    // kp3's fixture is clone-dense BY CONSTRUCTION (every key
+    // duplicated), so its decontamination stage inherits t16's
+    // clone-gram index growth class; measured 3.1x at introduction
+    "kp3_curation_pipeline" -> (6.0,
+      "inherits t16's clone-gram growth on the clone-dense fixture"),
     "o13_zorder" -> (6.0, "z-order write pass linear, small base"),
     "o15_compaction_plan" -> (6.0, "compaction executes rewrites"),
     "s13_multiformat" -> (6.0, "3-format write+read round-trip"),
