@@ -679,4 +679,44 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(cases >= 100, s"generator produced only $cases cases")
   }
+
+  test("curate: funnel monotonicity and quota bounds on random corpora") {
+    val sp = spark; import sp.implicits._
+    def good(tag: String) =
+      s"the corpus carries a $tag document and the tokens flow onward " +
+        "with plain words that keep the quality gate satisfied along " +
+        "this line of prose"
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val benchmark = Seq((999L, s"benchmark answer begins $leak and then " +
+        "continues to the end of the item with more plain words", "sEval"))
+      .toDF("doc_id", "text", "source")
+    val corpusGen: Gen[List[(Int, String, Boolean, Boolean)]] = for {
+      n <- Gen.choose(1, 25)
+      tags <- Gen.listOfN(n, Gen.choose(0, 7))       // small pool -> dups
+      srcs <- Gen.listOfN(n, Gen.oneOf("sA", "sB", "sC"))
+      dirty <- Gen.listOfN(n, Gen.oneOf(true, false, false))
+      tiny <- Gen.listOfN(n, Gen.oneOf(true, false, false, false))
+    } yield tags.lazyZip(srcs).lazyZip(dirty).lazyZip(tiny).toList
+    forAllSeeded(corpusGen, n = 6) { rows =>
+      val cand = rows.zipWithIndex.map { case ((tag, src, dirty, tiny), i) =>
+        val txt =
+          if (tiny) "tiny text"
+          else good(s"tag$tag") + (if (dirty) s" $leak" else "")
+        (i.toLong, txt, src)
+      }.toDF("doc_id", "text", "source")
+      val out = graft.api.Curation.curate(cand, benchmark).collect()
+      // the funnel can only narrow, and sampling respects both the
+      // quota and the clean pool — for ANY corpus shape
+      out.foreach { r =>
+        val (in, q, kept, clean, target, sampled) = (r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(q <= in && kept <= q && clean <= kept && 0 <= clean,
+          s"funnel not monotone: $r")
+        assert(sampled <= clean && sampled <= target,
+          s"sampled beyond quota or clean pool: $r")
+      }
+      assert(out.map(_.getLong(1)).sum == rows.length,
+        "docs_in across sources != corpus size")
+    }
+  }
 }
