@@ -510,8 +510,8 @@ object Streaming {
 
   /** KP2b: [[availableNowCuration]] with EXACT-ONCE novel-key
     * election — the stateful variant of the documented self-elect
-    * trade. Cross-batch state is a tiny (key, owner_id) parquet
-    * ledger of already-elected novel keys, maintained per micro-batch
+    * trade. Cross-batch state is a tiny (key, owner_id, batch_id)
+    * parquet ledger of already-elected novel keys, kept per micro-batch
     * through `foreachBatch` (the engine's recommended seam for custom
     * stateful sinks): each batch
     *  1. reads the ledger, unions it with the static snapshot owners;
@@ -533,7 +533,7 @@ object Streaming {
     * matching batch semantics whenever the key's minimum doc_id
     * arrives in its first batch (single-backlog replays always do;
     * later batches can only LOSE the min-id race, never double-elect).
-    * Scale posture: the ledger holds two narrow columns for novel
+    * Scale posture: the ledger holds three narrow columns for novel
     * keys only; the per-batch election shuffles 32-hex keys, never
     * text; accounting stays the shared [[graft.api.Curation]]
     * aggregate so the three curation paths cannot drift.
