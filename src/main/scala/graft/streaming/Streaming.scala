@@ -562,6 +562,19 @@ object Streaming {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("batch_id",
         org.apache.spark.sql.types.LongType)))
+    // Score the snapshot ONCE per call, not once per micro-batch:
+    // building the owner index is the corpus-scale part of every
+    // batch's work (full index scan + scoring + aggregate), and the
+    // backlog may split into many batches. Materialized as parquet in
+    // the call's temp dir — file-based state crosses the foreachBatch
+    // session boundary safely, same device as the ledger itself.
+    val ownersDir = new java.io.File(dir, "owners").getAbsolutePath
+    scored(indexPath.fold(batchDocs)(s.read.parquet(_)))
+      .filter(col("keep") === 1)
+      .groupBy("key").agg(min("doc_id").as("owner_id"))
+      .write.parquet(ownersDir)
+    val ownersSchema = org.apache.spark.sql.types.StructType(
+      ledgerSchema.fields.filter(_.name != "batch_id"))
     val reader = s.readStream.schema(batchDocs.schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
@@ -569,14 +582,11 @@ object Streaming {
     val q = scored(stream).writeStream
       .option("checkpointLocation", new java.io.File(dir, "ckpt").getAbsolutePath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // rebuild static frames on the BATCH's session (foreachBatch
-        // hands a micro-batch-bound session; mixing sessions in one
-        // plan is undefined)
+        // rebuild frames on the BATCH's session (foreachBatch hands a
+        // micro-batch-bound session; mixing sessions in one plan is
+        // undefined) — reads of the call's materialized state only
         val bs = batch.sparkSession
-        val snapOwners = scored(
-            indexPath.fold(bs.read.parquet(docsPath))(bs.read.parquet(_)))
-          .filter(col("keep") === 1)
-          .groupBy("key").agg(min("doc_id").as("owner_id"))
+        val snapOwners = bs.read.schema(ownersSchema).parquet(ownersDir)
         // recursiveFileLookup: the per-batch subdirs are an idempotence
         // device, not partition columns — don't let discovery add one.
         // STRICTLY-EARLIER filter: a replayed batch must not read its
