@@ -89,6 +89,22 @@ if [ "$LEGS" = all ]; then
     SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json
 fi
 
+# Optional fifth leg: the 30x artifact (REPIN_30X=1). Keys come from
+# the committed BENCH_30X.json (same derive-from-artifact rule as
+# HEAVY); when the heavy set GROWS, pass the new comma-separated list
+# via REPIN_30X_ONLY so the keyset-equality gate sees the new member.
+# Needs target/sfgen/sf3 (ScaleGen, factor 30).
+if [ "${REPIN_30X:-0}" = 1 ]; then
+  if [ ! -d target/sfgen/sf3 ]; then
+    sbt -batch "runMain graft.ScaleGen /root/testdata/sf0.1 target/sfgen/sf3 30" \
+      > /tmp/repin_scalegen30.log 2>&1
+  fi
+  H30=${REPIN_30X_ONLY:-$(python3 -c "import json; print(','.join(sorted(json.load(open('BENCH_30X.json'))['queries'])))")}
+  run_leg BENCH_30X.json 5 /tmp/repin_30x.log \
+    SPARK_GRAFT_SF_DIR=target/sfgen/sf3 SPARK_GRAFT_BENCH_ONLY="$H30" \
+    SPARK_GRAFT_BENCH_OUT=BENCH_30X.json
+fi
+
 for f in BENCH_FULL.json BENCH_SF1_FULL.json BENCH_SF01_REF.json BENCH_SF1.json; do
   python3 -c "
 import json; d = json.load(open('$f')); q = d['queries']
@@ -96,8 +112,22 @@ noisy = [k for k, v in q.items() if isinstance(v, dict) and v.get('noisy')]
 fails = [k for k, v in q.items() if isinstance(v, dict) and v.get('warm', 0) < 0]
 print(f'$f: {len(q)} queries, total {d[\"value\"]}s, noisy {noisy or 0}, fails {fails or 0}')"
 done
-if [ "$CHAIN_OK" = 1 ]; then
-  echo "REPIN_DONE — now run: sbt test   (artifact gates must be green before committing)"
+# Run the artifact GATES here, not just the noisy budgets: round 14's
+# second sf1 leg passed its budget (noisy=1) while g2_triangles sat
+# 11% over its ABSOLUTE bound — suite-position inflation the budget
+# cannot see. Catching it inside the chain saves the round a full
+# sbt-test discovery cycle; a red gate here means: adjudicate the
+# offender with graft.TimeQ in a fresh JVM, then re-run that leg.
+if sbt -batch "testOnly graft.Sf1GrowthGateSpec graft.Bench30xGateSpec" \
+    > /tmp/repin_gates.log 2>&1; then
+  GATES=green
 else
-  echo "REPIN_DONE_WITH_WARNINGS — at least one leg stayed noisy; adjudicate before committing"
+  GATES=RED
+  grep -E "FAILED|exceeded|grew " /tmp/repin_gates.log | head -20
+fi
+if [ "$CHAIN_OK" = 1 ] && [ "$GATES" = green ]; then
+  echo "REPIN_DONE — artifact gates green; run full sbt test before committing"
+else
+  echo "REPIN_DONE_WITH_WARNINGS — noisy budget ($CHAIN_OK=ok) / gates ($GATES);"
+  echo "  adjudicate with graft.TimeQ and re-run the offending leg before committing"
 fi
