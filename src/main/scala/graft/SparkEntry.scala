@@ -106,6 +106,34 @@ object SparkEntry {
     (s"$dir/backlog", s"$dir/index")
   }
 
+  /** The kp3/kp4 fixture corpus: the cloned backlog with t7's
+    * deterministic PII injection — every content key duplicated (the
+    * dedup stage does real work), every text carrying scrubbed-away
+    * PII (the scrub stage does real work), clones exact duplicates
+    * post-scrub (the id-specific suffix scrubs to a common tag). */
+  private def injectedCloneBacklog(s: SparkSession, sfDir: String): DataFrame = {
+    val docs0 = Tables.documents(s, sfDir).select("source", "doc_id", "text")
+    docs0.unionByName(
+        docs0.withColumn("doc_id", col("doc_id") + NovelCloneOffset))
+      .withColumn("text",
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          pmod(col("doc_id"), lit(10000)).cast("string")))
+  }
+
+  /** kp4's on-disk form of [[injectedCloneBacklog]], split into
+    * candidate and benchmark directories ONCE per (JVM, sfDir) so the
+    * continuous run streams exactly kp3's fixture. Returns
+    * (candidatesPath, benchmarkPath). */
+  private def curateFixture(s: SparkSession, sfDir: String): (String, String) = {
+    val dir = fixtureDir("kp4curate", sfDir) { dir =>
+      val injected = injectedCloneBacklog(s, sfDir)
+      injected.filter(col("source") =!= "src1").write.parquet(s"$dir/cand")
+      injected.filter(col("source") === "src1").write.parquet(s"$dir/bench")
+    }
+    (s"$dir/cand", s"$dir/bench")
+  }
+
   /** The shared daily fact (A1) as a DuckDB CTE — mirror of
     * [[Processors.dailyFact]]. */
   private val factCte =
@@ -332,16 +360,24 @@ object SparkEntry {
     // suffix scrubs to a COMMON tag suffix, keeping clones exact
     // duplicates post-scrub); benchmark = src1, candidates = rest ----
     "kp3_curation_pipeline" -> ((s, d) => {
-      val docs0 = Tables.documents(s, d).select("source", "doc_id", "text")
-      val backlog = docs0.unionByName(
-        docs0.withColumn("doc_id", col("doc_id") + NovelCloneOffset))
-      val injected = backlog.withColumn("text",
-        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
-          lit("@example.com or call 555-"),
-          pmod(col("doc_id"), lit(10000)).cast("string")))
+      val injected = injectedCloneBacklog(s, d)
       graft.api.Curation.curate(
           injected.filter(col("source") =!= "src1"),
           injected.filter(col("source") === "src1"))
+        .orderBy("source")
+    }),
+
+    // ---- KP4 (executed): kp3 as a CONTINUOUS run — "continuous
+    // gating, periodic mix": every micro-batch scrubs/scores/
+    // dedup-flags/decontaminates row-local + stream-static and lands
+    // narrow gated rows; the temperature mix is the periodic batch
+    // step over the accumulated sink (quotas need global counts no
+    // append stream can know mid-flight). Replaying the same fixture
+    // reproduces kp3's batch report EXACTLY -> shares kp3's oracle,
+    // as kp2 shares kp1's ----
+    "kp4_stream_curate" -> ((s, d) => {
+      val (cand, bench) = curateFixture(s, d)
+      graft.streaming.Streaming.availableNowCurate(s, cand, bench)
         .orderBy("source")
     }),
 
@@ -3529,6 +3565,10 @@ object SparkEntry {
     // kp3: the composed pipeline — scrub/score/dedup/decontaminate/
     // mix stage fragments are the t7/kp1/t16/t28 oracles' own shapes
     "kp3_curation_pipeline" -> kp3OracleSql,
+
+    // kp4: the continuous replay must reproduce kp3's batch report
+    // EXACTLY on the same fixture -> shares kp3's oracle verbatim
+    "kp4_stream_curate" -> kp3OracleSql,
 
     // kp2: the streaming replay must reproduce kp1's batch report
     // exactly (same gate, same canonical pick, same accounting) —

@@ -96,8 +96,7 @@ object Curation {
   def curate(docs: DataFrame, benchmark: DataFrame, gramN: Int = 8,
       totalTarget: Int = 200): DataFrame = {
     import graft.dedup.Dedup
-    def scrub(df: DataFrame): DataFrame =
-      df.withColumn("text", Text.scrubPii(col("text")))
+    def scrub(df: DataFrame): DataFrame = scrubText(df)
     val cand = scrub(docs)
     // stage 2+3: score on the SCRUBBED text; canon among survivors
     val w = Window.partitionBy("key", "keep").orderBy("doc_id")
@@ -121,12 +120,24 @@ object Curation {
       .drop("__dirty")
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // stage 5: t28's temperature mix (alpha = 0.5) over the clean
-    // survivors — deterministic hash-rank prefix per source, quota
-    // proportional to floor(sqrt(n_clean))
+    assemble(gated, totalTarget)
+  }
+
+  /** The mix + report tail over a gated frame (scored columns +
+    * `canon` + `clean`): t28's temperature mix (alpha = 0.5) over the
+    * clean survivors — deterministic hash-rank prefix per source,
+    * quota proportional to floor(sqrt(n_clean)) — then the per-source
+    * report. ONE definition shared by [[curate]] (batch, over the
+    * narrow checkpoint) and the continuous gating replay
+    * (`Streaming.availableNowCurate`, over the accumulated per-batch
+    * sink) — the sampling rule and the report columns cannot drift
+    * between the two paths. Callers pass an already-materialized
+    * `gated` (checkpoint or files); this tail adds only bounded
+    * aggregates and broadcast joins. */
+  def assemble(gated: DataFrame, totalTarget: Int = 200): DataFrame = {
     val cleanDocs = gated.filter(col("clean") === 1)
       .withColumn("h", Text.hash60(concat(col("source"), lit("|"),
-        col("doc_id").cast("string")), Some(docs.sparkSession)))
+        col("doc_id").cast("string")), Some(gated.sparkSession)))
     val counts = cleanDocs.groupBy("source").agg(count(lit(1)).as("n_clean"))
       .withColumn("w", floor(sqrt(col("n_clean"))).cast("long"))
     val tot = counts.agg(sum("w").as("tot_w"))
@@ -158,4 +169,8 @@ object Curation {
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
         coalesce(col("tok_sampled"), lit(0L)).as("tok_sampled"))
   }
+
+  /** Scrub helper shared with the continuous gating replay. */
+  private[graft] def scrubText(df: DataFrame): DataFrame =
+    df.withColumn("text", Text.scrubPii(col("text")))
 }

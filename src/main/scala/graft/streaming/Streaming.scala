@@ -624,6 +624,109 @@ object Streaming {
         .parquet(sinkDir.getAbsolutePath))
   }
 
+  /** KP4: the FULL corpus-assembly pipeline (kp3's
+    * `Curation.curate`) as a CONTINUOUS run — the production shape is
+    * "continuous gating, periodic mix": every micro-batch scrubs,
+    * scores, dedup-flags and decontaminates its documents and lands
+    * the narrow gated rows in a per-batch sink; the temperature mix
+    * and the report are the periodic batch step over the accumulated
+    * sink (they need global per-source counts, which no append-mode
+    * stream can know mid-flight — running them per batch would emit
+    * quotas that churn with every arrival).
+    *
+    * Static state, materialized once per call (file-based, crossing
+    * the foreachBatch session boundary like kp2b's ledger): the
+    * canonical-owner index over the SCRUBBED corpus (or `indexPath`
+    * snapshot) and the benchmark's distinct scrubbed-gram digest set.
+    * Per batch: scrub + score are row-local; canon is the
+    * stream-static owner join (self-elect rule for novel keys — the
+    * kp2 default); the contamination flag is a gram-digest semi-join
+    * against the static set (32-hex keys shuffle, never text).
+    * Replaying the corpus as the backlog reproduces the batch
+    * `curate` report EXACTLY → kp4 shares kp3's oracle, as kp2
+    * shares kp1's. The mix/report tail is [[graft.api.Curation]]
+    * `.assemble` — one definition, no drift. */
+  def availableNowCurate(s: SparkSession, docsPath: String,
+      benchmarkPath: String, indexPath: Option[String] = None,
+      gramN: Int = 8, totalTarget: Int = 200,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.api.Curation
+    import graft.dedup.Dedup
+    val batchDocs = s.read.parquet(docsPath)
+    val dir = java.nio.file.Files.createTempDirectory("kp4").toFile
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    val ownersDir = new java.io.File(dir, "owners").getAbsolutePath
+    val gramsDir = new java.io.File(dir, "grams").getAbsolutePath
+    val sinkDir = new java.io.File(dir, "gated"); sinkDir.mkdirs()
+    Curation.scored(Curation.scrubText(
+        indexPath.fold(batchDocs)(s.read.parquet(_))))
+      .filter(col("keep") === 1)
+      .groupBy("key").agg(min("doc_id").as("owner_id"))
+      .write.parquet(ownersDir)
+    Dedup.slidingGramHashes(
+        Curation.scrubText(s.read.parquet(benchmarkPath)), gramN)
+      .select(col("key").as("gkey")).distinct()
+      .write.parquet(gramsDir)
+    val lt = org.apache.spark.sql.types.LongType
+    val st = org.apache.spark.sql.types.StringType
+    val ownersSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", st),
+      org.apache.spark.sql.types.StructField("owner_id", lt)))
+    val gramsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("gkey", st)))
+    val reader = s.readStream.schema(batchDocs.schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    // the raw stream carries text INTO foreachBatch (the gram stage
+    // needs it); the scrub/score projections run batch-side, and the
+    // sink rows are the narrow gated schema — text never lands
+    val q = reader.parquet(streamablePath(docsPath)).writeStream
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").getAbsolutePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        val scrubbed = Curation.scrubText(batch)
+        val owners = bs.read.schema(ownersSchema).parquet(ownersDir)
+        val grams = bs.read.schema(gramsSchema).parquet(gramsDir)
+        val dirty = graft.dedup.Dedup.slidingGramHashes(scrubbed, gramN)
+          .join(grams.withColumnRenamed("gkey", "key"), Seq("key"), "left_semi")
+          .select(col("id").as("doc_id")).distinct()
+          .withColumn("__dirty", lit(1))
+        Curation.scored(scrubbed)
+          .join(owners, Seq("key"), "left")
+          .withColumn("canon",
+            when(col("keep") === 1 &&
+                (col("owner_id").isNull || col("doc_id") === col("owner_id")),
+              1).otherwise(0))
+          .drop("owner_id")
+          .join(dirty, Seq("doc_id"), "left")
+          .withColumn("clean",
+            (col("canon") === 1 && col("__dirty").isNull).cast("int"))
+          .drop("__dirty")
+          .write.mode("overwrite")
+          .parquet(new java.io.File(sinkDir, s"batch=$batchId").getAbsolutePath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val gatedSchema = org.apache.spark.sql.types.StructType(
+      Curation.scored(batchDocs).schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("canon",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("clean",
+          org.apache.spark.sql.types.IntegerType)))
+    Curation.assemble(
+      s.read.schema(gatedSchema).option("recursiveFileLookup", "true")
+        .parquet(sinkDir.getAbsolutePath), totalTarget)
+  }
+
   /** Run a (bounded) append-mode stream to a throwaway PARQUET sink
     * with `Trigger.AvailableNow` and read the result back — the
     * scale-safe alternative to [[runToMemory]] for outputs that grow

@@ -564,8 +564,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val executesAtConstruction: Set[String] = Set(
     "st1_stream_daily", "st2_stream_dedup", "st3_stream_window",
     "st4_stream_repeat", "st5_stream_join", "st6_stream_neardup",
-    "kp2_stream_curation", "kp2_novel_dedup",
-    "kp2b_novel_exact_once", // streaming runs execute at construction
+    "kp2_stream_curation", "kp2_novel_dedup", "kp2b_novel_exact_once",
+    "kp4_stream_curate", // streaming runs execute at construction
     "kp3_curation_pipeline", // narrow gated checkpoint at construction
     "s13_multiformat", "s17_schema_evolution", // fixture writers
     "o19_bucketed_join", "o20_bucketed_agg", // table write on first construction; dedicated plan pins below

@@ -306,6 +306,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"novel-key election broken: in/quality/kept = $r")
   }
 
+  test("KP4: continuous curate replay reproduces the batch kp3 report exactly") {
+    // the curate analog of the kp1/kp2 differential: per-batch
+    // gating (scrub/score/canon/decontaminate) + the periodic mix
+    // over the accumulated sink must emit byte-identical report rows
+    // to the one-plan batch composition on the same fixture
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("kp3_curation_pipeline")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val stream = SparkEntry.queries("kp4_stream_curate")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty, "kp3 returned no rows at sf0.001")
+    assert(stream == batch,
+      s"continuous curate diverged from batch:\nbatch=$batch\nstream=$stream")
+  }
+
   test("KP2b: exact-once novel election holds ACROSS micro-batches") {
     // The copies of each novel key are split across two FILES and
     // maxFilesPerTrigger = 1 forces one file per micro-batch — so a
