@@ -975,14 +975,15 @@ object SparkEntry {
         Multimodal.asMediaTable(Tables.documents(s, d)))
         .orderBy("media_id")),
 
-    // ---- M2: frame sampling over binary payloads. The operator
-    // frames BYTES; the oracle can only address characters — restrict
-    // both sides to ASCII docs (chars == bytes) so the comparison is
-    // exact on any corpus, not just coincidentally-ASCII test data ----
+    // ---- M2: keyframe extraction over REAL frame containers — each
+    // payload is an indexed sequence of genuine PNG frames
+    // (videoMediaTable); the sampler seeks every 2nd frame via the
+    // container index and decodes THAT frame's bytes through the JDK
+    // codec. Ground-truth dims are pure id arithmetic the oracle
+    // recomputes; Spark must round-trip real PNGs to recover them ----
     "m2_frame_sample" -> ((s, d) =>
-      Multimodal.sampleFrames(
-          Multimodal.asMediaTable(Tables.documents(s, d)
-            .filter(length(col("text")) === octet_length(col("text")))))
+      Multimodal.sampleImageFrames(
+          Multimodal.videoMediaTable(Tables.documents(s, d)), everyN = 2)
         .orderBy("media_id", "frame_no")),
 
     // ---- M3: cross-modal frame alignment — two frame streams at
@@ -1333,6 +1334,21 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Similarity.annIvfFiltered(e, e.filter(col("vec_id") < 10),
           col("label") === 1, k = 5, nprobe = 2, centroidStride = 43)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- V16c: filtered ANN over the TRAINED index — v16b with
+    // v11's integer-exact k-means centroids (dequantized to cosine
+    // space) replacing the stride sample: the production contract
+    // that ONE trained index serves clustering, unfiltered search
+    // and every filtered search; the label predicate still reaches
+    // the posting-list scan (plan-pinned) ----
+    "v16c_trained_filtered_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedIvfCentroids(e,
+        dim = 64, stride = 31, k = 8, iters = 1)
+      Similarity.annIvfFilteredTrained(e, e.filter(col("vec_id") < 10),
+          col("label") === 1, cents, k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -4788,15 +4804,18 @@ object SparkEntry {
         |  CAST(len(string_split(text, chr(10))) AS INTEGER) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // m2: the oracle recomputes the container fixture's ground-truth
+    // arithmetic (count = 3 + id mod 4; frame f dims 4 + (id·7 +
+    // f·3) mod 13 × 4 + (id·5 + f·11) mod 9, every 2nd frame) — the
+    // Spark side must seek the container index and decode genuine
+    // PNG bytes to produce the same rows
     "m2_frame_sample" ->
-      """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_no,
-        |  CAST(length(substr(text, 64*i + 1, 64)) AS INTEGER) AS frame_len,
-        |  CAST(ascii(substr(text, 64*i + 1, 1)) AS INTEGER) AS first_byte
+      """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_no,
+        |  CAST(4 + (doc_id*7 + f*3) % 13 AS INTEGER) AS width,
+        |  CAST(4 + (doc_id*5 + f*11) % 9 AS INTEGER) AS height
         |FROM documents
-        |CROSS JOIN (SELECT unnest(generate_series(0,
-        |  (SELECT CAST(MAX(length(text)) / 64 AS INTEGER) + 1 FROM documents))) AS i)
-        |WHERE length(text) = octet_length(encode(text))
-        |  AND 64*i < length(text) AND i % 4 = 0
+        |CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS f)
+        |WHERE f < 3 + doc_id % 4 AND f % 2 = 0
         |ORDER BY media_id, frame_no""".stripMargin,
 
     "m3_frame_align" ->
@@ -5146,6 +5165,37 @@ object SparkEntry {
         |      FROM s),
         |assign AS (SELECT id AS nid, cid FROM r WHERE rk = 1 AND label = 1),
         |probes AS (SELECT id AS qid, cid FROM r WHERE rk <= 2 AND id < 10),
+        |cand AS (
+        |  SELECT p.qid, a.nid,
+        |         list_cosine_similarity(eq.embedding, en.embedding) AS cos
+        |  FROM probes p JOIN assign a USING (cid)
+        |  JOIN embeddings eq ON eq.vec_id = p.qid
+        |  JOIN embeddings en ON en.vec_id = a.nid
+        |  WHERE a.nid <> p.qid),
+        |rr AS (SELECT qid, nid,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        |       FROM cand)
+        |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
+        |FROM rr WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // v16c: v16b's filtered IVF chain with the centroids replaced by
+    // the TRAINED set — the oracle replays v11's integer-exact Lloyd
+    // step (kmeansSqlCte through cb1), dequantizes the codebook back
+    // to cosine space ((q - 2^21) / 1e6 — small exact longs through
+    // one IEEE divide, engine-identical), and searches as v16b
+    "v16c_trained_filtered_ivf" ->
+      s"""WITH $kmeansSqlCte,
+        |ct AS (SELECT cw AS cid,
+        |        list_transform(cv, x -> (x - 2097152) / 1000000.0) AS cv
+        |      FROM cb1),
+        |s2 AS (SELECT e.vec_id AS id, e.label, ct.cid,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.cv) AS cos
+        |      FROM embeddings e CROSS JOIN ct),
+        |r2 AS (SELECT id, label, cid,
+        |        ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rk
+        |      FROM s2),
+        |assign AS (SELECT id AS nid, cid FROM r2 WHERE rk = 1 AND label = 1),
+        |probes AS (SELECT id AS qid, cid FROM r2 WHERE rk <= 2 AND id < 10),
         |cand AS (
         |  SELECT p.qid, a.nid,
         |         list_cosine_similarity(eq.embedding, en.embedding) AS cos

@@ -23,6 +23,46 @@ import graft.functions.Text
   */
 object Curation {
 
+  /** How [[curate]] / [[assemble]] pin their multiply-consumed
+    * intermediate frames (the narrow gated rows; the per-source
+    * quota). The MATH is identical either way — only the
+    * fault-tolerance of the materialization differs:
+    *
+    *  - [[Materialize.LocalCkpt]] (default): `localCheckpoint` —
+    *    executor-resident blocks, zero extra I/O, ideal for the
+    *    in-JVM board and single-node runs. NOT replayable: on a real
+    *    cluster a lost executor loses its blocks and fails the job
+    *    (no lineage to recompute from), so a 1000-executor
+    *    corpus-assembly run should not use it.
+    *  - [[Materialize.Files]]: write the frame to parquet under the
+    *    given path and read it back — the kp4-sink shape. A lost
+    *    executor re-reads its split from the filesystem like any
+    *    scan; the gated rows are 8 thin columns, so the write is a
+    *    tiny fraction of the corpus pass it pins. This is the
+    *    production setting.
+    *
+    * PipelineSpec pins kp3's report byte-equal through both paths
+    * and the assemble tail's plan shape identical above the leaves. */
+  sealed trait Materialize
+  object Materialize {
+    case object LocalCkpt extends Materialize
+    final case class Files(path: String) extends Materialize
+  }
+
+  /** Pin a multiply-consumed frame per the [[Materialize]] mode.
+    * Files mode reads back with the frame's own schema so the
+    * downstream plan is independent of what parquet inferred. */
+  private def pin(df: DataFrame, mode: Materialize, sub: String): DataFrame =
+    mode match {
+      case Materialize.LocalCkpt =>
+        df.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      case Materialize.Files(path) =>
+        val p = s"$path/$sub"
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.schema(df.schema).parquet(p)
+    }
+
   /** Scan-side projection: (source, doc_id, lang_pred, n_tok, keep,
     * key). `keep` folds through when/otherwise so an empty text's
     * NULL symbol ratio lands at 0, matching the oracle's CASE. */
@@ -94,7 +134,8 @@ object Curation {
     * plan shape — composition adds joins, never new scans of wide
     * columns. */
   def curate(docs: DataFrame, benchmark: DataFrame, gramN: Int = 8,
-      totalTarget: Int = 200): DataFrame = {
+      totalTarget: Int = 200,
+      materialize: Materialize = Materialize.LocalCkpt): DataFrame = {
     import graft.dedup.Dedup
     def scrub(df: DataFrame): DataFrame = scrubText(df)
     val cand = scrub(docs)
@@ -110,17 +151,18 @@ object Curation {
     // quota weights, the sampled prefix) and Catalyst has no common-
     // subexpression materialization — without a checkpoint each
     // consumer re-runs the scrub + scoring + gram pipelines (the
-    // whole corpus read three times over). Checkpoint the NARROW
-    // row instead: 8 thin columns, one per doc, text long gone —
-    // the corpus-assembly pass pays its heavy stages exactly once.
-    // SER storage: corpus-scale cached rows (module convention).
-    val gated = flagged.join(dirty, Seq("doc_id"), "left")
-      .withColumn("clean",
-        (col("canon") === 1 && col("__dirty").isNull).cast("int"))
-      .drop("__dirty")
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    assemble(gated, totalTarget)
+    // whole corpus read three times over). Pin the NARROW row
+    // instead: 8 thin columns, one per doc, text long gone — the
+    // corpus-assembly pass pays its heavy stages exactly once.
+    // Materialization primitive per [[Materialize]]: localCheckpoint
+    // (SER storage, module convention) in-JVM, parquet for the
+    // fault-tolerant cluster path.
+    val gated = pin(flagged.join(dirty, Seq("doc_id"), "left")
+        .withColumn("clean",
+          (col("canon") === 1 && col("__dirty").isNull).cast("int"))
+        .drop("__dirty"),
+      materialize, "gated")
+    assemble(gated, totalTarget, materialize)
   }
 
   /** The mix + report tail over a gated frame (scored columns +
@@ -134,7 +176,8 @@ object Curation {
     * between the two paths. Callers pass an already-materialized
     * `gated` (checkpoint or files); this tail adds only bounded
     * aggregates and broadcast joins. */
-  def assemble(gated: DataFrame, totalTarget: Int = 200): DataFrame = {
+  def assemble(gated: DataFrame, totalTarget: Int = 200,
+      materialize: Materialize = Materialize.LocalCkpt): DataFrame = {
     val cleanDocs = gated.filter(col("clean") === 1)
       .withColumn("h", Text.hash60(concat(col("source"), lit("|"),
         col("doc_id").cast("string")), Some(gated.sparkSession)))
@@ -144,12 +187,13 @@ object Curation {
     // quota is ONE ROW PER SOURCE and feeds two consumers (the
     // sampled prefix and the final report join) — materialize it so
     // the 1-row total's nested-loop attach and the clean-count
-    // aggregate run once, not once per consumer
-    val quota = counts.crossJoin(broadcast(tot))
-      .withColumn("target", expr(s"($totalTarget * w) div tot_w"))
-      .select("source", "target")
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // aggregate run once, not once per consumer (same [[Materialize]]
+    // primitive as the gated frame: the Files path keeps the whole
+    // assembly replayable on executor loss)
+    val quota = pin(counts.crossJoin(broadcast(tot))
+        .withColumn("target", expr(s"($totalTarget * w) div tot_w"))
+        .select("source", "target"),
+      materialize, "quota")
     val wnd = Window.partitionBy("source").orderBy("h", "doc_id")
     val sampled = cleanDocs.join(broadcast(quota), Seq("source"))
       .withColumn("rk", row_number().over(wnd))
@@ -173,4 +217,49 @@ object Curation {
   /** Scrub helper shared with the continuous gating replay. */
   private[graft] def scrubText(df: DataFrame): DataFrame =
     df.withColumn("text", Text.scrubPii(col("text")))
+
+  /** The md5 cache key params for a curation report/assembly — the
+    * same canonical-params keying [[ReportCache]] uses for the
+    * irstats report surface (ref `cgi/stats/get:80-99`): corpus
+    * identity is the canonicalized-plan semantic hash (the
+    * clustersTable convention — a different corpus, sf dir, or
+    * schema keys its own entry), plus every knob that changes the
+    * payload. */
+  private def cacheParams(kind: String, docs: DataFrame,
+      extra: Map[String, String]): Map[String, String] =
+    Map("curation" -> kind,
+      "corpus" -> (docs.queryExecution.analyzed.canonicalized.semanticHash()
+        .toString + ":" + docs.schema.catalogString.hashCode)) ++ extra
+
+  /** [[report]] through the report-level file cache — the
+    * reference's dashboard-latency strategy applied to the curation
+    * surface (`process_stats:144-159` pre-warms report payloads the
+    * same way): the first audit of a corpus pays the Spark query and
+    * publishes the JSON payload under `<cacheDir>/<md5>.ir2`; every
+    * repeated audit of the SAME corpus is one file read, no cluster
+    * touch. ApiSpec pins the warm hit. */
+  def reportCached(cacheDir: String, docs: DataFrame): String =
+    ReportCache.getOrCompute(cacheDir, cacheParams("report", docs, Map.empty))(
+      graft.export.Export.toJson(report(docs),
+        context = Map("report" -> "curation", "view" -> "report")))
+
+  /** [[curate]] through the same md5-keyed payload cache: the full
+    * corpus-assembly report is the expensive audit a team re-opens
+    * most — benchmark identity and both mix knobs join the key, so
+    * a different decontamination set or quota re-runs while the
+    * repeat view is O(read). */
+  def curateCached(cacheDir: String, docs: DataFrame, benchmark: DataFrame,
+      gramN: Int = 8, totalTarget: Int = 200,
+      materialize: Materialize = Materialize.LocalCkpt): String =
+    ReportCache.getOrCompute(cacheDir,
+      cacheParams("curate", docs, Map(
+        "benchmark" -> (benchmark.queryExecution.analyzed.canonicalized
+          .semanticHash().toString + ":"
+          + benchmark.schema.catalogString.hashCode),
+        "gram_n" -> gramN.toString,
+        "total_target" -> totalTarget.toString)))(
+      graft.export.Export.toJson(
+        curate(docs, benchmark, gramN, totalTarget, materialize)
+          .orderBy("source"),
+        context = Map("report" -> "curation", "view" -> "curate")))
 }

@@ -541,31 +541,46 @@ object Dedup {
     * reads), and bench/ops cache hygiene (`clearCache`, RDD
     * unpersists) cannot invalidate what is a file. Keying on the
     * canonicalized plan means a different corpus, sf dir, or
-    * parameter set builds its own table — never a stale read. */
+    * parameter set builds its own table — never a stale read.
+    *
+    * `tablePath`: the DURABLE form of the same contract — the actual
+    * curated table location a production corpus generation writes.
+    * When given, the in-JVM plan-keyed cache is bypassed and the
+    * FILES are the authority: an existing committed table
+    * (`_SUCCESS` present) is read back as-is — across JVMs, across
+    * sessions — and a missing or uncommitted one is (re)built in
+    * place. The caller owns the keying (one path per corpus
+    * generation) and the eviction (drop the directory to force a
+    * rebuild); a half-written table from a crashed writer has no
+    * `_SUCCESS` and rebuilds rather than serving torn files. */
   private val clustersCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def clustersTable(docs: DataFrame, num: Int = 1, den: Int = 2,
       k: Int = 16, rowsPerBand: Int = 4,
-      idCol: String = "doc_id"): DataFrame = {
-    val key = docs.queryExecution.analyzed.canonicalized.semanticHash() +
-      "|" + docs.schema.catalogString.hashCode +
-      s"|$num/$den|$k|$rowsPerBand|$idCol"
-    val path = clustersCache.computeIfAbsent(key, { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_clusters").toString
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(dir))
-      }
+      idCol: String = "doc_id", tablePath: Option[String] = None): DataFrame = {
+    def build(dir: String): String = {
       nearDupClusters(
           minhashNearDup(docs, num, den, k, rowsPerBand), docs, idCol)
-        .write.mode("overwrite").parquet(s"$dir/clusters")
-      s"$dir/clusters"
-    })
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val path = tablePath match {
+      case Some(p) =>
+        // Hadoop FS, not java.io.File: the durable path may be on any
+        // cluster filesystem (hdfs://, s3a://), and _SUCCESS is the
+        // committer's atomicity marker on all of them
+        val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+        val fs = hp.getFileSystem(
+          docs.sparkSession.sessionState.newHadoopConf())
+        if (fs.exists(hp)) p else build(p)
+      case None =>
+        val sh = docs.queryExecution.analyzed.canonicalized.semanticHash()
+        clustersCache.computeIfAbsent(
+          s"$sh|${docs.schema.catalogString.hashCode}|$num/$den|$k|$rowsPerBand|$idCol",
+          _ => build(graft.store.TempSweep.tempDir("graft_clusters")
+            .toString + "/clusters"))
+    }
     docs.sparkSession.read.parquet(path)
   }
 

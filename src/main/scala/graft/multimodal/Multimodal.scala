@@ -483,6 +483,105 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Build the video-fixture media table: each payload is a real
+    * FRAME CONTAINER — a big-endian u32 frame count, then count u32
+    * frame lengths (the index every real container ships so a
+    * sampler can seek), then the frames back-to-back, each one a
+    * genuine PNG from the JDK codec. Frame f of media id has
+    * ground-truth dims w = 4 + (id·7 + f·3) mod 13,
+    * h = 4 + (id·5 + f·11) mod 9 and count 3 + id mod 4 — pure id
+    * arithmetic an independent engine recomputes, while the Spark
+    * side must parse the container and decode actual PNG bytes to
+    * recover them. Same executor-side birth as [[pngMediaTable]]. */
+  def videoMediaTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    // spread the codec work across all cores (see [[pngMediaTable]])
+    val rdd = docs.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = 3 + (id % 4).toInt
+        val frames = (0 until n).map { f =>
+          val w = 4 + ((id * 7 + f * 3) % 13).toInt
+          val h = 4 + ((id * 5 + f * 11) % 9).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((id * 31 + f * 13 + x * 7 + y) & 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          imageIoMemCache
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val dos = new java.io.DataOutputStream(bos)
+        dos.writeInt(n)
+        frames.foreach(fb => dos.writeInt(fb.length))
+        frames.foreach(dos.write(_))
+        val bytes = bos.toByteArray
+        Row(id, bytes, Row("video/x-frames+png", bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val imageFrameSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_no", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Keyframe extraction over [[videoMediaTable]] containers: read
+    * the container's length index, seek to every `everyN`-th frame,
+    * and decode THAT frame's PNG bytes through the real JDK codec —
+    * skipped frames are never decoded (the point of a container
+    * index; a real video sampler seeks keyframes the same way).
+    * Payloads stay inside the partition iterator; only the small
+    * (media_id, frame_no, width, height) feature rows come out. A
+    * malformed container or frame reports (0, 0) dims — a row to
+    * filter, not a task failure (corpus-scale posture, as
+    * [[ImageIoDecoder]]). */
+  def sampleImageFrames(media: DataFrame, everyN: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val n = in.readInt()
+          val lens = Array.fill(n)(in.readInt())
+          val offsets = lens.scanLeft(4 + 4 * n)(_ + _)
+          // per-frame guard too: the outer try runs at ITERATOR
+          // CONSTRUCTION; the decodes below run lazily as the
+          // partition consumer pulls rows, so a garbage frame must
+          // catch its own codec error
+          (0 until n by everyN).iterator.map { f =>
+            try {
+              imageIoMemCache
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload, offsets(f), lens(f)))
+              if (img == null) Row(id, f, 0, 0)
+              else Row(id, f, img.getWidth, img.getHeight)
+            } catch { case _: Exception => Row(id, f, 0, 0) }
+          }
+        } catch {
+          case _: Exception => Iterator(Row(id, 0, 0, 0))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, imageFrameSchema)
+  }
+
   private val frameSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("frame_no", IntegerType),

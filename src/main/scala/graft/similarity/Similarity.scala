@@ -230,6 +230,41 @@ object Similarity {
       ivfCentroids(corpus, centroidStride, maxCells, idCol, vecCol),
       k, nprobe, idCol, vecCol)
 
+  /** [[annIvfFiltered]] against an EXPLICIT centroid set — the
+    * trained-index form of filtered vector search: the SAME trained
+    * centroids serve the unfiltered search ([[annIvfTrained]]), the
+    * cluster assignments ([[kmeansAssignments]]' codebook) and every
+    * filtered query, while the posting lists are rebuilt from the
+    * filtered corpus so the predicate reaches the parquet scan
+    * (plan-pinned in PlanShapeSpec). Production never retrains per
+    * filter — one index, many predicates; this overload is that
+    * contract. */
+  def annIvfFilteredTrained(corpus: DataFrame, queries: DataFrame,
+      pred: Column, centroids: DataFrame, k: Int = 5, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    annIvfWith(corpus.filter(pred), queries, centroids, k, nprobe,
+      idCol, vecCol)
+
+  /** Trained IVF cells in cosine (double) space, derived from the
+    * ENGINE-EXACT integer k-means ([[pqCodebookTrained]] with m = 1
+    * over the whole vector — the same training loop v11's
+    * [[kmeansAssignments]] runs): integer Lloyd keeps every training
+    * step oracle-checkable (a floating-point mean's summation order
+    * perturbs centroids across engines), and the dequantization back
+    * to doubles — (q − 2²¹) / 10⁶, small exact longs through one IEEE
+    * divide, identical in any engine — yields the (cid, cv) set the
+    * IVF searches accept. ONE trained index therefore serves the
+    * cluster-assignment row (v11), unfiltered trained search, and
+    * every filtered search (v16c). */
+  def trainedIvfCentroids(corpus: DataFrame, dim: Int = 64,
+      stride: Int = 31, k: Int = 8, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqCodebookTrained(corpus, m = 1, subDim = dim, stride, k, iters,
+        idCol, vecCol)
+      .select(col("cw").as("cid"),
+        transform(col("cv"),
+          q => (q - lit(1L << 21)).cast("double") / lit(1000000.0)).as("cv"))
+
   /** The IVF centroid sample [[annIvf]] indexes with, exposed so the
     * size-independence invariant (exactly `maxCells` centroids no
     * matter how large — or how sparse/offset-keyed — the corpus is)

@@ -538,20 +538,32 @@ object Streaming {
     * text; accounting stays the shared [[graft.api.Curation]]
     * aggregate so the three curation paths cannot drift.
     * `maxFilesPerTrigger` forces a multi-batch backlog in tests so
-    * the cross-batch ledger is genuinely exercised. */
+    * the cross-batch ledger is genuinely exercised.
+    *
+    * `statePath` is the DURABLE home for the call's state (ledger,
+    * owner index, flagged sink, stream checkpoint). Default None =
+    * a temp dir swept at JVM exit — the oracle-harness mode. A real
+    * deployment passes a persistent path; a LATER CALL with the same
+    * `statePath` (and the same `indexPath` snapshot) RESUMES the
+    * backlog: the stream checkpoint skips already-processed files,
+    * the ledger carries the earlier calls' novel-key elections
+    * forward, and the returned accounting covers the WHOLE corpus
+    * seen so far — the "index refresh cycle" the self-elect docs
+    * invoke, as an actual API contract (StreamingSpec pins the
+    * two-call resume equal to the one-call run). Eviction story:
+    * the owner index is rebuilt (overwritten) every call, so
+    * retiring ledger rows is exactly re-snapshotting — point
+    * `indexPath` at a corpus snapshot that now CONTAINS the
+    * previously-novel keys and clear the ledger/sink dirs. */
   def availableNowCurationExactOnce(s: SparkSession, docsPath: String,
       indexPath: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      statePath: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.api.Curation.scored
     val batchDocs = s.read.parquet(docsPath)
-    val dir = java.nio.file.Files.createTempDirectory("kp2b").toFile
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(dir)
+    val dir = statePath.fold(graft.store.TempSweep.tempDir("kp2b")) { p =>
+      val f = new java.io.File(p); f.mkdirs(); f
     }
     val ledgerDir = new java.io.File(dir, "ledger"); ledgerDir.mkdirs()
     val sinkDir = new java.io.File(dir, "flagged"); sinkDir.mkdirs()
@@ -566,13 +578,15 @@ object Streaming {
     // building the owner index is the corpus-scale part of every
     // batch's work (full index scan + scoring + aggregate), and the
     // backlog may split into many batches. Materialized as parquet in
-    // the call's temp dir — file-based state crosses the foreachBatch
+    // the call's state dir — file-based state crosses the foreachBatch
     // session boundary safely, same device as the ledger itself.
+    // mode overwrite: a resumed call (same statePath) refreshes the
+    // index rather than failing on the existing directory.
     val ownersDir = new java.io.File(dir, "owners").getAbsolutePath
     scored(indexPath.fold(batchDocs)(s.read.parquet(_)))
       .filter(col("keep") === 1)
       .groupBy("key").agg(min("doc_id").as("owner_id"))
-      .write.parquet(ownersDir)
+      .write.mode("overwrite").parquet(ownersDir)
     val ownersSchema = org.apache.spark.sql.types.StructType(
       ledgerSchema.fields.filter(_.name != "batch_id"))
     val reader = s.readStream.schema(batchDocs.schema)
@@ -645,22 +659,24 @@ object Streaming {
     * Replaying the corpus as the backlog reproduces the batch
     * `curate` report EXACTLY → kp4 shares kp3's oracle, as kp2
     * shares kp1's. The mix/report tail is [[graft.api.Curation]]
-    * `.assemble` — one definition, no drift. */
+    * `.assemble` — one definition, no drift.
+    *
+    * `statePath`: durable home for the owner index, benchmark-gram
+    * set, gated sink and stream checkpoint — kp2b's contract: None
+    * (default) = swept temp dir; a later call with the same path
+    * resumes the backlog (checkpoint skips seen files, the sink
+    * accumulates) and re-reports over everything gated so far. */
   def availableNowCurate(s: SparkSession, docsPath: String,
       benchmarkPath: String, indexPath: Option[String] = None,
       gramN: Int = 8, totalTarget: Int = 200,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      statePath: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.api.Curation
     import graft.dedup.Dedup
     val batchDocs = s.read.parquet(docsPath)
-    val dir = java.nio.file.Files.createTempDirectory("kp4").toFile
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(dir)
+    val dir = statePath.fold(graft.store.TempSweep.tempDir("kp4")) { p =>
+      val f = new java.io.File(p); f.mkdirs(); f
     }
     val ownersDir = new java.io.File(dir, "owners").getAbsolutePath
     val gramsDir = new java.io.File(dir, "grams").getAbsolutePath
@@ -669,11 +685,11 @@ object Streaming {
         indexPath.fold(batchDocs)(s.read.parquet(_))))
       .filter(col("keep") === 1)
       .groupBy("key").agg(min("doc_id").as("owner_id"))
-      .write.parquet(ownersDir)
+      .write.mode("overwrite").parquet(ownersDir)
     Dedup.slidingGramHashes(
         Curation.scrubText(s.read.parquet(benchmarkPath)), gramN)
       .select(col("key").as("gkey")).distinct()
-      .write.parquet(gramsDir)
+      .write.mode("overwrite").parquet(gramsDir)
     val lt = org.apache.spark.sql.types.LongType
     val st = org.apache.spark.sql.types.StringType
     val ownersSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -738,18 +754,12 @@ object Streaming {
   private def runToParquet(df: DataFrame, prefix: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val s = df.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
-    // recursive removal at JVM exit: File.deleteOnExit only deletes
-    // the one registered path and only if EMPTY — with the parquet
-    // data/, _spark_metadata and ckpt/ children inside, it was a
-    // no-op and every invocation leaked its full pair dump into /tmp
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(dir)
-    }
+    // recursive removal at JVM exit (TempSweep): File.deleteOnExit
+    // only deletes the one registered path and only if EMPTY — with
+    // the parquet data/, _spark_metadata and ckpt/ children inside,
+    // it was a no-op and every invocation leaked its full pair dump
+    // into /tmp
+    val dir = graft.store.TempSweep.tempDir(prefix)
     val data = new java.io.File(dir, "data").getAbsolutePath
     val q = df.writeStream.format("parquet")
       .option("path", data)

@@ -370,4 +370,81 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("sC", 1L, 0L, 0L, 0L, 0L, 0L)),
       s"curate stage decisions drifted: $r")
   }
+
+  // shared curate fixture for the materialization + cache tests —
+  // the handmade corpus of the stage-decision test above
+  private def curateFixture() = {
+    val s = spark; import s.implicits._
+    def good(tag: String) =
+      s"the corpus carries a $tag document and the tokens flow onward " +
+        "with plain words that keep the quality gate satisfied along " +
+        "this line of prose"
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val benchmark = Seq(
+      (9L, s"benchmark answer begins $leak and then continues to the end " +
+        "of the item with more plain words", "sEval"))
+      .toDF("doc_id", "text", "source")
+    val cand = Seq(
+      (1L, good("alpha"), "sA"),
+      (2L, good("alpha"), "sA"),
+      (3L, s"the corpus carries a leaky document and $leak keeps flowing " +
+        "onward with plain words that keep the quality gate satisfied", "sB"),
+      (4L, "tiny text", "sC"))
+      .toDF("doc_id", "text", "source")
+    (cand, benchmark)
+  }
+
+  test("Curation.curate: Files materialization = LocalCkpt, same tail plan") {
+    import graft.api.Curation
+    val (cand, benchmark) = curateFixture()
+    val ckpt = Curation.curate(cand, benchmark)
+    val files = Curation.curate(cand, benchmark,
+      materialize = Curation.Materialize.Files(
+        Files.createTempDirectory("kp3files").toString))
+    // byte-equal report through either materialization primitive
+    val a = ckpt.orderBy("source").collect().map(_.toSeq).toSeq
+    val b = files.orderBy("source").collect().map(_.toSeq).toSeq
+    assert(a == b, s"Files-pinned curate diverged:\nckpt=$a\nfiles=$b")
+    // ... and the assemble TAIL is the same plan: identical non-leaf
+    // operator sequence (Projects excluded — column pruning differs
+    // mechanically over a parquet leaf vs an in-memory one; joins,
+    // aggregates, windows and filters must match exactly)
+    def tail(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case n if n.children.nonEmpty => n.nodeName
+      }.filterNot(_ == "Project")
+    assert(tail(ckpt) == tail(files),
+      s"assemble tail drifted between materializations:\n" +
+        s"ckpt=${tail(ckpt)}\nfiles=${tail(files)}")
+    // the pinned frames really are parquet on the Files path
+    assert(files.queryExecution.optimizedPlan.toString.contains("parquet"),
+      "Files materialization did not land in parquet relations")
+  }
+
+  test("curation report cache: repeated corpus audits are O(read)") {
+    import graft.api.Curation
+    val (cand, benchmark) = curateFixture()
+    val dir = Files.createTempDirectory("ir2curation").toString
+    val report1 = Curation.reportCached(dir, cand)
+    val curate1 = Curation.curateCached(dir, cand, benchmark)
+    assert(report1.contains("\"report\": \"curation\""))
+    assert(curate1.contains("docs_clean"))
+    // two distinct entries landed (report vs curate key on different
+    // params)
+    val entries = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".ir2"))
+    assert(entries.length == 2, s"expected 2 cache entries: ${entries.toSeq}")
+    // warm hit: poison the published payloads; the repeat audit must
+    // serve the FILES (no recompute, no cluster touch)
+    entries.foreach(f => Files.write(f.toPath,
+      s"SENTINEL:${f.getName}".getBytes("UTF-8")))
+    val report2 = Curation.reportCached(dir, cand)
+    val curate2 = Curation.curateCached(dir, cand, benchmark)
+    assert(report2.startsWith("SENTINEL:") && curate2.startsWith("SENTINEL:"),
+      "repeat curation audit recomputed instead of serving the cache")
+    assert(report2 != curate2, "report and curate shared one cache key")
+    // a different knob is a different key: cache miss, fresh payload
+    val other = Curation.curateCached(dir, cand, benchmark, totalTarget = 50)
+    assert(!other.startsWith("SENTINEL:"), "totalTarget missing from the key")
+  }
 }

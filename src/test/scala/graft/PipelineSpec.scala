@@ -312,6 +312,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getInt(3) == 'x'.toInt))
   }
 
+  test("keyframe extraction decodes real PNG frames via the container index") {
+    val s = spark; import s.implicits._
+    // ids chosen to vary frame count (3 + id mod 4) and dims
+    val ids = Seq(0L, 5L, 7L).toDF("doc_id")
+    val rows = Multimodal.sampleImageFrames(
+        Multimodal.videoMediaTable(ids), everyN = 2)
+      .orderBy("media_id", "frame_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    def truth(id: Long) = (0 until (3 + (id % 4).toInt) by 2).map { f =>
+      (id, f, 4 + ((id * 7 + f * 3) % 13).toInt,
+        4 + ((id * 5 + f * 11) % 9).toInt)
+    }
+    assert(rows == Seq(0L, 5L, 7L).flatMap(truth),
+      s"decoded keyframe dims drifted from the container ground truth: $rows")
+    // the sampler decodes REAL codec output: a corrupted frame (valid
+    // container index, garbage PNG bytes) reports (0, 0), not a crash
+    val media = Multimodal.videoMediaTable(Seq(1L).toDF("doc_id"))
+    val corrupt = media.select(col("media_id"),
+      // zero out everything past the index: count=4 -> 4+16 bytes kept
+      concat(expr("substring(payload, 1, 20)"),
+        lit(Array.fill[Byte](600)(0))).as("payload"), col("meta"))
+    val bad = Multimodal.sampleImageFrames(corrupt, everyN = 2).collect()
+    assert(bad.forall(r => r.getInt(2) == 0 && r.getInt(3) == 0),
+      "corrupt PNG frames must report (0,0) dims")
+  }
+
   test("fingerprint equals min shingle hash and is stable") {
     val d = docs((1L, "a b c d"), (2L, "a b c d"))
     val fps = d.select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
@@ -505,6 +531,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val other = files(Dedup.clustersTable(docs, num = 4, den = 5))
     assert(other != first,
       "clustersTable served a differently-parameterized build")
+  }
+
+  test("clustersTable: a durable tablePath is the cross-JVM authority") {
+    val s = spark
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("clusters_durable")
+      .toString + "/clusters"
+    // first call BUILDS in place (committed: _SUCCESS lands)
+    val built = Dedup.clustersTable(docs, num = 1, den = 2,
+        tablePath = Some(path))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sortBy(_._1)
+    assert(new java.io.File(path, "_SUCCESS").isFile,
+      "durable clusters table missing the committer marker")
+    assert(built == Dedup.clustersTable(docs, num = 1, den = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sortBy(_._1),
+      "durable build drifted from the temp-dir build")
+    // the FILES are the authority (not the in-JVM plan cache):
+    // replace the table with a sentinel assignment — a later call,
+    // any JVM, must serve it as-is rather than rebuild
+    val sentinel = s.range(1).selectExpr("id AS doc_id", "42L AS cluster")
+    sentinel.write.mode("overwrite").parquet(path)
+    val served = Dedup.clustersTable(docs, num = 1, den = 2,
+        tablePath = Some(path))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(served == Seq((0L, 42L)),
+      "tablePath call rebuilt over an existing committed table")
+    // an UNCOMMITTED table (no _SUCCESS — crashed writer) rebuilds
+    assert(new java.io.File(path, "_SUCCESS").delete())
+    val rebuilt = Dedup.clustersTable(docs, num = 1, den = 2,
+        tablePath = Some(path))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sortBy(_._1)
+    assert(rebuilt == built,
+      "uncommitted (torn) table was served instead of rebuilt")
   }
 
   test("LSH and IVF ANN recall vs brute force on clustered vectors") {

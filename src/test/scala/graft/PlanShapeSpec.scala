@@ -588,7 +588,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t19_bm25",
     "t20_bigram_lm", "t21_dsir", "t24_collocations", "t28_temperature_mix",
     "v13_knn_classify", "v15_recall_eval", "v16_filtered_ann",
-    "v16b_filtered_ivf", "v1_ann_bruteforce",
+    "v16b_filtered_ivf", "v16c_trained_filtered_ivf", "v1_ann_bruteforce",
     "v2_cosine_neardup", "v5_ann_ivf", "v7_rrf_fusion", "v9_ivf_pq",
     "w5_sparkline")
 
@@ -724,6 +724,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"),
       s"v16b lost its broadcast cell/probe joins:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in v16b:\n$p")
+  }
+
+  test("v16c trained filtered IVF: pushdown holds under the trained index") {
+    // same contract as v16b with the TRAINED centroid set: one index
+    // serves every filter, and the label predicate still reaches the
+    // posting-list parquet reader as a pushed filter — training the
+    // centroids must not cost the filtered search its pushdown
+    val p = plan("v16c_trained_filtered_ivf")
+    assert(p.contains("EqualTo(label,1)"),
+      s"v16c lost the label pushdown on the posting-list scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"v16c lost its broadcast cell/probe joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in v16c:\n$p")
   }
 
   test("c13 JSON props parse stays a scan-side projection") {

@@ -354,4 +354,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exact-once cross-batch election broken: in/quality/kept = $r " +
         "(kept = 3 means the novel key double-elected — ledger not consulted)")
   }
+
+  test("KP2b: a durable statePath resumes the backlog across CALLS") {
+    // The true "index refresh cycle": call 1 processes the first
+    // half of the corpus into a persistent ledger/sink/checkpoint;
+    // new files arrive; call 2 with the SAME statePath must (a) skip
+    // the already-processed files via the stream checkpoint, (b)
+    // carry call 1's novel-key elections forward through the ledger
+    // — the late duplicate of a novel key must NOT re-elect — and
+    // (c) report over the whole corpus seen so far, byte-equal to a
+    // single fresh call over the full backlog.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kp2bresume").toString
+    def text(tag: String) =
+      s"the corpus carries a $tag document and the tokens flow onward " +
+        "with plain words that keep the quality gate satisfied along " +
+        "this line of prose"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val index = s"$dir/index/documents.parquet"
+    Seq((1L, text("seen"), "en", "srcA", 0L)).toDF(cols: _*)
+      .write.parquet(index)
+    val backlog = s"$dir/stream/documents.parquet"
+    Seq((1L, text("seen"), "en", "srcA", 0L),
+        (3L, text("novel"), "en", "srcA", 0L))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(backlog)
+    val statePath = s"$dir/state"
+    val first = Streaming.availableNowCurationExactOnce(
+        s, backlog, indexPath = Some(index), statePath = Some(statePath))
+      .select("docs_in", "docs_quality", "docs_kept").collect()
+    assert(first.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        == Seq((2L, 2L, 2L)), s"first leg wrong: ${first.toSeq}")
+    // the refresh: two more docs land, one a duplicate of the
+    // already-elected novel key 3
+    Seq((2L, text("seen"), "en", "srcA", 0L),
+        (4L, text("novel"), "en", "srcA", 0L))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(backlog)
+    val resumed = Streaming.availableNowCurationExactOnce(
+        s, backlog, indexPath = Some(index), statePath = Some(statePath))
+      .select("docs_in", "docs_quality", "docs_kept").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fresh = Streaming.availableNowCurationExactOnce(
+        s, backlog, indexPath = Some(index),
+        maxFilesPerTrigger = Some(1))
+      .select("docs_in", "docs_quality", "docs_kept").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(resumed == Seq((4L, 4L, 2L)),
+      s"resumed leg wrong: $resumed (kept = 3 means the ledger did not " +
+        "survive the call boundary; docs_in = 2 means the checkpoint " +
+        "reprocessed or dropped the first leg's files)")
+    assert(resumed == fresh,
+      s"resume diverged from the one-shot run: resumed=$resumed fresh=$fresh")
+  }
 }
