@@ -169,6 +169,12 @@ class Sf1GrowthGateSpec extends AnyFunSuite {
     "v9_ivf_pq" -> (8.0, "IVF-PQ probes denser cells"),
     "v11_kmeans_cluster" -> (8.0, "k-means passes over 10x corpus"),
     "v12_diversity_medoid" -> (12.0, "medoid search in 10x-denser cells"),
+    // v16c runs v11's integer k-means training (pqCodebookTrained,
+    // m=1) to derive its cells, then v16b's filtered search — the
+    // training pass inherits v11's growth class on a sub-second base
+    "v16c_trained_filtered_ivf" -> (10.0,
+      "inherits v11's k-means training passes over the 10x corpus " +
+        "plus denser probed cells on a sub-second base"),
     "v14_random_projection" -> (6.0, "projection pass linear, small base"),
     "t14_pack" -> (6.0, "pack bins grow with corpus"),
     "t22_bpe_train" -> (6.0, "BPE driver rounds over 10x vocab support"),
