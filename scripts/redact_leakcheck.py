@@ -31,16 +31,27 @@ def redact(path: str) -> None:
     hits = d.get("hits", {})
     out = {}
     for cat, lst in hits.items():
+        # Hits are normally strings; coerce anything structured so a
+        # scanner format change can't crash the absorption script.
+        strs = [h if isinstance(h, str) else json.dumps(h, sort_keys=True)
+                for h in lst]
+        fps = []
+        for h in strs:
+            echo = h.startswith("GITLOG:")
+            rec = {
+                "sha256_12": hashlib.sha256(h.encode()).hexdigest()[:12],
+                "gitlog_echo": echo,
+            }
+            if not echo:
+                # Keep a masked preview for live hits so adjudication
+                # stays auditable from the artifact alone without
+                # re-quoting a token the next scan would re-find.
+                rec["preview"] = (h[:4] + "…" + h[-4:]) if len(h) > 12 else "…"
+            fps.append(rec)
         out[cat] = {
-            "n": len(lst),
-            "n_live": sum(1 for h in lst if not h.startswith("GITLOG:")),
-            "fingerprints": [
-                {
-                    "sha256_12": hashlib.sha256(h.encode()).hexdigest()[:12],
-                    "gitlog_echo": h.startswith("GITLOG:"),
-                }
-                for h in lst
-            ],
+            "n": len(strs),
+            "n_live": sum(1 for f in fps if not f["gitlog_echo"]),
+            "fingerprints": fps,
         }
     d["hits"] = out
     d["redacted"] = True

@@ -51,14 +51,22 @@ object Curation {
 
   /** Pin a multiply-consumed frame per the [[Materialize]] mode.
     * Files mode reads back with the frame's own schema so the
-    * downstream plan is independent of what parquet inferred. */
+    * downstream plan is independent of what parquet inferred.
+    *
+    * Each Files pin lands in a UNIQUE subdirectory
+    * (`<path>/<sub>-<seq>`): a second `curate()` pointed at the same
+    * Files root must not clobber the parquet a still-lazy frame from
+    * an earlier call reads — overwrite mode would delete those files
+    * under the first report. The caller owns sweeping the root when
+    * all reports derived from it have been collected. */
+  private val pinSeq = new java.util.concurrent.atomic.AtomicLong()
   private def pin(df: DataFrame, mode: Materialize, sub: String): DataFrame =
     mode match {
       case Materialize.LocalCkpt =>
         df.localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       case Materialize.Files(path) =>
-        val p = s"$path/$sub"
+        val p = s"$path/$sub-${pinSeq.incrementAndGet()}"
         df.write.mode("overwrite").parquet(p)
         df.sparkSession.read.schema(df.schema).parquet(p)
     }
@@ -218,18 +226,53 @@ object Curation {
   private[graft] def scrubText(df: DataFrame): DataFrame =
     df.withColumn("text", Text.scrubPii(col("text")))
 
+  /** Data fingerprint of a frame's file inputs: one `listStatus` per
+    * distinct parent directory of `df.inputFiles`, folding every
+    * input file's (name, length, mtime) into an md5. The semantic
+    * hash alone keys the PLAN — for file-backed corpora that is just
+    * root paths + schema, so refreshing the data IN PLACE at the same
+    * path would silently serve a stale `.ir2` payload forever (the
+    * cache persists across sessions, unlike the in-JVM clustersTable
+    * map). Folding the listing in makes an in-place refresh a cache
+    * miss by construction. Non-file frames (in-memory test fixtures)
+    * have no input files and fall back to `"mem"` — the semantic
+    * hash still keys their content. Driver-side cost: one FS listing
+    * RPC per directory, not per file. */
+  private[graft] def dataFingerprint(df: DataFrame): String = {
+    val files = df.inputFiles
+    if (files.isEmpty) "mem"
+    else {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.map(f => new org.apache.hadoop.fs.Path(f).getParent)
+        .distinct.sortBy(_.toString)
+        .foreach { dir =>
+          val fs = dir.getFileSystem(conf)
+          fs.listStatus(dir).sortBy(_.getPath.toString).foreach { st =>
+            md.update(
+              s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime};"
+                .getBytes("UTF-8"))
+          }
+        }
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
   /** The md5 cache key params for a curation report/assembly — the
     * same canonical-params keying [[ReportCache]] uses for the
     * irstats report surface (ref `cgi/stats/get:80-99`): corpus
     * identity is the canonicalized-plan semantic hash (the
     * clustersTable convention — a different corpus, sf dir, or
-    * schema keys its own entry), plus every knob that changes the
-    * payload. */
+    * schema keys its own entry) PLUS a [[dataFingerprint]] of the
+    * backing files, plus every knob that changes the payload. */
+  private def corpusKey(df: DataFrame): String =
+    df.queryExecution.analyzed.canonicalized.semanticHash().toString +
+      ":" + df.schema.catalogString.hashCode +
+      ":" + dataFingerprint(df)
+
   private def cacheParams(kind: String, docs: DataFrame,
       extra: Map[String, String]): Map[String, String] =
-    Map("curation" -> kind,
-      "corpus" -> (docs.queryExecution.analyzed.canonicalized.semanticHash()
-        .toString + ":" + docs.schema.catalogString.hashCode)) ++ extra
+    Map("curation" -> kind, "corpus" -> corpusKey(docs)) ++ extra
 
   /** [[report]] through the report-level file cache — the
     * reference's dashboard-latency strategy applied to the curation
@@ -253,9 +296,7 @@ object Curation {
       materialize: Materialize = Materialize.LocalCkpt): String =
     ReportCache.getOrCompute(cacheDir,
       cacheParams("curate", docs, Map(
-        "benchmark" -> (benchmark.queryExecution.analyzed.canonicalized
-          .semanticHash().toString + ":"
-          + benchmark.schema.catalogString.hashCode),
+        "benchmark" -> corpusKey(benchmark),
         "gram_n" -> gramN.toString,
         "total_target" -> totalTarget.toString)))(
       graft.export.Export.toJson(

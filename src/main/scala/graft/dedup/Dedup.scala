@@ -556,9 +556,20 @@ object Dedup {
   private val clustersCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Single-writer contract for a durable `tablePath`: exactly one
+    * driver may build a given path at a time (concurrent builders
+    * both seeing a missing `_SUCCESS` would overwrite each other's
+    * files mid-commit) — a production corpus generation owns its
+    * table path the way it owns any curated output directory. A
+    * params sidecar (`_graft_params.json`) is committed with the
+    * table; serving a committed table under DIFFERENT parameters
+    * fails fast rather than silently returning clusters computed
+    * with someone else's thresholds. */
   def clustersTable(docs: DataFrame, num: Int = 1, den: Int = 2,
       k: Int = 16, rowsPerBand: Int = 4,
       idCol: String = "doc_id", tablePath: Option[String] = None): DataFrame = {
+    val params = s"""{"num":$num,"den":$den,"k":$k,""" +
+      s""""rowsPerBand":$rowsPerBand,"idCol":"$idCol"}"""
     def build(dir: String): String = {
       nearDupClusters(
           minhashNearDup(docs, num, den, k, rowsPerBand), docs, idCol)
@@ -570,10 +581,32 @@ object Dedup {
         // Hadoop FS, not java.io.File: the durable path may be on any
         // cluster filesystem (hdfs://, s3a://), and _SUCCESS is the
         // committer's atomicity marker on all of them
+        val conf = docs.sparkSession.sessionState.newHadoopConf()
         val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-        val fs = hp.getFileSystem(
-          docs.sparkSession.sessionState.newHadoopConf())
-        if (fs.exists(hp)) p else build(p)
+        val sidecar = new org.apache.hadoop.fs.Path(p, "_graft_params.json")
+        val fs = hp.getFileSystem(conf)
+        if (fs.exists(hp)) {
+          // committed table: its params sidecar is the authority —
+          // a mismatch means the caller mis-keyed the path, not that
+          // we should rebuild (overwriting a table another generation
+          // committed is the worse failure)
+          if (fs.exists(sidecar)) {
+            val in = fs.open(sidecar)
+            val existing = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim finally in.close()
+            require(existing == params,
+              s"clustersTable at $p was committed with params $existing " +
+                s"but was requested with $params — one tablePath keys ONE " +
+                "parameter set; use a different path or drop the directory " +
+                "to rebuild")
+          }
+          p
+        } else {
+          build(p)
+          val out = fs.create(sidecar, true)
+          try out.write(params.getBytes("UTF-8")) finally out.close()
+          p
+        }
       case None =>
         val sh = docs.queryExecution.analyzed.canonicalized.semanticHash()
         clustersCache.computeIfAbsent(

@@ -555,6 +555,32 @@ object Streaming {
     * retiring ledger rows is exactly re-snapshotting — point
     * `indexPath` at a corpus snapshot that now CONTAINS the
     * previously-novel keys and clear the ledger/sink dirs. */
+  /** Guard a durable state directory against cross-corpus resume: the
+    * ledger/checkpoint/sink under a `statePath` encode elections made
+    * against ONE (docsPath, indexPath, …) configuration — resuming the
+    * same path against a different corpus would silently merge
+    * inconsistent elections into the accounting. First use writes a
+    * small manifest; every later use fails fast on mismatch. Only
+    * called for caller-supplied statePaths (a swept temp dir is
+    * single-call by construction). */
+  private def checkStateManifest(dir: java.io.File,
+      fields: Map[String, String]): Unit = {
+    val body = fields.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val mf = new java.io.File(dir, "_graft_manifest.json")
+    if (mf.exists()) {
+      val src = scala.io.Source.fromFile(mf, "UTF-8")
+      val existing = try src.mkString.trim finally src.close()
+      require(existing == body,
+        s"statePath ${dir} was initialized with $existing but this call " +
+          s"passed $body — a durable statePath resumes ONE configuration; " +
+          "use a fresh path (or clear this one) to change corpus/index")
+    } else {
+      val w = new java.io.PrintWriter(mf, "UTF-8")
+      try w.print(body) finally w.close()
+    }
+  }
+
   def availableNowCurationExactOnce(s: SparkSession, docsPath: String,
       indexPath: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None,
@@ -565,6 +591,8 @@ object Streaming {
     val dir = statePath.fold(graft.store.TempSweep.tempDir("kp2b")) { p =>
       val f = new java.io.File(p); f.mkdirs(); f
     }
+    if (statePath.isDefined) checkStateManifest(dir, Map(
+      "docsPath" -> docsPath, "indexPath" -> indexPath.getOrElse("")))
     val ledgerDir = new java.io.File(dir, "ledger"); ledgerDir.mkdirs()
     val sinkDir = new java.io.File(dir, "flagged"); sinkDir.mkdirs()
     val ledgerSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -678,6 +706,12 @@ object Streaming {
     val dir = statePath.fold(graft.store.TempSweep.tempDir("kp4")) { p =>
       val f = new java.io.File(p); f.mkdirs(); f
     }
+    // benchmarkPath/gramN join the manifest: the accumulated sink's
+    // `clean` flags were computed against ONE benchmark gram set —
+    // resuming with another would mix decontamination regimes
+    if (statePath.isDefined) checkStateManifest(dir, Map(
+      "docsPath" -> docsPath, "indexPath" -> indexPath.getOrElse(""),
+      "benchmarkPath" -> benchmarkPath, "gramN" -> gramN.toString))
     val ownersDir = new java.io.File(dir, "owners").getAbsolutePath
     val gramsDir = new java.io.File(dir, "grams").getAbsolutePath
     val sinkDir = new java.io.File(dir, "gated"); sinkDir.mkdirs()

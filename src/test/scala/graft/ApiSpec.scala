@@ -447,4 +447,50 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val other = Curation.curateCached(dir, cand, benchmark, totalTarget = 50)
     assert(!other.startsWith("SENTINEL:"), "totalTarget missing from the key")
   }
+
+  test("curation cache: in-place data refresh at the same path misses") {
+    // The semantic hash of a file-backed corpus is its root path +
+    // schema — refreshing the DATA in place at the same path must be
+    // a cache MISS (the .ir2 cache persists across sessions; a
+    // path-only key would serve the pre-refresh report forever). The
+    // key folds in a file listing (sizes/mtimes) fingerprint.
+    import graft.api.Curation
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("ir2refresh").toString
+    val corpus = Files.createTempDirectory("refresh_corpus").toString
+    def doc(id: Long, tag: String) = (id,
+      s"the corpus carries a $tag document and the tokens flow onward " +
+        "with plain words that keep the quality gate satisfied along " +
+        "this line of prose", s"src$tag")
+    Seq(doc(1L, "A")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(corpus)
+    val before = Curation.reportCached(dir, s.read.parquet(corpus))
+    // in-place refresh: same path, new contents
+    Seq(doc(1L, "A"), doc(2L, "B")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(corpus)
+    val after = Curation.reportCached(dir, s.read.parquet(corpus))
+    assert(before != after,
+      "in-place corpus refresh served the stale cached report")
+    assert(after.contains("srcB"), s"refresh payload wrong: $after")
+  }
+
+  test("Curation Files root is reusable: pins land in unique subdirs") {
+    // A second curate() over the same Files root must not clobber the
+    // parquet a still-lazy frame from the FIRST call reads — each pin
+    // gets a per-invocation subdirectory.
+    import graft.api.Curation
+    val (cand, benchmark) = curateFixture()
+    val root = Files.createTempDirectory("kp3reuse").toString
+    val first = Curation.curate(cand, benchmark,
+      materialize = Curation.Materialize.Files(root))
+    val expected = Curation.curate(cand, benchmark) // ckpt reference
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    // second call over the same root BEFORE the first is collected
+    val second = Curation.curate(cand, benchmark,
+      materialize = Curation.Materialize.Files(root))
+    assert(second.orderBy("source").collect().map(_.toSeq).toSeq == expected)
+    // the first call's report must still be collectable and correct
+    assert(first.orderBy("source").collect().map(_.toSeq).toSeq == expected,
+      "second curate() over the same Files root clobbered the first's pins")
+  }
 }

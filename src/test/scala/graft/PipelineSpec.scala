@@ -564,6 +564,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sortBy(_._1)
     assert(rebuilt == built,
       "uncommitted (torn) table was served instead of rebuilt")
+    // the rebuild committed a params sidecar; a request for the SAME
+    // path under DIFFERENT parameters must fail fast, not silently
+    // serve clusters computed with someone else's thresholds
+    assert(new java.io.File(path, "_graft_params.json").isFile,
+      "rebuild did not commit the params sidecar")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clustersTable(docs, num = 4, den = 5, tablePath = Some(path))
+        .collect()
+    }
+    assert(e.getMessage.contains("parameter set"),
+      s"wrong failure for a params mismatch: ${e.getMessage}")
+    // same params still served as-is
+    assert(Dedup.clustersTable(docs, num = 1, den = 2,
+        tablePath = Some(path))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sortBy(_._1)
+      == built, "matching-params call no longer serves the table")
   }
 
   test("LSH and IVF ANN recall vs brute force on clustered vectors") {

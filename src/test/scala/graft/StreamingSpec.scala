@@ -404,5 +404,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "reprocessed or dropped the first leg's files)")
     assert(resumed == fresh,
       s"resume diverged from the one-shot run: resumed=$resumed fresh=$fresh")
+    // the statePath is manifest-guarded: resuming the SAME path
+    // against a DIFFERENT corpus/index must fail fast, not silently
+    // merge inconsistent elections into the accounting
+    val otherIndex = s"$dir/index2/documents.parquet"
+    Seq((9L, text("seen"), "en", "srcA", 0L)).toDF(cols: _*)
+      .write.parquet(otherIndex)
+    val e = intercept[IllegalArgumentException] {
+      Streaming.availableNowCurationExactOnce(
+        s, backlog, indexPath = Some(otherIndex),
+        statePath = Some(statePath))
+    }
+    assert(e.getMessage.contains("statePath"),
+      s"wrong failure for a cross-corpus resume: ${e.getMessage}")
   }
 }
