@@ -1352,6 +1352,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- V17: filtered IVF-PQ — the billion-scale layout (v9) with
+    // the one-trained-index filtered-search contract (v16c): trained
+    // coarse centroids (shared with v11/v16c) + v10's trained PQ
+    // codebook serve every predicate; posting lists (cell assignment
+    // + codes) rebuild from the filtered corpus so the label reaches
+    // the parquet scan, and ADC scores matching entries only ----
+    "v17_filtered_ivf_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainedIvfCentroids(e,
+        dim = 64, stride = 31, k = 8, iters = 1)
+      val cb = Similarity.pqCodebookTrained(e,
+        m = 4, subDim = 16, stride = 31, k = 16, iters = 1)
+      Similarity.annIvfPqFilteredTrained(e, e.filter(col("vec_id") < 10),
+          col("label") === 1, cents, cb, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- V8: product-quantization ANN with asymmetric distance —
     // the corpus compresses to m integer codes per vector (THE
     // billion-scale index layout); queries broadcast per-subspace
@@ -5206,6 +5223,81 @@ object SparkEntry {
         |rr AS (SELECT qid, nid,
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
         |       FROM cand)
+        |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
+        |FROM rr WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // filtered IVF-PQ: kmeansSqlCte replays the trained CELLS (the
+    // v11/v16c index), the pq_* CTEs replay v10's per-subspace
+    // integer Lloyd codebook; assignment restricts to label = 1
+    // (per-vector functions commute with row predicates, so this
+    // equals Spark's filtered posting-list build), and the ADC sum
+    // runs over probed, filtered codes only
+    "v17_filtered_ivf_pq" ->
+      s"""WITH $kmeansSqlCte,
+        |ct AS (SELECT cw AS cid,
+        |        list_transform(cv, x -> (x - 2097152) / 1000000.0) AS cv
+        |      FROM cb1),
+        |s2 AS (SELECT e.vec_id AS id, e.label, ct.cid,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.cv) AS cos
+        |      FROM embeddings e CROSS JOIN ct),
+        |r2 AS (SELECT id, label, cid,
+        |        ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rk
+        |      FROM s2),
+        |assign AS (SELECT id AS nid, cid FROM r2 WHERE rk = 1 AND label = 1),
+        |probes AS (SELECT id AS qid, cid FROM r2 WHERE rk <= 2 AND id < 10),
+        |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+        |qsub AS (
+        |  SELECT vec_id AS id, m,
+        |    list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1 + 16*m, 16*m + 16),
+        |      x -> CAST(FLOOR(1000000 * x) AS BIGINT) + 2097152) AS qv
+        |  FROM embeddings CROSS JOIN ms),
+        |pq_init AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 31 = 0
+        |  ORDER BY vec_id LIMIT 16),
+        |pq_cb0 AS (
+        |  SELECT m, id AS cw, qv AS cv FROM qsub
+        |  JOIN pq_init ON qsub.id = pq_init.vec_id),
+        |pq_d0 AS (
+        |  SELECT q.id, q.m, q.qv, c.cw,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d
+        |  FROM qsub q JOIN pq_cb0 c USING (m)),
+        |pq_a0 AS (
+        |  SELECT id, m, qv, cw FROM (
+        |    SELECT id, m, qv, cw,
+        |      ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, cw) AS rk
+        |    FROM pq_d0) WHERE rk = 1),
+        |pq_sums AS (
+        |  SELECT m, cw, pos, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n
+        |  FROM (SELECT m, cw, unnest(qv) AS x,
+        |          generate_subscripts(qv, 1) AS pos FROM pq_a0) t
+        |  GROUP BY 1, 2, 3),
+        |pq_cb1 AS (
+        |  SELECT m, cw, list(sx // n ORDER BY pos) AS cv
+        |  FROM pq_sums GROUP BY 1, 2),
+        |ed AS (
+        |  SELECT q.id, q.m, c.cw,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS dist
+        |  FROM qsub q JOIN pq_cb1 c USING (m)),
+        |enc AS (
+        |  SELECT id, m, cw,
+        |    ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist, cw) AS rk
+        |  FROM ed),
+        |codes AS (SELECT id, m, cw AS code FROM enc WHERE rk = 1),
+        |dt AS (SELECT id AS qid, m, cw, dist FROM ed WHERE id < 10),
+        |cand AS (
+        |  SELECT p.qid, a.nid FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.nid <> p.qid),
+        |adc AS (
+        |  SELECT c.qid, c.nid, CAST(SUM(d.dist) AS BIGINT) AS adc
+        |  FROM cand c
+        |  JOIN codes k ON k.id = c.nid
+        |  JOIN dt d ON d.qid = c.qid AND d.m = k.m AND d.cw = k.code
+        |  GROUP BY 1, 2),
+        |rr AS (SELECT qid, nid,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+        |       FROM adc)
         |SELECT qid AS query_id, CAST(rk AS INTEGER) AS "rank", nid AS neighbor
         |FROM rr WHERE rk <= 5 ORDER BY query_id, "rank"""".stripMargin,
 

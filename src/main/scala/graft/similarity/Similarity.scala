@@ -763,6 +763,81 @@ object Similarity {
       .select(col("pqid").as("query_id"), col("rank"), col("nid").as("neighbor"))
   }
 
+  /** Filtered IVF-PQ search against EXPLICIT trained artifacts — the
+    * billion-scale form of filtered vector search, closing the ladder
+    * v16c opened for the plain-IVF index: [[annIvfPq]]'s layout
+    * (probe-limited cells + PQ codes + broadcast ADC tables) with
+    * [[annIvfFilteredTrained]]'s contract (ONE trained index — the
+    * coarse centroids AND the PQ codebook — serves every predicate;
+    * only the posting lists rebuild filtered).
+    *
+    * `centroids` is a (cid, cv: array<double>) cosine-space set
+    * ([[trainedIvfCentroids]] — the same index v11/v16c share);
+    * `codebook` is a (m, cw, cv: array<long>) integer-space trained
+    * codebook ([[pqCodebookTrained]] — the same training v10 runs).
+    *
+    * Filter placement: the predicate applies to the POSTING-LIST
+    * builds (cell assignment + PQ encode), both per-vector functions
+    * that commute with any row predicate — so it reaches the parquet
+    * scan as a pushed filter (plan-pinned) and the ADC pass scores
+    * only matching entries. Never filter-after-top-k. Recall caveats:
+    * [[annIvfPq]]'s (quantization error x nprobe) plus filtered-ANN's
+    * (a selective predicate empties probed cells — raise nprobe; the
+    * index is unchanged). */
+  def annIvfPqFilteredTrained(corpus: DataFrame, queries: DataFrame,
+      pred: Column, centroids: DataFrame, codebook: DataFrame,
+      k: Int = 5, nprobe: Int = 2, m: Int = 4, subDim: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matching = corpus.filter(pred)
+    val v = asDouble(col(vecCol))
+    // posting lists from the FILTERED corpus: one codegen'd pass per
+    // build against the broadcast trained artifacts; the pred is a
+    // scan-side pushed filter on both
+    val assign = matching.select(col(idCol).as("id"), v.as("xv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("cid"),
+        cosineCol(corpus, col("xv"), col("cv")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rk") === 1).select(col("id"), col("cid"))
+    val codes = matching.select(col(idCol).as("id"),
+        posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "sv")))
+      .join(broadcast(codebook), "m")
+      .select(col("id"), col("m"),
+        struct(sqDistLong(col("sv"), col("cv")).as("d"), col("cw")).as("dc"))
+      .groupBy("id", "m").agg(min("dc").as("best"))
+      .select(col("id"), col("m"), col("best.cw").as("code"))
+      .join(assign, "id")
+    // probes + ADC tables from the QUERY vectors (tiny, broadcast)
+    val probes = queries.select(col(idCol).as("qid"), v.as("qxv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cid"),
+        cosineCol(corpus, col("qxv"), col("cv")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rk") <= nprobe).select(col("qid"), col("cid"))
+    val dtable = queries.select(col(idCol).as("qid"),
+        posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "qv")))
+      .join(broadcast(codebook), "m")
+      .select(col("qid"), col("m"), col("cw"),
+        sqDistLong(col("qv"), col("cv")).as("d"))
+    // search: only the probed cells' FILTERED posting entries score
+    val probed = codes
+      .join(broadcast(probes.withColumnRenamed("qid", "pqid")), "cid")
+      .filter(col("id") =!= col("pqid"))
+    val adc = probed.join(broadcast(dtable),
+        probed("m") === dtable("m") && probed("code") === dtable("cw") &&
+          probed("pqid") === dtable("qid"))
+      .select(col("pqid"), col("id").as("nid"), col("d"))
+      .groupBy("pqid", "nid")
+      .agg(sum("d").as("adc"))
+    adc.withColumn("rank", row_number().over(
+        Window.partitionBy("pqid").orderBy(col("adc").asc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("pqid").as("query_id"), col("rank"), col("nid").as("neighbor"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (RRF).
     *
     * Two independent rankers — lexical (occurrences of the query

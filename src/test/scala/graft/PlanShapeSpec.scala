@@ -588,7 +588,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t19_bm25",
     "t20_bigram_lm", "t21_dsir", "t24_collocations", "t28_temperature_mix",
     "v13_knn_classify", "v15_recall_eval", "v16_filtered_ann",
-    "v16b_filtered_ivf", "v16c_trained_filtered_ivf", "v1_ann_bruteforce",
+    "v16b_filtered_ivf", "v16c_trained_filtered_ivf", "v17_filtered_ivf_pq",
+    "v1_ann_bruteforce",
     "v2_cosine_neardup", "v5_ann_ivf", "v7_rrf_fusion", "v9_ivf_pq",
     "w5_sparkline")
 
@@ -737,6 +738,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"),
       s"v16c lost its broadcast cell/probe joins:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in v16c:\n$p")
+  }
+
+  test("v17 filtered IVF-PQ: pushdown holds on the PQ-coded posting lists") {
+    // the billion-scale layout's filtered search: the trained coarse
+    // centroids AND the trained PQ codebook are built once from the
+    // full corpus, while the posting-list builds (cell assignment +
+    // encode) run over the filtered corpus — so the label predicate
+    // must reach the parquet reader as a pushed filter, and the ADC
+    // pass scores only matching codes
+    val p = plan("v17_filtered_ivf_pq")
+    assert(p.contains("EqualTo(label,1)"),
+      s"v17 lost the label pushdown on the posting-list scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"v17 lost its broadcast probe/ADC-table joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in v17:\n$p")
   }
 
   test("c13 JSON props parse stays a scan-side projection") {
