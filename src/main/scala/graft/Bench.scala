@@ -300,6 +300,29 @@ object Bench {
     val total = results.map { case (n, _, w) =>
       if (w >= 0) effWarm(n, w) else 0.0 }.sum
     val coldTotal = results.map(_._2).filter(_ >= 0).sum
+    // Chain-level warm-drift gate (round-15 verdict): uniform host-
+    // throttle creep inflates every row ~15% without tripping ANY
+    // per-query trigger (each ratio stays under its threshold), yet
+    // the accepted leg ratchets the regression baseline up 20%. The
+    // chain-level signal is the SUM over rows shared with the prior
+    // pin: drift = common_warm / baseline_common_warm. The artifact
+    // records all three; the chain (scripts/repin.sh) accepts a leg
+    // only when drift <= 1.10, and ChainHygieneSpec gates the
+    // committed artifacts. New rows (board growth) are excluded by
+    // construction — they have no baseline to creep against.
+    val common = results.collect { case (n, _, w)
+      if w >= 0 && baselineWarm.get(n).exists(_ >= 0) =>
+        (effWarm(n, w), baselineWarm(n)) }
+    val commonWarm = common.map(_._1).sum
+    val baseCommonWarm = common.map(_._2).sum
+    val driftJson = if (baseCommonWarm > 0)
+      f""","common_warm":$commonWarm%.3f,"baseline_common_warm":$baseCommonWarm%.3f,"drift":${commonWarm / baseCommonWarm}%.4f"""
+    else ""
+    if (baseCommonWarm > 0 && commonWarm > 1.10 * baseCommonWarm)
+      System.err.println(f"[bench] WARNING: chain-level warm drift " +
+        f"${commonWarm / baseCommonWarm}%.3fx over ${common.size} common rows " +
+        f"($commonWarm%.1fs vs $baseCommonWarm%.1fs committed) — leg should " +
+        "not become a pin; re-run rested")
     // Full per-query map goes to a FILE (committed with the repo); the
     // stdout contract line is kept under the driver's 2000-char tail
     // buffer — BENCH_r04/r05 proved a 97-query single line gets its
@@ -314,7 +337,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(benchOut, "UTF-8")
       try w.println(
-        f"""{"metric":"total","value":$total%.3f,"cold_total":$coldTotal%.3f,"unit":"sec","queries":$fullJson,"sf":"$sfDir"}""")
+        f"""{"metric":"total","value":$total%.3f,"cold_total":$coldTotal%.3f$driftJson,"unit":"sec","queries":$fullJson,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")

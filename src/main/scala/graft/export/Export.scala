@@ -136,10 +136,33 @@ object Export {
 
   /** Graph export records (ref `Graph.pm:120-152`): appends the
     * rendered `description` label to a (datestamp, count) series —
-    * the payload the reference hands to its client-side renderer. */
+    * the payload the reference hands to its client-side renderer.
+    *
+    * W4 (`nullOutAllZero`, ref `Graph.pm:163-171`): when the series
+    * total is zero, every count is replaced with NULL so the client
+    * chart renders EMPTY rather than a flat zero line. The total is a
+    * 1-row aggregate broadcast into the payload projection (the
+    * kf_metrics shape) — no window over a single partition, and a
+    * non-empty series pays one cheap aggregate of an already-computed
+    * frame. Default off: the flag is a presentation-layer choice the
+    * reference applies only on its graph view. */
   def graphPayload(series: DataFrame, dateRes: String,
       datestampCol: String = "datestamp",
-      months: Seq[String] = monthLabels()): DataFrame =
-    series.withColumn("description",
+      months: Seq[String] = monthLabels(),
+      countCol: String = "count",
+      nullOutAllZero: Boolean = false): DataFrame = {
+    val labeled = series.withColumn("description",
       dateLabel(col(datestampCol), dateRes, months))
+    if (!nullOutAllZero) labeled
+    else {
+      val tot = series.agg(
+        coalesce(sum(col(countCol)), lit(0L)).as("__tot"))
+      labeled.crossJoin(broadcast(tot))
+        .withColumn(countCol,
+          when(col("__tot") === 0,
+            lit(null).cast(series.schema(countCol).dataType))
+            .otherwise(col(countCol)))
+        .drop("__tot")
+    }
+  }
 }

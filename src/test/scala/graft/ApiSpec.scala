@@ -332,6 +332,27 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"))
   }
 
+  test("W4 all-zero null-out: zero-total series renders empty, not flat") {
+    // ref Graph.pm:163-171 — when the series total is 0, counts
+    // become NULL so the client chart shows nothing instead of a
+    // flat zero line; any non-zero total leaves every count intact
+    val s = spark; import s.implicits._
+    val zeros = Seq(("20120101", 0L), ("20120102", 0L)).toDF("datestamp", "count")
+    val nulled = Export.graphPayload(zeros, "day", nullOutAllZero = true)
+      .orderBy("datestamp").collect()
+    assert(nulled.forall(_.isNullAt(1)),
+      s"zero-total series kept its zeros: ${nulled.toSeq}")
+    assert(nulled.map(_.getString(2)).toSeq == Seq("01 Jan 2012", "02 Jan 2012"),
+      "null-out disturbed the W3 labels")
+    val mixed = Seq(("20120101", 0L), ("20120102", 3L)).toDF("datestamp", "count")
+    val kept = Export.graphPayload(mixed, "day", nullOutAllZero = true)
+      .orderBy("datestamp").collect()
+    assert(kept.map(_.getLong(1)).toSeq == Seq(0L, 3L),
+      s"non-zero series was nulled: ${kept.toSeq}")
+    // default off — the flag is the reference's graph-view choice
+    assert(Export.graphPayload(zeros, "day").collect().forall(!_.isNullAt(1)))
+  }
+
   test("Curation.curate: each stage decides on the handmade fixture") {
     val s = spark; import s.implicits._
     // 25-token quality-passing prose (>=2 stopwords, mean len in
