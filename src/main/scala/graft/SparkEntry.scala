@@ -1369,6 +1369,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- V18: filtered IVF-PQ served from the PERSISTED index —
+    // the deployment shape: ivfPqIndexTable trains once per corpus
+    // generation and commits centroids/codebook/postings as curated
+    // parquet (sidecar-guarded, cross-JVM); the search semi-joins the
+    // committed postings to the filtered id set — no re-encode per
+    // predicate (per-vector assignment/encode commute with any row
+    // filter, so this equals v17 bit for bit; one oracle gates both) ----
+    "v18_persisted_ivf_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annIvfPqPersisted(e, e.filter(col("vec_id") < 10),
+          col("label") === 1, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- V8: product-quantization ANN with asymmetric distance —
     // the corpus compresses to m integer codes per vector (THE
     // billion-scale index layout); queries broadcast per-subspace
@@ -3513,8 +3527,16 @@ object SparkEntry {
     }),
   )
 
-  def oracleSql: Map[String, String] =
-    coreOracles ++ pipelineOracles ++ etlOracles
+  def oracleSql: Map[String, String] = {
+    val base = coreOracles ++ pipelineOracles ++ etlOracles
+    // v18 serves the SAME filtered IVF-PQ search from the persisted
+    // index tables — per-vector cell assignment and PQ encode commute
+    // with the row predicate, so semi-joining the committed postings
+    // to the filtered ids equals v17's filtered rebuild bit for bit;
+    // ONE oracle therefore gates both the per-call and the persisted
+    // serving path
+    base + ("v18_persisted_ivf_pq" -> base("v17_filtered_ivf_pq"))
+  }
 
   private def coreOracles: Map[String, String] = Map(
     "a1_daily_fact" ->

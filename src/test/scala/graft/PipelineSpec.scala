@@ -582,6 +582,78 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       == built, "matching-params call no longer serves the table")
   }
 
+  test("persisted IVF-PQ index: equals v17, durable path is the authority") {
+    val s = spark
+    val e = Tables.embeddings(s, "/root/testdata/sf0.001")
+    val pred = col("label") === 1
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sortBy(x => (x._1, x._2))
+    // per-vector assignment/encode commute with the row predicate, so
+    // the persisted-postings semi-join must equal v17's filtered
+    // rebuild bit for bit — the invariant that lets ONE oracle gate
+    // both serving paths
+    val cents = Similarity.trainedIvfCentroids(e,
+      dim = 64, stride = 31, k = 8, iters = 1)
+    val cb = Similarity.pqCodebookTrained(e,
+      m = 4, subDim = 16, stride = 31, k = 16, iters = 1)
+    val direct = rows(Similarity.annIvfPqFilteredTrained(
+      e, e.filter(col("vec_id") < 10), pred, cents, cb, k = 5, nprobe = 2))
+    val persisted = rows(Similarity.annIvfPqPersisted(
+      e, e.filter(col("vec_id") < 10), pred, k = 5, nprobe = 2))
+    assert(persisted == direct,
+      "persisted-index search drifted from the filtered rebuild (v17)")
+    // one train, many filters: the in-JVM keyed cache serves the SAME
+    // write-once files to every call, and a DIFFERENT predicate still
+    // matches ITS OWN v17 rebuild through the shared index
+    def postingFiles(): Seq[String] =
+      Similarity.ivfPqIndexTable(e)._3.inputFiles.toSeq.sorted
+    val pf = postingFiles()
+    assert(pf.nonEmpty && pf == postingFiles(),
+      "index rebuilt instead of serving the cached committed files")
+    val direct0 = rows(Similarity.annIvfPqFilteredTrained(
+      e, e.filter(col("vec_id") < 10), col("label") === 0, cents, cb,
+      k = 5, nprobe = 2))
+    val persisted0 = rows(Similarity.annIvfPqPersisted(
+      e, e.filter(col("vec_id") < 10), col("label") === 0, k = 5, nprobe = 2))
+    assert(persisted0 == direct0,
+      "a second predicate through the shared index drifted from v17")
+
+    // durable indexPath: build commits marker + sidecar; the FILES are
+    // the authority; torn (markerless) index retrains; mismatched
+    // params fail fast
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_durable")
+      .toString + "/index"
+    val durable = rows(Similarity.annIvfPqPersisted(
+      e, e.filter(col("vec_id") < 10), pred, k = 5, nprobe = 2,
+      indexPath = Some(path)))
+    assert(durable == direct, "durable-path search drifted from v17")
+    assert(new java.io.File(path, "_GRAFT_INDEX_SUCCESS").isFile,
+      "durable index missing the whole-index commit marker")
+    assert(new java.io.File(path, "_graft_params.json").isFile,
+      "durable index missing the params sidecar")
+    // serve-as-is: poison the postings table — a later call (any JVM)
+    // must read the committed files, not silently retrain over them
+    val sentinel = s.range(1).selectExpr("id", "CAST(0 AS INT) AS m",
+      "id AS code", "id AS cid")
+    sentinel.write.mode("overwrite").parquet(s"$path/postings")
+    val served = Similarity.ivfPqIndexTable(e, indexPath = Some(path))._3
+    assert(served.count() == 1,
+      "indexPath call retrained over an existing committed index")
+    // params mismatch on a committed index fails fast
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexTable(e, cells = 4, indexPath = Some(path))
+    }
+    assert(ex.getMessage.contains("parameter set"),
+      s"wrong failure for an index params mismatch: ${ex.getMessage}")
+    // torn index (no marker — crashed writer) retrains in place
+    assert(new java.io.File(path, "_GRAFT_INDEX_SUCCESS").delete())
+    val retrained = rows(Similarity.annIvfPqPersisted(
+      e, e.filter(col("vec_id") < 10), pred, k = 5, nprobe = 2,
+      indexPath = Some(path)))
+    assert(retrained == direct, "torn index was served instead of retrained")
+  }
+
   test("LSH and IVF ANN recall vs brute force on clustered vectors") {
     val s = spark; import s.implicits._
     // 3 well-separated clusters of 20 vectors in R^8: center + small

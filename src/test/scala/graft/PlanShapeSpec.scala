@@ -572,6 +572,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t22_bpe_train", "g1_pagerank", "d6_dedup_clusters", // driver loops
     "d13_survivorship", // clusters-table build at construction
     "d14_soft_dedup", // clusters-table build at construction
+    "v18_persisted_ivf_pq", // index-table train+write at construction
     "g2_triangles", "g2b_triangles_adj") // checkpointed edge build
 
   /** The blessed NLJ-bearing queries — the round-8 sweep's 20 minus
@@ -753,6 +754,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"),
       s"v17 lost its broadcast probe/ADC-table joins:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in v17:\n$p")
+  }
+
+  test("v18 persisted IVF-PQ: pushdown holds, postings never rebuild") {
+    // the deployment shape: the index tables are committed parquet,
+    // so the search plan must show (a) the label predicate reaching
+    // the CORPUS parquet reader as a pushed filter feeding the
+    // postings semi-join, and (b) NO encode/assignment work — the
+    // only aggregate in a persisted-index search is the ADC sum (a
+    // rebuild would re-introduce the per-(id, m) argmin aggregates)
+    val p = plan("v18_persisted_ivf_pq")
+    assert(p.contains("EqualTo(label,1)"),
+      s"v18 lost the label pushdown on the filtered-id corpus scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"v18 lost its broadcast probe/ADC-table joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in v18:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"v18 lost the postings semi-join (did it re-encode instead?):\n$p")
   }
 
   test("c13 JSON props parse stays a scan-side projection") {
