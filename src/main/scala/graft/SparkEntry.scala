@@ -3034,6 +3034,26 @@ object SparkEntry {
         .orderBy(lower(col("c_name")), col("c_custkey"))
         .limit(20)),
 
+    // ---- O4b: ICU collation-aware ORDER — the reference's
+    // utf8_unicode_ci semantics exactly (Handler.pm:801-807), via
+    // Spark 4's UNICODE_CI collation (ICU root, secondary strength:
+    // case folds, accents order linguistically). The decoration makes
+    // the collation DISCRIMINATING: 'Édition…'=='édition…' <
+    // 'Über…'=='über…' < 'zebra…' under ICU-CI, while bytewise
+    // lower() puts 'zebra' BEFORE both accented groups — a lower()
+    // approximation (o4's) hash-mismatches here by construction ----
+    "o4b_icu_collation" -> ((s, d) => {
+      val deco = when(pmod(col("c_custkey"), lit(5)) === 0, lit("Édition "))
+        .when(pmod(col("c_custkey"), lit(5)) === 1, lit("édition "))
+        .when(pmod(col("c_custkey"), lit(5)) === 2, lit("Über "))
+        .when(pmod(col("c_custkey"), lit(5)) === 3, lit("über "))
+        .otherwise(lit("zebra "))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), concat(deco, col("c_name")).as("name"))
+        .orderBy(collate(col("name"), "UNICODE_CI"), col("c_custkey"))
+        .limit(50)
+    }),
+
     // ---- O5: data_min result filter on aggregated counts ----
     "o5_data_min" -> ((s, d) =>
       fact(s, d).groupBy("id").agg(sum("count").as("count"))
@@ -6899,6 +6919,19 @@ object SparkEntry {
     "o4_collated_order" ->
       """SELECT c_custkey, c_name FROM customer
         |ORDER BY lower(c_name), c_custkey LIMIT 20""".stripMargin,
+
+    // o4b: DuckDB's ICU 'en' locale carries no tailorings over the
+    // ICU root Spark's UNICODE_CI uses, and the NOCASE. prefix folds
+    // case the way CI strength does — so over this alphabet the two
+    // engines produce the identical linguistic order (a bytewise
+    // lower() oracle would NOT match: 'zebra' < 'édition' in UTF-8)
+    "o4b_icu_collation" ->
+      """SELECT c_custkey,
+        |  CASE c_custkey % 5 WHEN 0 THEN 'Édition '
+        |    WHEN 1 THEN 'édition ' WHEN 2 THEN 'Über '
+        |    WHEN 3 THEN 'über ' ELSE 'zebra ' END || c_name AS name
+        |FROM customer
+        |ORDER BY name COLLATE NOCASE.en, c_custkey LIMIT 50""".stripMargin,
 
     "o5_data_min" ->
       s"""WITH $factCte
