@@ -958,7 +958,92 @@ object Similarity {
     }
     (spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebook"),
-      spark.read.parquet(s"$path/postings"))
+      readPostings(spark, path))
+  }
+
+  /** The committed posting tables of an index: the base `postings/`
+    * plus every COMMITTED `postings_delta_N/` an
+    * [[ivfPqIndexAppend]] has landed since training. An uncommitted
+    * delta (crashed appender — no `_SUCCESS`) is invisible to
+    * readers and harmlessly overwritten by a later append. */
+  private def readPostings(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    val committed = fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, "postings*"))
+      .map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.toString).sorted
+    spark.read.parquet(committed: _*)
+  }
+
+  /** Incremental growth of a committed [[ivfPqIndexTable]] — the
+    * corpus-generation reality at 100 TB: new documents arrive
+    * between retrains, and the serving path must absorb them WITHOUT
+    * re-encoding the existing corpus or retraining the geometry. The
+    * new vectors are encoded against the COMMITTED centroids and
+    * codebook (the frozen index geometry — exactly how FAISS grows an
+    * IVFADC index) and land as a `postings_delta_N/` parquet table
+    * that every subsequent [[annIvfPqPersisted]] search reads
+    * alongside the base postings.
+    *
+    * Contracts (same ownership model as the base index): one appender
+    * per path at a time; appended ids must be NEW (an id already in
+    * the postings would score twice — upstream dedup owns identity,
+    * as for any fact append); a torn append (no `_SUCCESS`) is
+    * invisible and the next append overwrites forward. Because the
+    * geometry is frozen, recall on appended vectors degrades as the
+    * corpus drifts from the trained distribution — the standard
+    * trade; retrain per major generation, append within one. */
+  def ivfPqIndexAppend(newVectors: DataFrame, indexPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newVectors.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(
+        new org.apache.hadoop.fs.Path(root, "_GRAFT_INDEX_SUCCESS")),
+      s"ivfPqIndexAppend: no committed index at $indexPath — train with " +
+        "ivfPqIndexTable first")
+    // the sidecar's m/subDim are the encode geometry; the append must
+    // quantize exactly as the base build did
+    val sidecar = new org.apache.hadoop.fs.Path(root, "_graft_params.json")
+    val in = fs.open(sidecar)
+    val params = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    def intField(name: String): Int =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(params).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"ivfPqIndexAppend: params sidecar at $indexPath lacks $name"))
+    val m = intField("m"); val subDim = intField("subDim")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val v = asDouble(col(vecCol))
+    val assign = newVectors.select(col(idCol).as("id"), v.as("xv"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        cosineCol(newVectors, col("xv"), col("cv")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rk") === 1).select(col("id"), col("cid"))
+    val delta = newVectors.select(col(idCol).as("id"),
+        posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "sv")))
+      .join(broadcast(cb), "m")
+      .select(col("id"), col("m"),
+        struct(sqDistLong(col("sv"), col("cv")).as("d"), col("cw")).as("dc"))
+      .groupBy("id", "m").agg(min("dc").as("best"))
+      .select(col("id"), col("m"), col("best.cw").as("code"))
+      .join(assign, "id")
+    val next = 1 + fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, "postings_delta_*"))
+      .map(_.getPath.getName.stripPrefix("postings_delta_"))
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .foldLeft(0)(math.max)
+    delta.write.mode("overwrite")
+      .parquet(s"$indexPath/postings_delta_$next")
   }
 
   /** Filtered IVF-PQ search SERVED FROM THE PERSISTED INDEX — v17's

@@ -654,6 +654,57 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(retrained == direct, "torn index was served instead of retrained")
   }
 
+  test("ivfPqIndexAppend: frozen-geometry growth equals the explicit rebuild") {
+    val s = spark
+    val e = Tables.embeddings(s, "/root/testdata/sf0.001")
+    val halfA = e.filter(col("vec_id") < 250)
+    val halfB = e.filter(col("vec_id") >= 250)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_grow")
+      .toString + "/index"
+    // generation 1: train + commit on half the corpus
+    Similarity.ivfPqIndexTable(halfA, indexPath = Some(path))
+    // generation 1.1: the other half arrives — encoded against the
+    // COMMITTED geometry, landing as a delta posting table
+    Similarity.ivfPqIndexAppend(halfB, path)
+    // a search over the grown index must equal the explicit-artifact
+    // rebuild that encodes the FULL corpus against the SAME frozen
+    // (half-trained) centroids + codebook — i.e. appending is exactly
+    // re-encoding the new rows, nothing else moved
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sortBy(x => (x._1, x._2))
+    val centsA = Similarity.trainedIvfCentroids(halfA,
+      dim = 64, stride = 31, k = 8, iters = 1)
+    val cbA = Similarity.pqCodebookTrained(halfA,
+      m = 4, subDim = 16, stride = 31, k = 16, iters = 1)
+    val expected = rows(Similarity.annIvfPqFilteredTrained(
+      e, e.filter(col("vec_id") < 10), col("label") === 1, centsA, cbA,
+      k = 5, nprobe = 2))
+    val grown = rows(Similarity.annIvfPqPersisted(
+      e, e.filter(col("vec_id") < 10), col("label") === 1, k = 5,
+      nprobe = 2, indexPath = Some(path)))
+    assert(grown == expected,
+      "grown index drifted from the frozen-geometry full re-encode")
+    // a TORN delta (crashed appender — no _SUCCESS) is invisible to
+    // readers and does not perturb results
+    val torn = new java.io.File(path, "postings_delta_99")
+    assert(torn.mkdir())
+    val junk = new java.io.File(torn, "part-junk.parquet")
+    val w = new java.io.FileOutputStream(junk)
+    try w.write("not parquet".getBytes) finally w.close()
+    val afterTorn = rows(Similarity.annIvfPqPersisted(
+      e, e.filter(col("vec_id") < 10), col("label") === 1, k = 5,
+      nprobe = 2, indexPath = Some(path)))
+    assert(afterTorn == grown, "an uncommitted delta leaked into a search")
+    // appending to a path with no committed index fails fast
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppend(halfB,
+        java.nio.file.Files.createTempDirectory("ivfpq_nothere").toString)
+    }
+    assert(ex.getMessage.contains("no committed index"),
+      s"wrong failure for an append without an index: ${ex.getMessage}")
+  }
+
   test("LSH and IVF ANN recall vs brute force on clustered vectors") {
     val s = spark; import s.implicits._
     // 3 well-separated clusters of 20 vectors in R^8: center + small
