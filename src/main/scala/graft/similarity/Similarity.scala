@@ -1046,6 +1046,46 @@ object Similarity {
       .parquet(s"$indexPath/postings_delta_$next")
   }
 
+  /** Compaction of a grown index into a fresh generation — the
+    * [[ivfPqIndexAppend]] lifecycle's other half (the ANN analog of
+    * the fact store's S8 compaction): after many appends the posting
+    * table is base + N deltas; compaction folds them into ONE base
+    * posting table at a NEW path, carrying the centroids, codebook
+    * and params sidecar over verbatim. Always to a fresh path, never
+    * in place — readers of the source index keep serving committed
+    * bytes throughout, and the caller flips its pointer when the new
+    * generation's marker lands (the same publish-then-flip any
+    * curated table rewrite uses). Geometry is untouched, so searches
+    * against the compacted index are bit-identical. */
+  def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetPath: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(indexPath)
+    val dst = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(
+        new org.apache.hadoop.fs.Path(src, "_GRAFT_INDEX_SUCCESS")),
+      s"ivfPqIndexCompact: no committed index at $indexPath")
+    require(!fs.exists(
+        new org.apache.hadoop.fs.Path(dst, "_GRAFT_INDEX_SUCCESS")),
+      s"ivfPqIndexCompact: $targetPath already holds a committed index " +
+        "— compaction publishes a NEW generation, it never overwrites one")
+    spark.read.parquet(s"$indexPath/centroids")
+      .write.mode("overwrite").parquet(s"$targetPath/centroids")
+    spark.read.parquet(s"$indexPath/codebook")
+      .write.mode("overwrite").parquet(s"$targetPath/codebook")
+    readPostings(spark, indexPath)
+      .write.mode("overwrite").parquet(s"$targetPath/postings")
+    val in = fs.open(new org.apache.hadoop.fs.Path(src, "_graft_params.json"))
+    val params = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dst, "_graft_params.json"), true)
+    try out.write(params.getBytes("UTF-8")) finally out.close()
+    fs.create(
+      new org.apache.hadoop.fs.Path(dst, "_GRAFT_INDEX_SUCCESS"), true).close()
+  }
+
   /** Filtered IVF-PQ search SERVED FROM THE PERSISTED INDEX — v17's
     * semantics against [[ivfPqIndexTable]]'s files: probes and ADC
     * tables come from the query vectors against the broadcast trained

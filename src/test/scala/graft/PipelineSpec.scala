@@ -703,6 +703,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("no committed index"),
       s"wrong failure for an append without an index: ${ex.getMessage}")
+    // compaction publishes a NEW generation whose searches are
+    // bit-identical and whose posting table is ONE base (deltas
+    // folded in, torn junk left behind)
+    val gen2 = java.nio.file.Files.createTempDirectory("ivfpq_gen2")
+      .toString + "/index"
+    Similarity.ivfPqIndexCompact(s, path, gen2)
+    val compacted = rows(Similarity.annIvfPqPersisted(
+      e, e.filter(col("vec_id") < 10), col("label") === 1, k = 5,
+      nprobe = 2, indexPath = Some(gen2)))
+    assert(compacted == grown, "compaction changed search results")
+    assert(!new java.io.File(gen2).listFiles()
+      .exists(_.getName.startsWith("postings_delta")),
+      "compacted generation still carries delta tables")
+    // a committed generation is never overwritten
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexCompact(s, path, gen2)
+    }
+    assert(ex2.getMessage.contains("never overwrites"),
+      s"compaction overwrote a committed generation: ${ex2.getMessage}")
   }
 
   test("LSH and IVF ANN recall vs brute force on clustered vectors") {
