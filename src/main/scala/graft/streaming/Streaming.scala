@@ -485,9 +485,18 @@ object Streaming {
     // last SNAPSHOT as indexPath and keeps streaming past it — docs
     // with keys the snapshot never saw take the novel-key election
     // path below
-    val owners = scored(indexPath.fold(batchDocs)(s.read.parquet(_)))
+    // snapshot-mode (indexPath defined) consumes the owner index
+    // TWICE — the per-batch stream-static join and the novel-dup
+    // audit below — and each consumer otherwise re-scores the whole
+    // index snapshot. Persist the narrow (key, owner_id) rows for
+    // the query's duration; replay-parity mode (one consumer) keeps
+    // the plain lazy frame.
+    val owners0 = scored(indexPath.fold(batchDocs)(s.read.parquet(_)))
       .filter(col("keep") === 1)
       .groupBy("key").agg(min("doc_id").as("owner_id"))
+    val owners = if (indexPath.isDefined)
+      owners0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else owners0
     val stream = s.readStream.schema(batchDocs.schema)
       .parquet(streamablePath(docsPath))
     // left join keeps every stream doc in docs_in. Canon election:
@@ -515,11 +524,12 @@ object Streaming {
     // the trade is documented (the index refresh re-canonicalizes);
     // [[availableNowCurationExactOnce]] is the bounded-variant path.
     indexPath.foreach { _ =>
-      val novelDups = scored(s.read.parquet(docsPath))
+      val novelDups = try scored(s.read.parquet(docsPath))
         .filter(col("keep") === 1)
         .join(owners.select("key"), Seq("key"), "left_anti")
         .groupBy("key").agg(count(lit(1)).as("copies"))
         .agg(coalesce(sum(col("copies") - 1), lit(0L))).head().getLong(0)
+      finally { owners.unpersist(); () }
       if (novelDups > 0)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"availableNowCuration: $novelDups within-backlog duplicate(s) " +
