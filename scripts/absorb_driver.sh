@@ -17,8 +17,23 @@ cd "$(dirname "$0")/.."
 N="${1:?usage: absorb_driver.sh <round-number>}"
 RN=$(printf 'r%02d' "$N")
 
-# 1. Redact LEAKCHECK (no-op if already redacted).
+# 1. Redact LEAKCHECK (no-op if already redacted), then assert the
+#    signal that matters: LIVE (non-GITLOG) hits must be ZERO. n_hits
+#    growth is structural (the driver's own round commits re-enter
+#    echo strings every round) and is NOT a signal; a genuine live
+#    hit is, and must stop the absorb loudly.
 python3 scripts/redact_leakcheck.py LEAKCHECK.json
+python3 - <<'PY'
+import json, sys
+d = json.load(open("LEAKCHECK.json"))
+hits = d.get("hits", {})
+live = sum(c.get("n_live", 0) for c in hits.values()
+           if isinstance(c, dict))
+if live:
+    sys.exit(f"absorb: {live} LIVE leak hit(s) in LEAKCHECK.json — "
+             "adjudicate before absorbing (see fingerprints/previews)")
+print("absorb: live leak hits = 0")
+PY
 
 # 2. Restore the quiet BENCH_FULL pin if the driver overwrote it.
 #    The pin is whatever the last *chain* commit (non-"round N:" message)
@@ -40,9 +55,15 @@ else
 fi
 
 # 3. Stage and commit everything the driver dropped for this round.
-git add -A LEAKCHECK.json BENCH_FULL.json \
-  "BENCH_${RN}.json" "CORRECTNESS_${RN}.json" VERDICT.md ADVICE.md \
-  2>/dev/null || true
+#    Per-file adds: a single git add aborts ENTIRELY (fatal pathspec,
+#    stages nothing) if any listed file is missing and untracked —
+#    e.g. a round with no CORRECTNESS_rN.json — and the suppressed
+#    stderr + `|| true` then misreported the silent no-op as
+#    "already absorbed".
+for f in LEAKCHECK.json BENCH_FULL.json \
+  "BENCH_${RN}.json" "CORRECTNESS_${RN}.json" VERDICT.md ADVICE.md; do
+  [ -e "$f" ] && git add -A -- "$f"
+done
 if git diff --cached --quiet; then
   echo "absorb: nothing to commit (already absorbed)"
 else

@@ -46,7 +46,10 @@ def redact(path: str) -> None:
                 # Keep a masked preview for live hits so adjudication
                 # stays auditable from the artifact alone without
                 # re-quoting a token the next scan would re-find.
-                rec["preview"] = (h[:4] + "…" + h[-4:]) if len(h) > 12 else "…"
+                # PREFIX only: hits commonly END in the flagged token,
+                # so a kept suffix would re-commit the token's tail
+                # (and fully re-quote tokens of <= 4 chars).
+                rec["preview"] = (h[:4] + "…") if len(h) > 12 else "…"
             fps.append(rec)
         out[cat] = {
             "n": len(strs),

@@ -24,8 +24,13 @@ def settle(path: str) -> None:
     for k, v in q.items():
         if isinstance(v, dict) and v.get("noisy"):
             r = v.get("retry")
-            if isinstance(r, (int, float)) and r >= 0:
-                v["warm"] = round(min(v["warm"], r), 3)
+            if not (isinstance(r, (int, float)) and r >= 0):
+                # failed retry probe (retry < 0 / missing): the warm
+                # is still the contaminated sample — leave the row
+                # UNSETTLED so ChainHygieneSpec's zero-noisy gate
+                # rejects the artifact instead of laundering it
+                continue
+            v["warm"] = round(min(v["warm"], r), 3)
             v.pop("retry", None)
             v.pop("noisy", None)
             n += 1

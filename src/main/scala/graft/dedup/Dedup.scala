@@ -585,21 +585,26 @@ object Dedup {
         val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
         val sidecar = new org.apache.hadoop.fs.Path(p, "_graft_params.json")
         val fs = hp.getFileSystem(conf)
-        if (fs.exists(hp)) {
+        // committed = _SUCCESS AND sidecar: the sidecar lands after
+        // the parquet commit, so a writer crashing in that window
+        // leaves _SUCCESS with no params record — serving that under
+        // whatever params the NEXT caller passes is exactly the
+        // silent mismatch the sidecar exists to prevent. Treat it as
+        // torn and rebuild (single-writer contract: nobody else owns
+        // this path mid-build).
+        if (fs.exists(hp) && fs.exists(sidecar)) {
           // committed table: its params sidecar is the authority —
           // a mismatch means the caller mis-keyed the path, not that
           // we should rebuild (overwriting a table another generation
           // committed is the worse failure)
-          if (fs.exists(sidecar)) {
-            val in = fs.open(sidecar)
-            val existing = try scala.io.Source.fromInputStream(in, "UTF-8")
-              .mkString.trim finally in.close()
-            require(existing == params,
-              s"clustersTable at $p was committed with params $existing " +
-                s"but was requested with $params — one tablePath keys ONE " +
-                "parameter set; use a different path or drop the directory " +
-                "to rebuild")
-          }
+          val in = fs.open(sidecar)
+          val existing = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          require(existing == params,
+            s"clustersTable at $p was committed with params $existing " +
+              s"but was requested with $params — one tablePath keys ONE " +
+              "parameter set; use a different path or drop the directory " +
+              "to rebuild")
           p
         } else {
           build(p)

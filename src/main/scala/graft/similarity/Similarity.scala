@@ -1037,8 +1037,16 @@ object Similarity {
       .groupBy("id", "m").agg(min("dc").as("best"))
       .select(col("id"), col("m"), col("best.cw").as("code"))
       .join(assign, "id")
+    // next = max over COMMITTED deltas only: a torn delta (crashed
+    // appender, no _SUCCESS) must not reserve its number forever —
+    // skipping uncommitted dirs makes the next append OVERWRITE the
+    // torn directory forward, matching the readPostings doc ("a
+    // markerless delta is harmlessly overwritten by a later append")
+    // instead of accumulating dead dirs compaction never folds away.
     val next = 1 + fs.globStatus(
         new org.apache.hadoop.fs.Path(root, "postings_delta_*"))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("postings_delta_"))
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .foldLeft(0)(math.max)

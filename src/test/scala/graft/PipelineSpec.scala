@@ -549,14 +549,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "durable build drifted from the temp-dir build")
     // the FILES are the authority (not the in-JVM plan cache):
     // replace the table with a sentinel assignment — a later call,
-    // any JVM, must serve it as-is rather than rebuild
+    // any JVM, must serve it as-is rather than rebuild. A committed
+    // table always carries its params sidecar (committed = _SUCCESS
+    // AND sidecar since the r17 torn-window fix), so plant it too.
     val sentinel = s.range(1).selectExpr("id AS doc_id", "42L AS cluster")
     sentinel.write.mode("overwrite").parquet(path)
+    val params1 =
+      """{"num":1,"den":2,"k":16,"rowsPerBand":4,"idCol":"doc_id"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_params.json"), params1)
     val served = Dedup.clustersTable(docs, num = 1, den = 2,
         tablePath = Some(path))
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
     assert(served == Seq((0L, 42L)),
       "tablePath call rebuilt over an existing committed table")
+    // _SUCCESS WITHOUT a sidecar is TORN (writer crashed between the
+    // parquet commit and the sidecar write): serving it under
+    // whatever params the next caller passes is the silent mismatch
+    // the sidecar exists to prevent — it must rebuild instead
+    assert(new java.io.File(path, "_graft_params.json").delete())
+    val afterTornSidecar = Dedup.clustersTable(docs, num = 1, den = 2,
+        tablePath = Some(path))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sortBy(_._1)
+    assert(afterTornSidecar == built,
+      "_SUCCESS-without-sidecar (torn commit window) was served instead " +
+        "of rebuilt")
     // an UNCOMMITTED table (no _SUCCESS — crashed writer) rebuilds
     assert(new java.io.File(path, "_SUCCESS").delete())
     val rebuilt = Dedup.clustersTable(docs, num = 1, den = 2,
