@@ -142,11 +142,44 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 2, s"o14 grew extra shuffles ($exchanges):\n$p")
   }
 
-  test("s11 profiling reads the table ONCE (single scan, no joins)") {
+  test("s11 profiling: exact mode = 2 pruned scans, hash NDVs, 1-row attach") {
+    // r17 split (OPTIMIZATION_r17.md): exact mode separates the
+    // count-distinct aggregate (hash-based — long buffers only) from
+    // the string min/max pass (Expand-free, no sort keys); the two
+    // 1-row results attach via a broadcast NLJ. Costs a second
+    // column-pruned scan; removes the 6x Expand through two full
+    // SortAggregate sorts (2.31s -> 0.82s warm at sf0.1).
     val p = plan("s11_profile")
     val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
-    assert(scans == 1, s"s11 re-scans the table ($scans scans):\n$p")
-    assert(!p.contains("Join"), s"join crept into s11:\n$p")
+    assert(scans == 2, s"s11 exact mode expects 2 pruned scans ($scans):\n$p")
+    assert(p.contains("HashAggregate"),
+      s"s11's NDV branch lost its hash aggregation:\n$p")
+    // exactly ONE Sort: the final output orderBy. The pre-split plan
+    // sorted the 6x-Expanded input twice (partial + final
+    // SortAggregate on the 6-part dedup key); the NDV branch's Expand
+    // remains (that IS multi-column exact distinct) but now feeds
+    // hash aggregation, and the stats branch aggregates globally with
+    // no sort keys at all.
+    val sorts = "\\+- Sort \\[".r.findAllIn(p).length +
+      (if (p.startsWith("Sort [")) 1 else 0)
+    assert(sorts == 1, s"s11 expects only the output sort ($sorts):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"s11's attach must stay a 1-row broadcast:\n$p")
+  }
+
+  test("s11 profiling approx mode keeps the true single-scan shape") {
+    val s = spark
+    val orders = graft.Tables.orders(s, dir)
+      .withColumn("o_orderdate",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("o_orderdate")))
+    val df = graft.functions.Profile.profile(orders,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderpriority"), exact = false)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans == 1, s"approx profile re-scans the table ($scans):\n$p")
+    assert(!p.contains("Join"), s"join crept into approx profile:\n$p")
   }
 
   test("m3 alignment plans through the custom as-of exec, no cartesian") {
@@ -586,6 +619,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val intendedNlj: Set[String] = Set(
     "d9_semantic_dedup", "h22_idle_rich", "j7_salted_join", "kf_metrics",
     "o16_range_bounds", "s16_snapshot_diff", "s18_partition_stats",
+    // r17: exact profile attaches its 1-row NDV aggregate to the
+    // 1-row stats aggregate via a broadcast cross — same benign
+    // 1-row-scalar class as kf_metrics' grand total
+    "s11_profile",
     "t19_bm25",
     "t20_bigram_lm", "t21_dsir", "t24_collocations", "t28_temperature_mix",
     "v13_knn_classify", "v15_recall_eval", "v16_filtered_ann",
