@@ -21,18 +21,40 @@ RN=$(printf 'r%02d' "$N")
 #    signal that matters: LIVE (non-GITLOG) hits must be ZERO. n_hits
 #    growth is structural (the driver's own round commits re-enter
 #    echo strings every round) and is NOT a signal; a genuine live
-#    hit is, and must stop the absorb loudly.
+#    hit is, and must stop the absorb loudly. A hit may only pass if
+#    its sha256_12 fingerprint appears in the committed adjudication
+#    allowlist (scripts/leakcheck_adjudicated.txt, one fingerprint +
+#    reason per line) — adjudications stay auditable, new hits still
+#    hard-fail.
 python3 scripts/redact_leakcheck.py LEAKCHECK.json
 python3 - <<'PY'
 import json, sys
 d = json.load(open("LEAKCHECK.json"))
 hits = d.get("hits", {})
-live = sum(c.get("n_live", 0) for c in hits.values()
-           if isinstance(c, dict))
-if live:
-    sys.exit(f"absorb: {live} LIVE leak hit(s) in LEAKCHECK.json — "
-             "adjudicate before absorbing (see fingerprints/previews)")
-print("absorb: live leak hits = 0")
+allow = set()
+try:
+    with open("scripts/leakcheck_adjudicated.txt") as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                allow.add(line.split()[0])
+except FileNotFoundError:
+    pass
+bad = []
+for cat, c in hits.items():
+    if not isinstance(c, dict):
+        continue
+    for fp in c.get("fingerprints", []):
+        if not fp.get("gitlog_echo") and fp.get("sha256_12") not in allow:
+            bad.append((cat, fp))
+if bad:
+    for cat, fp in bad:
+        print(f"  {cat}: {fp}", file=sys.stderr)
+    sys.exit(f"absorb: {len(bad)} unadjudicated LIVE leak hit(s) in "
+             "LEAKCHECK.json — adjudicate before absorbing")
+live = sum(c.get("n_live", 0) for c in hits.values() if isinstance(c, dict))
+print(f"absorb: live leak hits = {live}, all adjudicated" if live
+      else "absorb: live leak hits = 0")
 PY
 
 # 2. Restore the quiet BENCH_FULL pin if the driver overwrote it.
