@@ -37,6 +37,23 @@ object PlanDump {
     val qs = SparkEntry.queries
     args.filterNot(qs.contains)
       .foreach(n => System.err.println(s"[plandump] unknown query: $n"))
+    // The noop write runs its own QueryExecution — the dataset's own
+    // queryExecution.executedPlan is never executed, so dumping it
+    // labeled "AQE final" produced isFinalPlan=false plans (round-17
+    // advisory). Capture the WRITE's QueryExecution from the listener
+    // callback instead: after the save returns, its executedPlan's
+    // AdaptiveSparkPlan has been re-optimized (isFinalPlan=true).
+    @volatile var lastExecuted: Option[String] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        lastExecuted = Some(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
     for (name <- args; fn <- qs.get(name)) {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -46,14 +63,21 @@ object PlanDump {
         val df = fn(spark, sfDir)
         w.println(s"==== $name ($tag) — explain formatted (pre-execution) ====")
         w.println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+        lastExecuted = None
         df.write.mode("overwrite").format("noop").save()
-        w.println(s"==== $name ($tag) — executed plan (AQE final) ====")
-        w.println(df.queryExecution.executedPlan.toString)
+        // the listener bus is async; wait briefly for the callback
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (lastExecuted.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        w.println(s"==== $name ($tag) — executed plan (AQE final, from the noop write's QueryExecution) ====")
+        w.println(lastExecuted.getOrElse(
+          "[plandump] listener produced no executed plan within 15s"))
       } catch { case e: Throwable =>
         w.println(s"[plandump] $name failed: ${e}")
       } finally w.close()
       println(s"[plandump] wrote $out")
     }
+    spark.listenerManager.unregister(listener)
     spark.stop()
   }
 }

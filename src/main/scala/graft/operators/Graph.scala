@@ -40,25 +40,45 @@ object Graph {
   def pageRank(pairs: DataFrame, iters: Int = 2): DataFrame = {
     val und = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) — the iteration-invariant edge table, built
-    // once. Stored SERIALIZED with disk spill: the edge table is the
-    // one corpus-sized structure here, and the default deserialized
-    // row cache is 5-10x its on-disk size — at 30x data that is the
-    // difference between fitting and OOM, while the per-iteration
-    // deserialization cost is noise against the join it feeds.
-    val edges = und.join(deg, "src").localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
-    (1 to iters).foreach { _ =>
-      ranks = edges.join(ranks, edges("src") === ranks("node"))
-        .select(col("dst"), expr("pr div deg").as("c"))
+    // ADJACENCY form (round-18 rework, guide §2.4/§3): the old edge
+    // table was (src, dst, deg) — m rows — and every iteration paid a
+    // sort-merge join of those m rows against the n-row rank table
+    // (two sorts of corpus-scale input per iteration). Grouping the
+    // out-neighborhoods once into (src, deg, ds: array<dst>) makes
+    // the per-iteration join NODE-sized on both sides (n vs n, the
+    // rank table is already partitioned by node from the previous
+    // groupBy); contributions then fan out map-side via explode —
+    // the only per-iteration shuffle left is the groupBy(dst) partial
+    // sum the algorithm fundamentally requires. deg = size(ds): one
+    // aggregate builds both. Stored SERIALIZED with disk spill: the
+    // adjacency table is the one corpus-sized structure here, and
+    // the default deserialized row cache is 5-10x its on-disk size —
+    // at 30x data that is the difference between fitting and OOM,
+    // while the per-iteration deserialization cost is noise against
+    // the join it feeds. Eager: it feeds every iteration, and the
+    // rank table below is now lazy.
+    val adjd = und.groupBy("src")
+      .agg(count(lit(1)).as("deg"), collect_list(col("dst")).as("ds"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var ranks = adjd.select(col("src").as("node"), lit(1000000L).as("pr"))
+    (1 to iters).foreach { i =>
+      ranks = adjd.join(ranks, adjd("src") === ranks("node"))
+        // contrib(u) = pr(u) div deg(u), identical per out-edge, so
+        // compute it ONCE per node and explode it over the
+        // out-neighborhood — map-side fan-out, no m-row join
+        .select(explode(col("ds")).as("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum("c").as("sc"))
         .select(col("node"), expr("150000 + (850 * sc) div 1000").as("pr"))
-        // node-sized but still corpus-scale at billions of nodes:
-        // serialized like the edge table
-        .localCheckpoint(true,
+      // Per-iteration eager checkpoints forced one synchronous job
+      // per iteration (3 jobs for the benched 2-iteration call) where
+      // a lazy chain pipelines into the caller's single action. Rank
+      // lineage still cannot grow unboundedly for long loops: cut it
+      // every 4 iterations (node-sized, serialized like the adjacency
+      // table) so plan analysis stays O(1) in the iteration count.
+      if (i % 4 == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     ranks

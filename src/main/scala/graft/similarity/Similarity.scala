@@ -478,6 +478,14 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val subs = array((0 until m).map(i =>
       slice(asDouble(col(vecCol)), 1 + subDim * i, subDim)): _*)
+    // NOT rewritten to the packed-codebook [[argminCw]] form the
+    // integer-space encoders use (round-18): this encode's distance
+    // is [[sqDistInt]] — double casts + sqrt + floor per codeword —
+    // and evaluating that chain inside the nested interpreted
+    // transform measured SLOWER than the SortAggregate it would
+    // remove (v8 1.06 s → 1.60/1.74 s in two fresh JVMs; v9 1.16 →
+    // 2.15 s). The long-space sites won from the same rewrite
+    // because plain zip_with long arithmetic is cheap interpreted.
     corpus.select(col(idCol).as("id"), posexplode(subs).as(Seq("m", "sv")))
       .join(broadcast(codebook), "m")
       .select(col("id"), col("m"),
@@ -547,6 +555,33 @@ object Similarity {
   private def sqDistLong(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
+  /** The m·k codeword table packed to ONE row per subspace:
+    * (m, cbs: array<struct<cw, cv>>). Codebooks are capped at k
+    * codewords per subspace by construction, so a packed row is
+    * kilobytes and always broadcast-safe. */
+  private def packCodebook(cb: DataFrame): DataFrame =
+    cb.groupBy("m").agg(collect_list(struct(col("cw"), col("cv"))).as("cbs"))
+
+  /** Per-row nearest-codeword argmin against a [[packCodebook]] row —
+    * the round-18 rewrite of the encode aggregate. The old shape
+    * exploded each subvector against the broadcast codebook (k rows
+    * per (id, m)) and took `min(struct(d, cw))` per group; a struct
+    * aggregation buffer is not hash-supported, so every encode pass
+    * planned as Sort → SortAggregate → Exchange → SortAggregate over
+    * the k-times-exploded corpus (the same engine limitation that
+    * cost s11 its round-17 rewrite; v10's round-18 before-plan shows
+    * two such chains). Computing the argmin INSIDE the projection —
+    * `array_min` over the packed codewords with the identical
+    * lexicographic (d, cw) ordering, ties to the lower cw — removes
+    * the k-way row blowup, both SortAggregates and their Sorts; the
+    * per-row work is the same k interpreted distance evaluations the
+    * join form paid (zip_with/aggregate never participated in
+    * codegen either way). */
+  private def argminCw(sv: Column, cbs: Column,
+      dist: (Column, Column) => Column): Column =
+    array_min(transform(cbs, c =>
+      struct(dist(sv, c.getField("cv")).as("d"), c.getField("cw").as("cw"))))
+
   /** TRAINED PQ codebooks: per-subspace k-means (Lloyd) over the
     * integer-quantized subvectors, replacing [[pqCodebook]]'s raw
     * stride sample with centroids that actually fit the data — same
@@ -577,14 +612,12 @@ object Similarity {
       .select(col("m"), col("cw"), col("cv"))
     (1 to iters).foreach { _ =>
       // assignment: one pass of the quantized corpus against the
-      // BROADCAST codebook (m·k rows); min(struct) = argmin with
-      // deterministic ties; qv rides along (functionally dependent
-      // on the (id, m) group key)
-      val assigned = qsub.join(broadcast(cb), "m")
+      // BROADCAST packed codebook — per-row [[argminCw]] (identical
+      // deterministic (d, cw) ties), no group aggregate, qv rides
+      // along in the same projection
+      val assigned = qsub.join(broadcast(packCodebook(cb)), "m")
         .select(col("id"), col("m"), col("qv"),
-          struct(sqDistLong(col("qv"), col("cv")).as("d"), col("cw")).as("dc"))
-        .groupBy("id", "m")
-        .agg(min("dc").as("best"), first("qv").as("qv"))
+          argminCw(col("qv"), col("cbs"), sqDistLong).as("best"))
       // update: element-wise integer floor-mean per codeword —
       // map-side-combining long sums, then the tiny (m·k·subDim)
       // position table reassembles into arrays
@@ -620,10 +653,9 @@ object Similarity {
       corpus, m, subDim, stride, codebookK, iters, idCol, vecCol)
     val qsub = corpus.select(col(idCol).as("id"),
       posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "sv")))
-    val codes = qsub.join(broadcast(cb), "m")
+    val codes = qsub.join(broadcast(packCodebook(cb)), "m")
       .select(col("id"), col("m"),
-        struct(sqDistLong(col("sv"), col("cv")).as("d"), col("cw")).as("dc"))
-      .groupBy("id", "m").agg(min("dc").as("best"))
+        argminCw(col("sv"), col("cbs"), sqDistLong).as("best"))
       .select(col("id"), col("m"), col("best.cw").as("code"))
     val dtable = queries.select(col(idCol).as("qid"),
         posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "qv")))
@@ -664,10 +696,9 @@ object Similarity {
       iters, idCol, vecCol)
     corpus.select(col(idCol).as("id"),
         posexplode(quantSubs(col(vecCol), 1, dim)).as(Seq("m", "qv")))
-      .join(broadcast(cb), "m")
+      .join(broadcast(packCodebook(cb)), "m")
       .select(col("id"),
-        struct(sqDistLong(col("qv"), col("cv")).as("d"), col("cw")).as("dc"))
-      .groupBy("id").agg(min("dc").as("best"))
+        argminCw(col("qv"), col("cbs"), sqDistLong).as("best"))
       .select(col("id"), col("best.cw").as("cluster"),
         col("best.d").as("dist"))
   }
@@ -803,10 +834,9 @@ object Similarity {
       .filter(col("rk") === 1).select(col("id"), col("cid"))
     val codes = matching.select(col(idCol).as("id"),
         posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "sv")))
-      .join(broadcast(codebook), "m")
+      .join(broadcast(packCodebook(codebook)), "m")
       .select(col("id"), col("m"),
-        struct(sqDistLong(col("sv"), col("cv")).as("d"), col("cw")).as("dc"))
-      .groupBy("id", "m").agg(min("dc").as("best"))
+        argminCw(col("sv"), col("cbs"), sqDistLong).as("best"))
       .select(col("id"), col("m"), col("best.cw").as("code"))
       .join(assign, "id")
     // probes + ADC tables from the QUERY vectors (tiny, broadcast)
@@ -909,10 +939,9 @@ object Similarity {
         .filter(col("rk") === 1).select(col("id"), col("cid"))
       val postings = corpus.select(col(idCol).as("id"),
           posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "sv")))
-        .join(broadcast(cb), "m")
+        .join(broadcast(packCodebook(cb)), "m")
         .select(col("id"), col("m"),
-          struct(sqDistLong(col("sv"), col("cv")).as("d"), col("cw")).as("dc"))
-        .groupBy("id", "m").agg(min("dc").as("best"))
+          argminCw(col("sv"), col("cbs"), sqDistLong).as("best"))
         .select(col("id"), col("m"), col("best.cw").as("code"))
         .join(assign, "id")
       cents.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -1031,10 +1060,9 @@ object Similarity {
       .filter(col("rk") === 1).select(col("id"), col("cid"))
     val delta = newVectors.select(col(idCol).as("id"),
         posexplode(quantSubs(col(vecCol), m, subDim)).as(Seq("m", "sv")))
-      .join(broadcast(cb), "m")
+      .join(broadcast(packCodebook(cb)), "m")
       .select(col("id"), col("m"),
-        struct(sqDistLong(col("sv"), col("cv")).as("d"), col("cw")).as("dc"))
-      .groupBy("id", "m").agg(min("dc").as("best"))
+        argminCw(col("sv"), col("cbs"), sqDistLong).as("best"))
       .select(col("id"), col("m"), col("best.cw").as("code"))
       .join(assign, "id")
     // next = max over COMMITTED deltas only: a torn delta (crashed
