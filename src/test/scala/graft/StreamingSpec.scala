@@ -418,4 +418,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("statePath"),
       s"wrong failure for a cross-corpus resume: ${e.getMessage}")
   }
+
+  test("Kp2b: an all-novel cold-start batch keeps a parallel ledger write") {
+    // round-18 guard for the unconditional coalesce(1): the FIRST
+    // batch of a fresh backlog can be all-novel, and its ledger delta
+    // (corpus-scale there) must not funnel through one task. The
+    // delta's write parallelism scales with the micro-batch's
+    // input-file count, so a 64-file backlog consumed in one
+    // cold-start batch must fan the delta write out. AQE partition
+    // coalescing is disabled on the isolated session: at test scale
+    // it folds ANY tiny shuffle to one partition (a size decision,
+    // fine), which would mask the specific bound under test — that
+    // the explicit coalesce cap no longer forces a single task.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val dir = java.nio.file.Files.createTempDirectory("kp2b_cold").toString
+    // every doc novel (unique key), every doc passing the gopher gate
+    s.range(2000).selectExpr("'srcA' AS source", "id AS doc_id",
+        "concat('doc ', id, ' the of ', repeat('words ', 22)) AS text")
+      .repartition(64)
+      .write.parquet(s"$dir/docs")
+    // a DISJOINT snapshot index: every backlog key is novel (with the
+    // default owners-from-backlog parity mode nothing ever is)
+    s.range(1).selectExpr("'srcB' AS source", "(id + 90000) AS doc_id",
+        "concat('other ', id, ' the of ', repeat('words ', 22)) AS text")
+      .write.parquet(s"$dir/index")
+    Streaming.availableNowCurationExactOnce(s, s"$dir/docs",
+      indexPath = Some(s"$dir/index"),
+      statePath = Some(s"$dir/state")).collect()
+    val delta = new java.io.File(s"$dir/state/ledger/batch=0")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(delta.length > 1,
+      s"all-novel cold-start ledger delta was written by a single task " +
+        s"(${delta.length} parquet file)")
+  }
 }
